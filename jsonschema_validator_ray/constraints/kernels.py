@@ -1,0 +1,322 @@
+"""Vectorized Arrow constraint kernels.
+
+Table-scale analog of the reference's keyword ``validation_errors`` methods
+(src/keywords/type_.rs:101-109, properties_.rs:119-135, ref_.rs:55-61): each
+kernel maps an Arrow batch to a boolean violation mask via ``pyarrow.compute``;
+violation rows (conv_id, turn_idx, constraint_id, message) are materialized
+only where masks fire. Dual evaluation mode mirrors the reference's
+enumerate-all vs fail-fast split (src/types/schema.rs:67-78):
+
+- ``enumerate``: concatenate all kernels' violation rows (schema.rs:70),
+- ``verdict``:   per-batch pass/fail with early exit at the first kernel that
+  fires (keywords/mod.rs:30-32) — no violation rows materialized.
+
+Per-row invariant: kernels never mutate or copy payload columns; masks are
+computed zero-copy over the Arrow batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .ir import ConstraintIR, GroupCheck, RowConstraint
+
+VIOLATION_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("constraint_id", pa.string()),
+    ("message", pa.string()),
+])
+
+VERDICT_SCHEMA = pa.schema([
+    ("n_rows", pa.int64()),
+    ("n_violations", pa.int64()),
+    ("passed", pa.bool_()),
+    ("first_constraint_id", pa.string()),
+])
+
+
+def _engine_type(dtype: pa.DataType) -> str:
+    """Map an Arrow dtype to the engine's column-type name (SURVEY.md §1.2)."""
+    if pa.types.is_null(dtype):
+        return "null"
+    if pa.types.is_boolean(dtype):
+        return "boolean"
+    if pa.types.is_integer(dtype):
+        return "integer"
+    if pa.types.is_floating(dtype) or pa.types.is_decimal(dtype):
+        return "number"
+    if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
+        return "string"
+    if pa.types.is_timestamp(dtype) or pa.types.is_date(dtype):
+        return "timestamp"
+    return f"unsupported:{dtype}"
+
+
+def _all_true(n: int) -> pa.Array:
+    return pa.array(np.ones(n, dtype=bool))
+
+
+def _np(col) -> np.ndarray:
+    """Arrow (Chunked)Array → numpy, tolerating nulls and chunking."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _range_scalar(value, dtype: pa.DataType):
+    if value is None:
+        return None
+    if pa.types.is_timestamp(dtype) and isinstance(value, str):
+        return pa.scalar(np.datetime64(value, dtype.unit), type=dtype)
+    return pa.scalar(value, type=dtype)
+
+
+def evaluate_kernel(c: RowConstraint, batch: pa.Table, ir: ConstraintIR) -> Optional[pa.ChunkedArray]:
+    """Evaluate one row constraint → boolean mask (True = violation), or None
+    when the kernel cannot fire on this batch."""
+    n = batch.num_rows
+    if c.column not in batch.column_names:
+        # absent column: `required` fires everywhere; everything else is
+        # skipped (absent ⇒ skip, properties_.rs:124-128)
+        return _all_true(n) if c.kind == "required" else None
+    col = batch[c.column]
+    is_null = pc.is_null(col)
+
+    if c.kind == "required":
+        return is_null
+
+    if c.kind == "type":
+        declared = set(c.params)
+        null_bad = "null" not in declared
+        ct = _engine_type(col.type)
+        if ct == "null":
+            return None if not null_bad else _all_true(n)
+        if ct not in declared:
+            # integer-valued floats satisfy a declared `integer`
+            if ct == "number" and "integer" in declared:
+                non_integral = pc.not_equal(pc.floor(col), col)
+                bad = pc.fill_null(non_integral, null_bad)
+                if null_bad:
+                    bad = pc.or_(bad, is_null)
+                return bad
+            # dtype outside the declared set: every present value violates
+            return pc.invert(is_null) if not null_bad else _all_true(n)
+        return is_null if null_bad else None
+
+    if c.kind == "enum":
+        ok = pc.is_in(col, value_set=pa.array(list(c.params), type=col.type))
+        return pc.and_(pc.invert(ok), pc.invert(is_null))
+
+    if c.kind == "ref":
+        values = ir.dictionaries[c.params[0]]
+        ok = pc.is_in(col, value_set=pa.array(list(values), type=col.type))
+        return pc.and_(pc.invert(ok), pc.invert(is_null))
+
+    if c.kind == "format_len":
+        min_len, max_len = c.params
+        length = pc.utf8_length(col)
+        bad = pc.less(length, min_len)
+        if max_len is not None:
+            bad = pc.or_(bad, pc.greater(length, max_len))
+        return pc.fill_null(bad, False)
+
+    if c.kind == "format_range":
+        lo, hi = (_range_scalar(v, col.type) for v in c.params)
+        bad = None
+        if lo is not None:
+            bad = pc.less(col, lo)
+        if hi is not None:
+            hi_bad = pc.greater(col, hi)
+            bad = hi_bad if bad is None else pc.or_(bad, hi_bad)
+        return pc.fill_null(bad, False) if bad is not None else None
+
+    raise ValueError(f"unknown constraint kind {c.kind!r}")
+
+
+def _violation_rows(batch: pa.Table, mask, cid: str, message: str) -> pa.Table:
+    idx = pa.array(np.flatnonzero(_np(mask).astype(bool)))
+    k = len(idx)
+    conv = (batch["conv_id"].take(idx).cast(pa.string(), safe=False)
+            if "conv_id" in batch.column_names else pa.nulls(k, pa.string()))
+    if "turn_idx" in batch.column_names and pa.types.is_integer(batch["turn_idx"].type):
+        turn = batch["turn_idx"].take(idx).cast(pa.int32(), safe=False)
+    else:
+        # non-integer turn_idx column (itself a type violation): keys are unknowable
+        turn = pa.nulls(k, pa.int32())
+    return pa.table({
+        "conv_id": conv,
+        "turn_idx": turn,
+        "constraint_id": pa.array([cid] * k, type=pa.string()),
+        "message": pa.array([message] * k, type=pa.string()),
+    }, schema=VIOLATION_SCHEMA)
+
+
+def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
+    """Build the fused per-batch validate function for ``map_batches``.
+
+    All row constraints are evaluated in ONE pass over each zero-copy Arrow
+    batch (validator-conjunction analog, src/types/schema.rs:67-78).
+    """
+    assert mode in ("enumerate", "verdict")
+    constraints = list(ir.row_constraints)
+
+    def validate_batch(batch: pa.Table) -> pa.Table:
+        if mode == "verdict":
+            total = 0
+            first_cid = None
+            for c in constraints:
+                mask = evaluate_kernel(c, batch, ir)
+                if mask is None:
+                    continue
+                k = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+                if k:
+                    total += k
+                    first_cid = first_cid or c.cid
+                    break  # fail-fast (keywords/mod.rs:30-32)
+            return pa.table({
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "n_violations": pa.array([total], pa.int64()),
+                "passed": pa.array([total == 0]),
+                "first_constraint_id": pa.array([first_cid], pa.string()),
+            }, schema=VERDICT_SCHEMA)
+
+        parts = []
+        for c in constraints:
+            mask = evaluate_kernel(c, batch, ir)
+            if mask is None:
+                continue
+            if not pc.any(mask).as_py():
+                continue
+            parts.append(_violation_rows(batch, mask, c.cid, c.message))
+        if not parts:
+            return VIOLATION_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+    return validate_batch
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-stage kernels: monotonicity + uniqueness per (salted) group
+# ---------------------------------------------------------------------------
+
+GROUPCHECK_SCHEMA = pa.schema([
+    ("kind", pa.string()),          # "violation" | "boundary"
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("constraint_id", pa.string()),
+    ("message", pa.string()),
+    ("bucket", pa.int64()),
+    ("first_tid", pa.int32()),
+    ("first_ts", pa.timestamp("us")),
+    ("last_tid", pa.int32()),
+    ("last_ts", pa.timestamp("us")),
+])
+
+
+def group_check_table(group: pa.Table, gc: GroupCheck, *, emit_boundary: bool = True) -> pa.Table:
+    """Check one (conv_id[, salt-bucket]) group: sorted-run duplicate scan +
+    ts-monotonicity in turn order; optionally emit the group's boundary record
+    for the cross-bucket merge (SURVEY.md §7.4 salted-group boundary merge).
+
+    Semantics (FIXTURES.md §B): per conversation ordered by ``order_by``
+    (stable), ``ts`` must be strictly increasing — a swapped turn_idx pair
+    surfaces as a ts regression; ``(group_key, order_by)`` must be unique.
+    Null order keys are skipped (they already fired type/required kernels).
+    """
+    conv = group[gc.group_key][0].as_py() if group.num_rows else None
+    tid_all = _np(group[gc.order_by].cast(pa.int64()).fill_null(np.iinfo(np.int64).min))
+    null_mask = _np(pc.is_null(group[gc.order_by]))
+    ts_all = _np(group[gc.ts_column].cast(pa.int64()))  # us since epoch
+    keep = ~null_mask
+    tid = tid_all[keep]
+    ts = ts_all[keep]
+    order = np.argsort(tid, kind="stable")
+    tid = tid[order]
+    ts = ts[order]
+
+    viol_tid: list[int] = []
+    viol_cid: list[str] = []
+    viol_msg: list[str] = []
+
+    if tid.size:
+        if gc.check_unique:
+            dup = np.flatnonzero(tid[1:] == tid[:-1]) + 1
+            for i in dup:
+                viol_tid.append(int(tid[i]))
+                viol_cid.append(f"unique:({gc.group_key},{gc.order_by})")
+                viol_msg.append("Duplicate key")
+        if gc.check_mono:
+            reg = np.flatnonzero((ts[1:] < ts[:-1]) & (tid[1:] != tid[:-1])) + 1
+            for i in reg:
+                viol_tid.append(int(tid[i]))
+                viol_cid.append(f"mono:{gc.order_by}")
+                viol_msg.append("Non-monotonic ts for turn order")
+
+    k = len(viol_tid)
+    rows = {
+        "kind": ["violation"] * k,
+        "conv_id": [conv] * k,
+        "turn_idx": viol_tid,
+        "constraint_id": viol_cid,
+        "message": viol_msg,
+        "bucket": [None] * k,
+        "first_tid": [None] * k,
+        "first_ts": [None] * k,
+        "last_tid": [None] * k,
+        "last_ts": [None] * k,
+    }
+    if emit_boundary and tid.size:
+        bucket = int(tid[0] // gc.salt_span) if gc.salt_span else 0
+        rows["kind"].append("boundary")
+        rows["conv_id"].append(conv)
+        rows["turn_idx"].append(None)
+        rows["constraint_id"].append(None)
+        rows["message"].append(None)
+        rows["bucket"].append(bucket)
+        rows["first_tid"].append(int(tid[0]))
+        rows["first_ts"].append(int(ts[0]))
+        rows["last_tid"].append(int(tid[-1]))
+        rows["last_ts"].append(int(ts[-1]))
+    return pa.table(
+        {
+            "kind": pa.array(rows["kind"], pa.string()),
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "constraint_id": pa.array(rows["constraint_id"], pa.string()),
+            "message": pa.array(rows["message"], pa.string()),
+            "bucket": pa.array(rows["bucket"], pa.int64()),
+            "first_tid": pa.array(rows["first_tid"], pa.int32()),
+            "first_ts": pa.array(rows["first_ts"], pa.timestamp("us")),
+            "last_tid": pa.array(rows["last_tid"], pa.int32()),
+            "last_ts": pa.array(rows["last_ts"], pa.timestamp("us")),
+        },
+        schema=GROUPCHECK_SCHEMA,
+    )
+
+
+def merge_boundaries(boundaries: pa.Table, gc: GroupCheck) -> pa.Table:
+    """Cross-bucket monotonicity merge over the (tiny) boundary records:
+    within each conv_id, buckets sorted ascending must satisfy
+    ``last_ts[k] < first_ts[k+1]`` — the predecessor of bucket k+1's first row
+    in global turn order is bucket k's last row, so attribution equals the
+    global lag check's. Returns violation rows (VIOLATION_SCHEMA)."""
+    if boundaries.num_rows == 0 or not gc.check_mono:
+        return VIOLATION_SCHEMA.empty_table()
+    tbl = boundaries.sort_by([("conv_id", "ascending"), ("bucket", "ascending")])
+    conv = _np(tbl["conv_id"].cast(pa.string()))
+    first_tid = _np(tbl["first_tid"].cast(pa.int64()))
+    first_ts = _np(tbl["first_ts"].cast(pa.int64()))
+    last_ts = _np(tbl["last_ts"].cast(pa.int64()))
+    same_conv = conv[1:] == conv[:-1]
+    reg = np.flatnonzero(same_conv & (first_ts[1:] < last_ts[:-1])) + 1
+    return pa.table({
+        "conv_id": pa.array(conv[reg].tolist(), pa.string()),
+        "turn_idx": pa.array(first_tid[reg].astype(np.int32), pa.int32()),
+        "constraint_id": pa.array([f"mono:{gc.order_by}"] * len(reg), pa.string()),
+        "message": pa.array(["Non-monotonic ts for turn order"] * len(reg), pa.string()),
+    }, schema=VIOLATION_SCHEMA)
