@@ -238,7 +238,7 @@ TRANSCRIPT_SPEC = {
         "conv_id": {"type": "string", "required": True},
         "turn_idx": {"type": "integer", "required": True},
         "role": {"type": "string", "required": True, "enum": list(ROLES)},
-        "text": {"type": ["string", "null"], "max_length": 32768},
+        "text": {"type": "string", "required": True, "max_length": 32768},
         "tool": {"type": ["string", "null"], "ref": "tools"},
         "ts": {"type": "timestamp", "required": True,
                "min": "2020-01-01T00:00:00", "max": "2035-01-01T00:00:00"},

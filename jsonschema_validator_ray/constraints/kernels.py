@@ -251,9 +251,13 @@ def group_check_table(group: pa.Table, gc: GroupCheck, *, emit_boundary: bool = 
                 viol_cid.append(f"unique:({gc.group_key},{gc.order_by})")
                 viol_msg.append("Duplicate key")
         if gc.check_mono:
-            reg = np.flatnonzero((ts[1:] < ts[:-1]) & (tid[1:] != tid[:-1])) + 1
+            # mono is defined over rows with VALID ts, in turn order (null-ts
+            # rows never participate — they already fired type/required)
+            valid = ts == ts
+            tv, sv = tid[valid], ts[valid]
+            reg = np.flatnonzero((sv[1:] < sv[:-1]) & (tv[1:] != tv[:-1])) + 1
             for i in reg:
-                viol_tid.append(int(tid[i]))
+                viol_tid.append(int(tv[i]))
                 viol_cid.append(f"mono:{gc.order_by}")
                 viol_msg.append("Non-monotonic ts for turn order")
 
@@ -270,18 +274,22 @@ def group_check_table(group: pa.Table, gc: GroupCheck, *, emit_boundary: bool = 
         "last_tid": [None] * k,
         "last_ts": [None] * k,
     }
-    if emit_boundary and tid.size:
-        bucket = int(tid[0] // gc.salt_span) if gc.salt_span else 0
+    # Boundary record uses the first/last rows with a VALID ts (null-ts rows
+    # never participate in mono comparisons, here or in the global semantics).
+    valid_ts = np.flatnonzero(ts == ts)
+    if emit_boundary and valid_ts.size:
+        fi, li = valid_ts[0], valid_ts[-1]
+        bucket = int(tid[fi] // gc.salt_span) if gc.salt_span else 0
         rows["kind"].append("boundary")
         rows["conv_id"].append(conv)
         rows["turn_idx"].append(None)
         rows["constraint_id"].append(None)
         rows["message"].append(None)
         rows["bucket"].append(bucket)
-        rows["first_tid"].append(int(tid[0]))
-        rows["first_ts"].append(int(ts[0]))
-        rows["last_tid"].append(int(tid[-1]))
-        rows["last_ts"].append(int(ts[-1]))
+        rows["first_tid"].append(int(tid[fi]))
+        rows["first_ts"].append(int(ts[fi]))
+        rows["last_tid"].append(int(tid[li]))
+        rows["last_ts"].append(int(ts[li]))
     return pa.table(
         {
             "kind": pa.array(rows["kind"], pa.string()),

@@ -1,0 +1,390 @@
+"""The flagship pipeline: transcript-table constraint validation, Ray-Data-first.
+
+Lifecycle (SURVEY.md §3.5; the analog of the reference's three entry points):
+
+  1. DRIVER compile: spec → ConstraintIR (hash-stamped) → ``ray.put`` broadcast.
+  2. ``read_parquet`` → ONE fused ``map_batches`` actor-pool pass producing
+     violation rows + per-batch partial sketches (stages/rowstage.py) — the
+     only stage that touches full-width data, and it reads the input once.
+  3. Wide stage over a 3-column projection: sort-based sorted-run merge
+     (default) or salted conv_id groupby for uniqueness + monotonicity.
+  4. Driver: merge partial sketches → drift verdicts; merge run boundaries →
+     cross-split violations; verdict = no violations ∧ all drift checks pass.
+
+``run_partitioned`` wraps this per input-file-group with lineage manifests
+(input files, IR hash, metrics, serialized sketch + boundary state) so a
+killed run resumes by skipping completed partitions; cross-partition
+uniqueness/monotonicity is restored at finalize via the boundary merge plus a
+targeted re-check of the (rare) conversations whose turn ranges overlap
+between partitions.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..constraints.ir import ConstraintIR, compile_constraints
+from ..constraints.kernels import (
+    VIOLATION_SCHEMA,
+    group_check_table,
+    merge_boundaries,
+)
+from ..stages.groupcheck import (
+    SortedRunChecker,
+    add_salt_column,
+    make_salted_group_fn,
+    merge_run_boundaries,
+)
+from ..stages.rowstage import RowValidateAndSketch, split_combined
+from ..state.sketches import SketchState
+
+Source = Union[str, Sequence[str], "ray.data.Dataset"]  # noqa: F821
+
+
+@dataclass
+class ValidationResult:
+    violations: pa.Table
+    sketch: SketchState
+    drift: list = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+    passed: bool = True
+    boundaries: Optional[pa.Table] = None   # unmerged run boundaries (partitioned mode)
+
+
+def _dataset_from(source: Source, columns: Optional[list] = None):
+    import ray.data
+
+    if hasattr(source, "map_batches"):          # already a Dataset
+        return source.select_columns(columns) if columns else source
+    if isinstance(source, str) and os.path.isdir(source):
+        paths = sorted(
+            os.path.join(source, f) for f in os.listdir(source)
+            if f.endswith(".parquet") and not f.startswith("golden"))
+    elif isinstance(source, str):
+        paths = [source]
+    else:
+        paths = list(source)
+    return ray.data.read_parquet(paths, columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a SMALL dataset driver-side as one Arrow table."""
+    import ray
+
+    tables = ray.get(ds.to_arrow_refs())
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    return pa.concat_tables(tables, promote_options="default") if tables \
+        else None
+
+
+def validate(source: Source, spec: Optional[dict] = None,
+             ir: Optional[ConstraintIR] = None, *, mode: str = "enumerate",
+             strategy: str = "sort", sketch: bool = True,
+             batch_size: int = 65536, concurrency=None,
+             merge_boundaries_now: bool = True,
+             out_dir: Optional[str] = None) -> ValidationResult:
+    """Run the full validation pipeline. Ray must already be initialised."""
+    import ray
+
+    if ir is None:
+        ir = compile_constraints(spec)
+    ir_ref = ray.put(ir)  # broadcast once; each actor reads it zero-copy
+
+    ds = _dataset_from(source)
+    t0 = time.perf_counter()
+    if concurrency is None:
+        # actor pool sized to the session's CPUs, leaving headroom for IO tasks
+        avail = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, avail - 1))
+
+    combined = ds.map_batches(
+        RowValidateAndSketch,
+        fn_constructor_args=(ir_ref,),
+        fn_constructor_kwargs={"mode": mode, "sketch": sketch},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    combined_t = _collect(combined)
+    violations, state, counters = split_combined(combined_t)
+    viol_parts = [violations]
+
+    boundaries = None
+    gc = ir.group_check
+    if gc is not None:
+        cols = [gc.group_key, gc.order_by, gc.ts_column]
+        gds = _dataset_from(source, columns=cols)  # pruned second read
+        if strategy == "sort":
+            sds = gds.sort([gc.group_key, gc.order_by])
+            out = sds.map_batches(SortedRunChecker(gc), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            out_t = _collect(out)
+            gv = out_t.filter(pc.equal(out_t["kind"], "violation"))
+            viol_parts.append(pa.table(
+                {n: gv[n] for n in VIOLATION_SCHEMA.names}, schema=VIOLATION_SCHEMA))
+            boundaries = out_t.filter(pc.equal(out_t["kind"], "boundary")) \
+                .drop_columns(["kind", "turn_idx", "constraint_id", "message"])
+            if merge_boundaries_now:
+                viol_parts.append(merge_run_boundaries(boundaries, gc))
+        elif strategy == "groupby":
+            salted = gds.map_batches(add_salt_column(gc), batch_format="pyarrow",
+                                     zero_copy_batch=True)
+            out = salted.groupby([gc.group_key, "_salt"]).map_groups(
+                make_salted_group_fn(gc), batch_format="pyarrow")
+            out_t = _collect(out)
+            gv = out_t.filter(pc.equal(out_t["kind"], "violation"))
+            viol_parts.append(pa.table(
+                {n: gv[n] for n in VIOLATION_SCHEMA.names}, schema=VIOLATION_SCHEMA))
+            b = out_t.filter(pc.equal(out_t["kind"], "boundary"))
+            if merge_boundaries_now:
+                viol_parts.append(merge_boundaries(b, gc))
+            boundaries = None  # bucket-keyed; cross-partition merge uses sort strategy
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+
+    all_viol = pa.concat_tables(viol_parts)
+    drift = state.evaluate_drift(ir.drift_checks) if sketch else []
+    passed = (all_viol.num_rows == 0) and all(d["passed"] for d in drift)
+
+    if all_viol.num_rows:
+        by_c = pa.TableGroupBy(all_viol, "constraint_id").aggregate(
+            [("constraint_id", "count")])
+        by_constraint = dict(zip(by_c["constraint_id"].to_pylist(),
+                                 by_c["constraint_id_count"].to_pylist()))
+    else:
+        by_constraint = {}
+    metrics = {
+        **counters,
+        "n_violations": int(all_viol.num_rows),
+        "violations_by_constraint": {str(k): int(v)
+                                     for k, v in by_constraint.items()},
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "ir_hash": ir.ir_hash,
+        "strategy": strategy,
+        "mode": mode,
+    }
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(all_viol, os.path.join(out_dir, "violations.parquet"))
+        with open(os.path.join(out_dir, "summary.json"), "w") as f:
+            json.dump({"metrics": metrics, "drift": drift, "passed": passed,
+                       "sketch": state.summary()}, f, indent=2, default=str)
+
+    return ValidationResult(violations=all_viol, sketch=state, drift=drift,
+                            metrics=metrics, passed=passed, boundaries=boundaries)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned, resumable execution with per-partition lineage manifests
+# ---------------------------------------------------------------------------
+
+def _partition_paths(out_dir: str, pid: int) -> tuple[str, str]:
+    return (os.path.join(out_dir, "violations", f"part-{pid:05d}.parquet"),
+            os.path.join(out_dir, "manifests", f"part-{pid:05d}.json"))
+
+
+def run_partitioned(input_files: Sequence[str], out_dir: str,
+                    spec: Optional[dict] = None, ir: Optional[ConstraintIR] = None,
+                    *, files_per_partition: int = 1, strategy: str = "sort",
+                    max_partitions: Optional[int] = None,
+                    batch_size: int = 65536, concurrency=None,
+                    finalize_run: bool = True) -> dict:
+    """Validate input files in resumable partitions.
+
+    Each partition = a file group, processed with the full cluster's
+    parallelism, producing ``violations/part-N.parquet`` +
+    ``manifests/part-N.json`` (lineage: input files, IR hash, metrics,
+    serialized sketch + boundary records, per-partition verdict). On re-run,
+    partitions whose manifest exists with a matching IR hash are SKIPPED
+    (``max_partitions`` limits work per call — used by resume tests to
+    simulate a mid-run kill)."""
+    if ir is None:
+        ir = compile_constraints(spec)
+    os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+
+    groups = [list(input_files[i:i + files_per_partition])
+              for i in range(0, len(input_files), files_per_partition)]
+    done = 0
+    for pid, files in enumerate(groups):
+        vpath, mpath = _partition_paths(out_dir, pid)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("ir_hash") == ir.ir_hash:
+                continue  # completed under the same IR — resume skip
+        if max_partitions is not None and done >= max_partitions:
+            continue
+        t0 = time.perf_counter()
+        res = validate(files, ir=ir, strategy=strategy, batch_size=batch_size,
+                       concurrency=concurrency, merge_boundaries_now=False)
+        pq.write_table(res.violations, vpath)
+        manifest = {
+            "partition": pid,
+            "input_files": files,
+            "ir_hash": ir.ir_hash,
+            "metrics": res.metrics,
+            "verdict": bool(res.violations.num_rows == 0),
+            "sketch_b64": res.sketch.to_b64(),
+            "boundaries_b64": _table_b64(res.boundaries),
+            "duration_s": round(time.perf_counter() - t0, 3),
+        }
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)  # manifest write is the atomic commit point
+        done += 1
+
+    if finalize_run and all(os.path.exists(_partition_paths(out_dir, pid)[1])
+                            for pid in range(len(groups))):
+        return finalize(out_dir, len(groups), ir)
+    return {"complete": False, "partitions_done": sum(
+        os.path.exists(_partition_paths(out_dir, p)[1]) for p in range(len(groups))),
+        "partitions_total": len(groups)}
+
+
+def _table_b64(tbl: Optional[pa.Table]) -> Optional[str]:
+    if tbl is None:
+        return None
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return base64.b64encode(sink.getvalue().to_pybytes()).decode()
+
+
+def _table_from_b64(data: Optional[str]) -> Optional[pa.Table]:
+    if not data:
+        return None
+    return pa.ipc.open_stream(base64.b64decode(data)).read_all()
+
+
+def finalize(out_dir: str, n_partitions: int, ir: ConstraintIR) -> dict:
+    """Merge partition manifests: sketches → drift verdicts; run boundaries →
+    cross-partition uniqueness/monotonicity; targeted exact re-check for
+    conversations whose turn ranges overlap across partitions."""
+    gc = ir.group_check
+    state = SketchState()
+    all_bounds = []
+    manifests = []
+    for pid in range(n_partitions):
+        _, mpath = _partition_paths(out_dir, pid)
+        with open(mpath) as f:
+            m = json.load(f)
+        if m["ir_hash"] != ir.ir_hash:
+            raise RuntimeError(
+                f"partition {pid} has stale IR hash {m['ir_hash']} != {ir.ir_hash}"
+                " — refuse to finalize (analog of 'Uninitialised schema')")
+        manifests.append(m)
+        state.merge(SketchState.from_b64(m["sketch_b64"]))
+        b = _table_from_b64(m.get("boundaries_b64"))
+        if b is not None and b.num_rows:
+            all_bounds.append(b)
+
+    cross_viol = VIOLATION_SCHEMA.empty_table()
+    overlap_convs: list = []
+    if gc is not None and all_bounds:
+        bounds = pa.concat_tables(all_bounds)
+        # detect convs whose runs OVERLAP in turn ranges across partitions —
+        # boundary records alone can't resolve those; re-check them exactly
+        srt = bounds.sort_by([("conv_id", "ascending"), ("first_tid", "ascending")])
+        conv = srt["conv_id"].to_pylist()
+        ft = srt["first_tid"].to_pylist()
+        lt = srt["last_tid"].to_pylist()
+        overlap = set()
+        run_max = None
+        for i in range(len(conv)):
+            if i and conv[i] == conv[i - 1]:
+                if ft[i] < run_max:   # strictly inside a prior run's range
+                    overlap.add(conv[i])
+                run_max = max(run_max, lt[i])
+            else:
+                run_max = lt[i]
+        overlap_convs = sorted(overlap)
+        if overlap:
+            keep = pa.array([c not in overlap for c in conv])
+            cross_viol = merge_run_boundaries(srt.filter(keep), gc)
+            recheck = _recheck_convs(manifests, overlap_convs, gc)
+            cross_viol = pa.concat_tables([cross_viol, recheck])
+        else:
+            cross_viol = merge_run_boundaries(bounds, gc)
+
+    if overlap_convs:
+        # drop per-partition group-check rows for recHecked convs (superseded)
+        cleaned = []
+        for pid in range(n_partitions):
+            vpath, _ = _partition_paths(out_dir, pid)
+            t = pq.read_table(vpath)
+            is_group = pc.or_(
+                pc.starts_with(t["constraint_id"], "mono:"),
+                pc.starts_with(t["constraint_id"], "unique:"))
+            drop = pc.and_(is_group, pc.is_in(
+                t["conv_id"], value_set=pa.array(overlap_convs)))
+            cleaned.append(t.filter(pc.invert(drop)))
+        part_viol = pa.concat_tables(cleaned)
+    else:
+        part_viol = pa.concat_tables([
+            pq.read_table(_partition_paths(out_dir, pid)[0])
+            for pid in range(n_partitions)])
+
+    all_viol = pa.concat_tables([part_viol, cross_viol])
+    if cross_viol.num_rows:
+        pq.write_table(cross_viol,
+                       os.path.join(out_dir, "violations", "part-cross.parquet"))
+
+    drift = state.evaluate_drift(ir.drift_checks)
+    passed = all_viol.num_rows == 0 and all(d["passed"] for d in drift)
+    summary = {
+        "complete": True,
+        "passed": bool(passed),
+        "n_rows": state.n_rows,
+        "n_violations": int(all_viol.num_rows),
+        "n_partitions": n_partitions,
+        "partition_verdicts": [bool(m["verdict"]) for m in manifests],
+        "overlap_rechecked_convs": overlap_convs,
+        "drift": drift,
+        "sketch": state.summary(),
+        "ir_hash": ir.ir_hash,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=str)
+    return summary
+
+
+def _recheck_convs(manifests: list, convs: list, gc) -> pa.Table:
+    """Exact in-memory group check for a small set of conversations, reading
+    only their rows (predicate pushdown) from the partitions that contain
+    them. Returns the DEFINITIVE group-check violations for those convs."""
+    files = []
+    for m in manifests:
+        files.extend(m["input_files"])
+    tables = []
+    cols = [gc.group_key, gc.order_by, gc.ts_column]
+    for f in sorted(set(files)):
+        t = pq.read_table(f, columns=cols,
+                          filters=[(gc.group_key, "in", list(convs))])
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return VIOLATION_SCHEMA.empty_table()
+    whole = pa.concat_tables(tables)
+    parts = []
+    for c in convs:
+        g = whole.filter(pc.equal(whole[gc.group_key], c))
+        if g.num_rows:
+            out = group_check_table(g, gc, emit_boundary=False)
+            v = out.filter(pc.equal(out["kind"], "violation"))
+            parts.append(pa.table({n: v[n] for n in VIOLATION_SCHEMA.names},
+                                  schema=VIOLATION_SCHEMA))
+    return pa.concat_tables(parts) if parts else VIOLATION_SCHEMA.empty_table()

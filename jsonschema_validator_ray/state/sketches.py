@@ -75,7 +75,11 @@ class SketchState:
         out = []
         for d in drift_checks:
             if d.kind == "chi2":
-                stat, pval = chi_square_test(self.role_counts, dict(d.reference))
+                ref = dict(d.reference)
+                # restrict to reference categories: out-of-enum values are
+                # row-level violations (enum kernel), not distribution drift
+                observed = {k: v for k, v in self.role_counts.items() if k in ref}
+                stat, pval = chi_square_test(observed, ref)
                 out.append({"constraint_id": d.cid, "statistic": stat,
                             "p_value": pval, "threshold": d.threshold,
                             "passed": bool(pval >= d.threshold)})

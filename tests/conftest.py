@@ -12,6 +12,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def ray_session():
     import ray
 
+    # workers must be able to import the package (PYTHONPATH propagates to them)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -27,7 +27,7 @@ def make_batch(**overrides):
         "conv_id": pa.array(["c1", "c1", "c2", "c2"], pa.string()),
         "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
         "role": pa.array(["system", "user", "assistant", "tool"], pa.string()),
-        "text": pa.array(["hi", "hello", None, "ok"], pa.string()),
+        "text": pa.array(["hi", "hello", "yo", "ok"], pa.string()),
         "tool": pa.array([None, None, "search.query", None], pa.string()),
         "ts": ts("2024-01-01T00:00:00", "2024-01-01T00:00:01",
                  "2024-01-01T00:00:02", "2024-01-01T00:00:03"),
@@ -82,7 +82,11 @@ def test_ref_tool(ir):
 def test_format_text_maxlen(ir):
     b = make_batch(text=pa.array(["x" * 40000, "ok", None, "ok"], pa.string()))
     got = viols(ir, b)
-    assert got == [("c1", 0, "format:text", "String length out of bounds")]
+    assert ("c1", 0, "format:text", "String length out of bounds") in got
+    # the null text trips required+type (text is a required string column)
+    assert ("c2", 0, "required:text", "Required property is missing") in got
+    assert ("c2", 0, "type:text", "Invalid Type") in got
+    assert len(got) == 3
 
 
 def test_ts_range_and_null(ir):
