@@ -1,44 +1,531 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-validation pipeline;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` provides DuckDB-equivalent SQL for the SQL-expressible ones.
+Ray is initialised by the driver BEFORE this module is imported — nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-sensitive aggregates are computed as exact integer cents on BOTH sides
+(Ray and SQL) so value-hashes can't drift on summation order.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Ray workers must import the package too
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    from jsonschema_validator_ray.rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs())]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    return pa.concat_tables(tables, promote_options="default")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+_TX_CACHE: dict = {}
+
+
+def _transcripts_for(sf_dir: str) -> tuple:
+    """Deterministic transcripts scaled to the sf of the testdata dir."""
+    from jsonschema_validator_ray.sources import (
+        generate_transcripts, reference_stats, spec_with_drift)
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_convs = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}.get(name, 300)
+    if n_convs not in _TX_CACHE:
+        out = f"/tmp/graft_transcripts/{n_convs}"
+        marker = os.path.join(out, "meta.json")
+        gen = generate_transcripts(out, n_convs=n_convs,
+                                   n_files=max(4, n_convs // 1000))
+        spec = spec_with_drift(reference_stats(n_convs))
+        _TX_CACHE[n_convs] = (gen, spec)
+    return _TX_CACHE[n_convs]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full constraint validation of the deterministic transcript
+    corpus at tiny scale; returns the violation rows (stable schema)."""
+    from jsonschema_validator_ray.pipelines import validate
+
+    gen, spec = _transcripts_for("/root/testdata/sf0.001")
+    res = validate(gen.out_dir, spec=spec, strategy="sort")
+    return res.violations.sort_by([
+        ("conv_id", "ascending"), ("turn_idx", "ascending"),
+        ("constraint_id", "ascending")])
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_transcript_validate(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.pipelines import validate
+
+    gen, spec = _transcripts_for(sf_dir)
+    res = validate(gen.out_dir, spec=spec, strategy="sort")
+    return res.violations.sort_by([
+        ("conv_id", "ascending"), ("turn_idx", "ascending"),
+        ("constraint_id", "ascending")])
+
+
+def q_profile_events(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.aggregates import profile_columns
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props", "ts"])
+    t = profile_columns(ds, null_cols=["props"], distinct_cols=["event_type"],
+                        ts_cols=["ts"])
+    return t.select(["n_rows", "n_null_props", "n_distinct_event_type",
+                     "min_ts", "max_ts"])
+
+
+def q_enum_check_events(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.aggregates import value_counts
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return value_counts(ds, "event_type", flag_set=EVENT_TYPES)
+
+
+def q_ref_check_lineitem(sf_dir: str) -> pa.Table:
+    """Broadcast anti-join: lineitem.l_partkey ∈ part dictionary."""
+    import ray
+
+    part_keys = _collect(_read(sf_dir, "part", ["p_partkey"]))["p_partkey"]
+    keys_ref = ray.put(part_keys.to_pylist())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pa.array(ray.get(keys_ref), pa.int64())
+        ok = pc.is_in(batch["l_partkey"], value_set=keys)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "dangling": pa.array(
+                [batch.num_rows - pc.sum(pc.cast(ok, pa.int64())).as_py()],
+                pa.int64()),
+        })
+
+    parts = _collect(_read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    return pa.table({
+        "n_total": pa.array([pc.sum(parts["n"]).as_py()], pa.int64()),
+        "n_dangling": pa.array([pc.sum(parts["dangling"]).as_py()], pa.int64()),
+    })
+
+
+def q_unique_check_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["event_id"])
+    n_rows = ds.count()
+    n_distinct = ds.groupby("event_id").count().count()
+    return pa.table({"n_rows": pa.array([n_rows], pa.int64()),
+                     "n_distinct": pa.array([n_distinct], pa.int64())})
+
+
+def q_mono_check_events(sf_dir: str) -> pa.Table:
+    """Per-user ts regressions in event_id order (mono kernel on a generic
+    table: group=user_id, order=event_id)."""
+    from jsonschema_validator_ray.constraints.ir import GroupCheck
+    from jsonschema_validator_ray.stages.groupcheck import (
+        SortedRunChecker, merge_run_boundaries)
+
+    gc = GroupCheck(group_key="user_id", order_by="event_id", ts_column="ts",
+                    check_unique=False, check_mono=True)
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    sds = ds.sort(["user_id", "event_id"])
+    out = _collect(sds.map_batches(SortedRunChecker(gc), batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    viol = out.filter(pc.equal(out["kind"], "violation"))
+    bounds = out.filter(pc.equal(out["kind"], "boundary")) \
+        .drop_columns(["kind", "turn_idx", "constraint_id", "message"])
+    from jsonschema_validator_ray.constraints.kernels import VIOLATION_SCHEMA
+    viol_t = pa.table({n: viol[n] for n in VIOLATION_SCHEMA.names},
+                      schema=VIOLATION_SCHEMA)
+    cross = merge_run_boundaries(bounds, gc)
+    all_viol = pa.concat_tables([viol_t, cross])
+
+    from collections import Counter
+    per_user = Counter(int(u) for u in all_viol["conv_id"].to_pylist())
+    users = sorted(set(_collect(_read(sf_dir, "events", ["user_id"]))
+                       ["user_id"].to_pylist()))
+    return pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "n_regressions": pa.array([per_user.get(u, 0) for u in users],
+                                  pa.int64()),
+    })
+
+
+def q_pricing_summary_lineitem(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped grouped aggregate with EXACT integer-cent sums."""
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"),
+                       pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                          pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                         pa.int64())
+        disc_price = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                                      disc_c))
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": qty, "price_c": price_c, "disc_price": disc_price,
+        })
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("disc_price", "sum"),
+             ("qty", "count")])
+        return g
+
+    parts = _collect(_read(sf_dir, "lineitem",
+                           ["l_returnflag", "l_linestatus", "l_quantity",
+                            "l_extendedprice", "l_discount", "l_shipdate"])
+                     .map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    final = pa.TableGroupBy(parts, ["l_returnflag", "l_linestatus"]).aggregate(
+        [("qty_sum", "sum"), ("price_c_sum", "sum"), ("disc_price_sum", "sum"),
+         ("qty_count", "sum")])
+    return pa.table({
+        "l_returnflag": final["l_returnflag"],
+        "l_linestatus": final["l_linestatus"],
+        "sum_qty": final["qty_sum_sum"].cast(pa.int64()),
+        "sum_base_price_cents": final["price_c_sum_sum"].cast(pa.int64()),
+        "sum_disc_price_e4": final["disc_price_sum_sum"].cast(pa.int64()),
+        "count_order": final["qty_count_sum"].cast(pa.int64()),
+    }).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q_topk_orders(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.aggregates import top_k
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    t = top_k(ds, "o_totalprice", 10, descending=True, tiebreak="o_orderkey")
+    return t.select(["o_orderkey", "o_totalprice"])
+
+
+def q_exact_dedup_documents(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.dedup import exact_dedup_keepers
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(exact_dedup_keepers(ds, "doc_id", "text"))
+    return pa.table({
+        "keeper_id": out["keeper_id"].cast(pa.int64()),
+        "n_copies": out["n_copies"].cast(pa.int64()),
+    }).sort_by("keeper_id")
+
+
+def q_token_count_documents(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.text import add_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(add_token_count(ds))
+    return pa.table({
+        "doc_id": out["doc_id"],
+        "n_chars_calc": pc.utf8_length(out["text"]).cast(pa.int64()),
+        "n_tokens": out["n_tokens"],
+    }).sort_by("doc_id")
+
+
+def q_lang_stats_documents(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.aggregates import grouped_aggregate
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = _collect(grouped_aggregate(ds, ["lang"], [
+        ("n_chars", "count", "n_docs"), ("n_chars", "sum", "sum_chars")]))
+    return pa.table({
+        "lang": out["lang"],
+        "n_docs": out["n_docs"].cast(pa.int64()),
+        "sum_chars": out["sum_chars"].cast(pa.int64()),
+    }).sort_by("lang")
+
+
+def q_events_per_day(sf_dir: str) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        t = pa.table({"day": day, "one": pa.array([1] * batch.num_rows,
+                                                  pa.int64())})
+        g = pa.TableGroupBy(t, "day").aggregate([("one", "sum")])
+        return g
+
+    parts = _collect(_read(sf_dir, "events", ["ts"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = pa.TableGroupBy(parts, "day").aggregate([("one_sum", "sum")])
+    return pa.table({"day": final["day"],
+                     "n": final["one_sum_sum"].cast(pa.int64())}).sort_by("day")
+
+
+def q_simsearch_top5(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.simsearch import brute_force_topk
+
+    emb = _collect(_read(sf_dir, "embeddings", ["vec_id", "embedding"]).limit(1))
+    query = np.asarray(emb["embedding"].to_pylist()[0], np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = brute_force_topk(ds, query, "vec_id", "embedding", k=5,
+                         exclude_ids=[0])
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "cos": pc.round(t["cos"], ndigits=4),
+    }).sort_by([("cos", "descending"), ("vec_id", "ascending")])
+
+
+def q_quality_documents(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.text import add_quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(add_quality_score(ds))
+    return out.select(["doc_id", "n_chars_calc", "punct_ratio",
+                       "mean_word_len"]).sort_by("doc_id")
+
+
+# --- rows-only (non-SQL-expressible) --------------------------------------
+
+def q_hll_distinct_events(sf_dir: str) -> pa.Table:
+    """Approximate distinct users/event-types via mergeable HLL sketches."""
+    from jsonschema_validator_ray.state.hll import HyperLogLog, hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(12)
+        h.update_hashes(hash64([str(x) for x in
+                                batch["user_id"].to_pylist()]))
+        return pa.table({"registers": pa.array([h.to_bytes()], pa.binary())})
+
+    parts = _collect(_read(sf_dir, "events", ["user_id"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    merged = HyperLogLog(12)
+    for b in parts["registers"].to_pylist():
+        merged.merge(HyperLogLog.from_bytes(b))
+    return pa.table({"distinct_users_approx":
+                     pa.array([round(merged.cardinality())], pa.int64())})
+
+
+def q_minhash_neardup_documents(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.dedup import minhash_near_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_duplicates(ds, "doc_id", "text",
+                                   verify_threshold=0.5)
+
+
+def q_simhash_neardup_documents(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.dedup import simhash_near_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_duplicates(ds, "doc_id", "text", max_hamming=8)
+
+
+def q_langid_documents(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.text import add_lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = _collect(add_lang_id(ds))
+    return out.select(["doc_id", "lang", "lang_pred"]).sort_by("doc_id")
+
+
+def q_fingerprint_documents(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.text import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(add_fingerprint(ds))
+    return pa.table({"doc_id": out["doc_id"],
+                     "fingerprint": out["fingerprint"].cast(pa.int64(),
+                                                            safe=False)}
+                    ).sort_by("doc_id")
+
+
+def q_ivf_search_embeddings(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.simsearch import ivf_topk
+
+    emb = _collect(_read(sf_dir, "embeddings", ["vec_id", "embedding"]).limit(1))
+    query = np.asarray(emb["embedding"].to_pylist()[0], np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = ivf_topk(ds, query, "vec_id", "embedding", k=5, exclude_ids=[0])
+    return pa.table({"vec_id": t["vec_id"],
+                     "cos": pc.round(t["cos"], ndigits=4)})
+
+
+def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    from jsonschema_validator_ray.ops.dedup import embedding_near_duplicates
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = embedding_near_duplicates(ds, "vec_id", "embedding", threshold=0.9)
+    return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                     "cos": pc.round(t["cos"], ndigits=4)})
+
+
+def q_multimodal_image_features(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from jsonschema_validator_ray.ops.multimodal import (
+        extract_image_features, synthetic_media_table)
+
+    ds = ray.data.from_arrow(synthetic_media_table(96))
+    out = _collect(extract_image_features(ds))
+    return out.sort_by("media_id")
+
+
+def q_drift_events_type(sf_dir: str) -> pa.Table:
+    """Chi-square drift of event_type frequencies vs the uniform reference."""
+    from jsonschema_validator_ray.ops.aggregates import value_counts
+    from jsonschema_validator_ray.state.drift import chi_square_test
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    vc = value_counts(ds, "event_type")
+    observed = dict(zip(vc["event_type"].to_pylist(), vc["n"].to_pylist()))
+    stat, pval = chi_square_test(observed, {t: 0.2 for t in EVENT_TYPES})
+    return pa.table({
+        "constraint_id": pa.array(["drift:event_type"]),
+        "statistic": pa.array([round(stat, 6)], pa.float64()),
+        "p_value": pa.array([round(pval, 6)], pa.float64()),
+        "passed": pa.array([pval >= 1e-4]),
+    })
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcript_validate": q_transcript_validate,
+        "profile_events": q_profile_events,
+        "enum_check_events": q_enum_check_events,
+        "ref_check_lineitem": q_ref_check_lineitem,
+        "unique_check_events": q_unique_check_events,
+        "mono_check_events": q_mono_check_events,
+        "pricing_summary_lineitem": q_pricing_summary_lineitem,
+        "topk_orders": q_topk_orders,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "token_count_documents": q_token_count_documents,
+        "lang_stats_documents": q_lang_stats_documents,
+        "events_per_day": q_events_per_day,
+        "simsearch_top5": q_simsearch_top5,
+        "quality_documents": q_quality_documents,
+        "hll_distinct_events": q_hll_distinct_events,
+        "minhash_neardup_documents": q_minhash_neardup_documents,
+        "simhash_neardup_documents": q_simhash_neardup_documents,
+        "langid_documents": q_langid_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "ivf_search_embeddings": q_ivf_search_embeddings,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_image_features": q_multimodal_image_features,
+        "drift_events_type": q_drift_events_type,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_events": """
+            SELECT count(*) AS n_rows,
+                   count(*) - count(props) AS n_null_props,
+                   count(DISTINCT event_type) AS n_distinct_event_type,
+                   min(ts) AS min_ts, max(ts) AS max_ts
+            FROM events
+        """,
+        "enum_check_events": """
+            SELECT event_type, count(*) AS n,
+                   event_type IN ('click','error','purchase','signup','view')
+                       AS is_valid
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "ref_check_lineitem": """
+            SELECT count(*) AS n_total,
+                   count(*) FILTER (WHERE p.p_partkey IS NULL) AS n_dangling
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "unique_check_events": """
+            SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct
+            FROM events
+        """,
+        "mono_check_events": """
+            WITH w AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                           AS pts
+                FROM events)
+            SELECT user_id,
+                   count(*) FILTER (WHERE ts < pts) AS n_regressions
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "pricing_summary_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS sum_disc_price_e4,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "exact_dedup_documents": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY keeper_id
+        """,
+        "token_count_documents": """
+            SELECT doc_id, length(text) AS n_chars_calc,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_stats_documents": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "events_per_day": """
+            SELECT date_trunc('day', ts) AS day, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "simsearch_top5": """
+            SELECT b.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id = 0 AND b.vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) DESC,
+                     b.vec_id
+            LIMIT 5
+        """,
+        "quality_documents": """
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                       AS punct_ratio,
+                   CAST(length(text) AS DOUBLE)
+                       / (len(string_split(text, ' ')))
+                       AS mean_word_len
+            FROM documents ORDER BY doc_id
+        """,
+    }

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: the baseline — the query matrix is broadcast via
+  ``ray.put`` ONCE; every batch does one numpy matmul against it and emits
+  only its local top-k (partial top-k), so the shuffle carries k rows per
+  batch, not the corpus.
+- IVF (inverted-file) variant: k-means-lite centroids trained on a sample,
+  vectors assigned to nearest centroid inside ``map_batches``; queries probe
+  only the nearest ``n_probe`` centroid buckets — the at-scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), np.float64)
+
+
+def brute_force_topk(ds, query_vectors: np.ndarray, id_column: str,
+                     vec_column: str, k: int = 5,
+                     exclude_ids=None) -> pa.Table:
+    """Exact cosine top-k for each query vector.
+
+    Returns (query_idx, vec_id-named id_column, cos) with deterministic
+    (cos desc, id asc) ordering per query.
+    """
+    import ray
+
+    q = np.asarray(query_vectors, np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(qn)                      # broadcast once
+    excl = set(exclude_ids or ())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)                  # zero-copy from local store
+        ids = np.asarray(batch[id_column].to_pylist(), np.int64)
+        mat = _to_matrix(batch[vec_column])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = qm @ mat.T                    # (n_q, n_batch)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            s = sims[qi]
+            mask = np.array([i not in excl for i in ids]) if excl else \
+                np.ones(len(ids), bool)
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                continue
+            # local top-k: only these rows can reach the global answer
+            take = cand[np.argsort(-s[cand], kind="stable")[:k]]
+            out_q += [qi] * take.size
+            out_id += ids[take].tolist()
+            out_cos += s[take].tolist()
+        return pa.table({
+            "query_idx": pa.array(out_q, pa.int32()),
+            id_column: pa.array(out_id, pa.int64()),
+            "cos": pa.array(out_cos, pa.float64()),
+        })
+
+    import ray as _ray
+    parts = pa.concat_tables(_ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    # final: per-query global top-k with deterministic tiebreak
+    out = []
+    for qi in sorted(set(parts["query_idx"].to_pylist())):
+        sub = parts.filter(pa.compute.equal(parts["query_idx"], qi))
+        sub = sub.sort_by([("cos", "descending"), (id_column, "ascending")])
+        out.append(sub.slice(0, k))
+    return pa.concat_tables(out) if out else parts
+
+
+def train_ivf_centroids(ds, vec_column: str, n_centroids: int = 16,
+                        sample_rows: int = 2048, iters: int = 8,
+                        seed: int = 13) -> np.ndarray:
+    """k-means-lite on a driver-side sample (Lloyd iterations, numpy)."""
+    import ray
+
+    sample = pa.concat_tables(ray.get(
+        ds.select_columns([vec_column]).limit(sample_rows).to_arrow_refs()),
+        promote_options="default")
+    x = _to_matrix(sample[vec_column])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def ivf_topk(ds, query_vectors: np.ndarray, id_column: str, vec_column: str,
+             k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+             exclude_ids=None) -> pa.Table:
+    """IVF approximate top-k: assign batch vectors to centroids, search only
+    the ``n_probe`` buckets nearest each query. Same output schema as
+    brute_force_topk."""
+    import ray
+
+    cents = train_ivf_centroids(ds, vec_column, n_centroids)
+    q = np.asarray(query_vectors, np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    cents_ref = ray.put(cents)
+    q_ref = ray.put(qn)
+    probes_ref = ray.put(probes)
+    excl = set(exclude_ids or ())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        qm = ray.get(q_ref)
+        pr = ray.get(probes_ref)
+        ids = np.asarray(batch[id_column].to_pylist(), np.int64)
+        mat = _to_matrix(batch[vec_column])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(mat @ c.T, axis=1)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            in_probe = np.isin(assign, pr[qi])
+            if excl:
+                in_probe &= np.array([i not in excl for i in ids])
+            cand = np.flatnonzero(in_probe)
+            if cand.size == 0:
+                continue
+            s = mat[cand] @ qm[qi]
+            take = cand[np.argsort(-s, kind="stable")[:k]]
+            out_q += [qi] * take.size
+            out_id += ids[take].tolist()
+            out_cos += (mat[take] @ qm[qi]).tolist()
+        return pa.table({
+            "query_idx": pa.array(out_q, pa.int32()),
+            id_column: pa.array(out_id, pa.int64()),
+            "cos": pa.array(out_cos, pa.float64()),
+        })
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    out = []
+    for qi in sorted(set(parts["query_idx"].to_pylist())):
+        sub = parts.filter(pa.compute.equal(parts["query_idx"], qi))
+        sub = sub.sort_by([("cos", "descending"), (id_column, "ascending")])
+        out.append(sub.slice(0, k))
+    return pa.concat_tables(out) if out else parts

@@ -96,6 +96,9 @@ def validate(source: Source, spec: Optional[dict] = None,
     """Run the full validation pipeline. Ray must already be initialised."""
     import ray
 
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+
     if ir is None:
         ir = compile_constraints(spec)
     ir_ref = ray.put(ir)  # broadcast once; each actor reads it zero-copy

@@ -1,0 +1,158 @@
+"""Unit tests for the training-data operators: dedup finds planted dups,
+similarity search matches exact numpy, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "an entirely different sentence about ray data pipelines at scale",
+        "pack my box with five dozen liquor jugs before the party starts",
+        "completely unrelated text mentioning neither foxes nor boxes here",
+    ]
+    texts = []
+    for i in range(40):
+        texts.append(base[i % 4] + f" variant {i // 4}")
+    # planted near-dups: 40/41 almost identical; 42 exact dup of 40
+    texts.append(base[0] + " variant 0")            # id 40: exact dup of id 0
+    texts.append(base[0] + " variant 0!")           # id 41: near dup of id 0
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    return ray.data.from_arrow(t)
+
+
+def test_exact_dedup(docs_ds):
+    import ray
+
+    from jsonschema_validator_ray.ops.dedup import exact_dedup_keepers
+
+    out = pa.concat_tables(ray.get(
+        exact_dedup_keepers(docs_ds, "doc_id", "text").to_arrow_refs()))
+    dups = out.filter(pa.compute.greater(out["n_copies"], 1))
+    assert dups["keeper_id"].to_pylist() == [0]
+    assert dups["n_copies"].to_pylist() == [2]
+
+
+def test_minhash_neardup_finds_planted_pair(docs_ds):
+    from jsonschema_validator_ray.ops.dedup import minhash_near_duplicates
+
+    out = minhash_near_duplicates(docs_ds, "doc_id", "text",
+                                  verify_threshold=0.8)
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 40) in pairs          # exact dup
+    assert (0, 41) in pairs          # near dup (one char difference)
+    # distinct base sentences must NOT pair with each other
+    assert not any(a % 4 != b % 4 and b < 40 for a, b in pairs)
+
+
+def test_simhash_neardup(docs_ds):
+    from jsonschema_validator_ray.ops.dedup import simhash_near_duplicates
+
+    out = simhash_near_duplicates(docs_ds, "doc_id", "text", max_hamming=4)
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 40) in pairs
+    ham = dict(zip(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()),
+                   out["hamming"].to_pylist()))
+    assert ham[(0, 40)] == 0
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.simsearch import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(200, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in mat],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    q = mat[0].astype(np.float64)
+
+    got = brute_force_topk(ds, q, "vec_id", "embedding", k=5, exclude_ids=[0])
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ (q / np.linalg.norm(q))
+    sims[0] = -np.inf
+    expect = np.argsort(-sims, kind="stable")[:5].tolist()
+    assert got["vec_id"].to_pylist() == expect
+
+
+def test_ivf_recall_reasonable(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.simsearch import ivf_topk
+
+    rng = np.random.default_rng(6)
+    mat = rng.normal(size=(300, 16)).astype(np.float32)
+    mat[7] = mat[0] * 0.9 + rng.normal(size=16).astype(np.float32) * 0.01
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in mat],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    got = ivf_topk(ds, mat[0].astype(np.float64), "vec_id", "embedding",
+                   k=5, n_centroids=8, n_probe=3, exclude_ids=[0])
+    assert 7 in got["vec_id"].to_pylist()   # the planted near-neighbor
+
+
+def test_langid_and_quality(ray_session):
+    import ray
+
+    from jsonschema_validator_ray.ops.text import add_lang_id, add_quality_score
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([
+                      "the cat and the dog are in the house with a ball",
+                      "der Hund und die Katze sind nicht in dem Haus",
+                      "le chat et le chien sont dans la maison pour une nuit",
+                  ])})
+    ds = ray.data.from_arrow(t)
+    out = pa.concat_tables(ray.get(add_lang_id(ds).to_arrow_refs())) \
+        .sort_by("doc_id")
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr"]
+
+    q = pa.concat_tables(ray.get(add_quality_score(ds).to_arrow_refs()))
+    assert all(0 <= s <= 1 for s in q["quality_score"].to_pylist())
+
+
+def test_multimodal_stages(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.multimodal import (
+        extract_image_features, sample_audio_frames, synthetic_media_table)
+
+    ds = ray.data.from_arrow(synthetic_media_table(30))
+    img = pa.concat_tables(ray.get(
+        extract_image_features(ds).to_arrow_refs())).sort_by("media_id")
+    assert img.num_rows == 10            # every 3rd row is an image
+    assert len(img["rgb_mean"][0].as_py()) == 3
+    # deterministic across runs
+    img2 = pa.concat_tables(ray.get(
+        extract_image_features(ds).to_arrow_refs())).sort_by("media_id")
+    assert img.equals(img2)
+
+    aud = pa.concat_tables(ray.get(
+        sample_audio_frames(ds).to_arrow_refs()))
+    assert aud.num_rows == 10
+    assert all(f > 0 for f in aud["n_frames"].to_pylist())
+
+
+def test_fingerprint_shift_stability(ray_session):
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.text import add_fingerprint
+
+    base = "word " * 120
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([base, "xy " + base])})
+    ds = ray.data.from_arrow(t)
+    out = pa.concat_tables(ray.get(add_fingerprint(ds).to_arrow_refs()))
+    fp = out.sort_by("doc_id")["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]   # winnowed min-hash stable under a small prefix shift
