@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and
+prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+--scaling: runs the headline transcript-validation pipeline twice in FRESH
+processes (num_cpus=8 then 32) on the same input and reports throughput at
+both plus scaling efficiency = (T8/T32)/4 (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench transcript corpus scale: tied to the sf of the testdata dir
+_SF_CONVS = {"sf0.001": 3_000, "sf0.01": 30_000, "sf0.1": 8_000_000}
+
+BENCH_QUERIES = [
+    "pricing_summary_lineitem",
+    "enum_check_events",
+    "mono_check_events",
+    "unique_check_events",
+    "exact_dedup_documents",
+    "token_count_documents",
+    "simsearch_top5",
+    "hll_distinct_events",
+    "minhash_neardup_documents",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _bench_transcripts(sf_dir: str) -> tuple:
+    """Generate (cached) the bench transcript corpus for this sf."""
+    from jsonschema_validator_ray.sources import (
+        generate_transcripts, reference_stats, spec_with_drift)
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n_convs = int(os.environ.get("GRAFT_BENCH_CONVS", 0)) or \
+        _SF_CONVS.get(name, 30_000)
+    out = f"/tmp/graft_transcripts/bench_{n_convs}"
+    meta = os.path.join(out, "meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            m = json.load(f)
+        files = sorted(os.path.join(out, p) for p in os.listdir(out)
+                       if p.startswith("part-"))
+        gen_turns = m["n_turns"]
+    else:
+        t0 = time.perf_counter()
+        gen = generate_transcripts(out, n_convs=n_convs,
+                                   n_files=max(8, n_convs // 40_000))
+        print(f"# generated {gen.n_turns} turns in "
+              f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
+        files = gen.files
+        gen_turns = gen.n_turns
+    spec = spec_with_drift(reference_stats(min(n_convs, 20_000)))
+    return files, spec, gen_turns, n_convs
+
+
+def run_headline(num_cpus: int, sf_dir: str) -> dict:
+    """The headline pipeline: full transcript constraint validation."""
+    _init_ray(num_cpus)
+    from jsonschema_validator_ray.pipelines import validate
+
+    files, spec, n_turns, n_convs = _bench_transcripts(sf_dir)
+    # warm-up: spin the worker pool + JIT caches on a small slice (a real
+    # cluster has warm workers; fresh-process cold start is not throughput)
+    validate(files[: max(2, len(files) // 16)], spec=spec, strategy="hashbucket")
+    t0 = time.perf_counter()
+    res = validate(files, spec=spec, strategy="hashbucket")
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "n_turns": res.metrics["n_rows"],
+        "turns_per_sec": round(res.metrics["n_rows"] / wall),
+        "n_violations": res.metrics["n_violations"],
+        "num_cpus": num_cpus,
+        "n_convs": n_convs,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](sf_dir)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    if "--_headline-child" in sys.argv:
+        result = run_headline(NUM_CPUS, SF_DIR)
+        print("CHILD_RESULT " + json.dumps(result))
+        import ray
+        ray.shutdown()
+        return
+
+    if "--scaling" in sys.argv:
+        # ensure the corpus exists before timing children
+        from jsonschema_validator_ray.sources import generate_transcripts  # noqa
+        _bench_transcripts_nojit = _bench_transcripts(SF_DIR)
+        pair = tuple(int(x) for x in
+                     os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+        results = {}
+        for cpus in pair:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+            p = subprocess.run([sys.executable, __file__, "--_headline-child"],
+                               env=env, capture_output=True, text=True)
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("CHILD_RESULT ")]
+            if not line:
+                print(p.stdout[-2000:], file=sys.stderr)
+                print(p.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"scaling child (cpus={cpus}) failed")
+            results[cpus] = json.loads(line[0][len("CHILD_RESULT "):])
+        lo, hi = pair
+        tp_lo = results[lo]["turns_per_sec"]
+        tp_hi = results[hi]["turns_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": f"transcript validation scaling {lo}->{hi} cpus",
+            "value": round(eff, 3), "unit": "efficiency",
+            "sf": SF_DIR, "num_cpus": hi,
+            f"turns_per_sec_{lo}cpus": tp_lo,
+            f"turns_per_sec_{hi}cpus": tp_hi,
+            f"wall_s_{lo}cpus": results[lo]["wall_s"],
+            f"wall_s_{hi}cpus": results[hi]["wall_s"],
+            "scaling_efficiency": round(eff, 3),
+            "n_turns": results[hi]["n_turns"],
+        }))
+        return
+
+    t_all = time.perf_counter()
+    headline = run_headline(NUM_CPUS, SF_DIR)
+    queries = dict(validate_transcripts=headline["wall_s"], **run_queries(SF_DIR))
+    total = time.perf_counter() - t_all
+    print(json.dumps({
+        "metric": "validated turns/sec (constraint-eval throughput)",
+        "value": round(total, 3), "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "turns_per_sec": headline["turns_per_sec"],
+        "n_turns": headline["n_turns"],
+        "n_violations": headline["n_violations"],
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,66 +76,98 @@ def _range_scalar(value, dtype: pa.DataType):
     return pa.scalar(value, type=dtype)
 
 
+# ---------------------------------------------------------------------------
+# Kernel registry — the engine's user-extension surface (analog of the
+# reference's Validator trait + compile_draft_validators dispatch,
+# src/types/validator.rs:5-19, src/keywords/mod.rs:44-62). Adding a constraint
+# kind = registering one kernel function here (and, if it needs spec syntax,
+# one branch in ir.compile_constraints).
+# A kernel maps (constraint, present column, ir) → boolean violation mask, or
+# None when it cannot fire on this batch.
+# ---------------------------------------------------------------------------
+
+KERNELS: dict = {}
+
+
+def kernel(kind: str):
+    def register(fn):
+        KERNELS[kind] = fn
+        return fn
+    return register
+
+
+@kernel("required")
+def _k_required(c, col, is_null, batch, ir):
+    return is_null
+
+
+@kernel("type")
+def _k_type(c, col, is_null, batch, ir):
+    n = batch.num_rows
+    declared = set(c.params)
+    null_bad = "null" not in declared
+    ct = _engine_type(col.type)
+    if ct == "null":
+        return None if not null_bad else _all_true(n)
+    if ct not in declared:
+        # integer-valued floats satisfy a declared `integer`
+        if ct == "number" and "integer" in declared:
+            non_integral = pc.not_equal(pc.floor(col), col)
+            bad = pc.fill_null(non_integral, null_bad)
+            if null_bad:
+                bad = pc.or_(bad, is_null)
+            return bad
+        # dtype outside the declared set: every present value violates
+        return pc.invert(is_null) if not null_bad else _all_true(n)
+    return is_null if null_bad else None
+
+
+@kernel("enum")
+def _k_enum(c, col, is_null, batch, ir):
+    ok = pc.is_in(col, value_set=pa.array(list(c.params), type=col.type))
+    return pc.and_(pc.invert(ok), pc.invert(is_null))
+
+
+@kernel("ref")
+def _k_ref(c, col, is_null, batch, ir):
+    values = ir.dictionaries[c.params[0]]
+    ok = pc.is_in(col, value_set=pa.array(list(values), type=col.type))
+    return pc.and_(pc.invert(ok), pc.invert(is_null))
+
+
+@kernel("format_len")
+def _k_format_len(c, col, is_null, batch, ir):
+    min_len, max_len = c.params
+    length = pc.utf8_length(col)
+    bad = pc.less(length, min_len)
+    if max_len is not None:
+        bad = pc.or_(bad, pc.greater(length, max_len))
+    return pc.fill_null(bad, False)
+
+
+@kernel("format_range")
+def _k_format_range(c, col, is_null, batch, ir):
+    lo, hi = (_range_scalar(v, col.type) for v in c.params)
+    bad = None
+    if lo is not None:
+        bad = pc.less(col, lo)
+    if hi is not None:
+        hi_bad = pc.greater(col, hi)
+        bad = hi_bad if bad is None else pc.or_(bad, hi_bad)
+    return pc.fill_null(bad, False) if bad is not None else None
+
+
 def evaluate_kernel(c: RowConstraint, batch: pa.Table, ir: ConstraintIR) -> Optional[pa.ChunkedArray]:
     """Evaluate one row constraint → boolean mask (True = violation), or None
     when the kernel cannot fire on this batch."""
-    n = batch.num_rows
+    if c.kind not in KERNELS:
+        raise ValueError(f"unknown constraint kind {c.kind!r}")
     if c.column not in batch.column_names:
         # absent column: `required` fires everywhere; everything else is
         # skipped (absent ⇒ skip, properties_.rs:124-128)
-        return _all_true(n) if c.kind == "required" else None
+        return _all_true(batch.num_rows) if c.kind == "required" else None
     col = batch[c.column]
-    is_null = pc.is_null(col)
-
-    if c.kind == "required":
-        return is_null
-
-    if c.kind == "type":
-        declared = set(c.params)
-        null_bad = "null" not in declared
-        ct = _engine_type(col.type)
-        if ct == "null":
-            return None if not null_bad else _all_true(n)
-        if ct not in declared:
-            # integer-valued floats satisfy a declared `integer`
-            if ct == "number" and "integer" in declared:
-                non_integral = pc.not_equal(pc.floor(col), col)
-                bad = pc.fill_null(non_integral, null_bad)
-                if null_bad:
-                    bad = pc.or_(bad, is_null)
-                return bad
-            # dtype outside the declared set: every present value violates
-            return pc.invert(is_null) if not null_bad else _all_true(n)
-        return is_null if null_bad else None
-
-    if c.kind == "enum":
-        ok = pc.is_in(col, value_set=pa.array(list(c.params), type=col.type))
-        return pc.and_(pc.invert(ok), pc.invert(is_null))
-
-    if c.kind == "ref":
-        values = ir.dictionaries[c.params[0]]
-        ok = pc.is_in(col, value_set=pa.array(list(values), type=col.type))
-        return pc.and_(pc.invert(ok), pc.invert(is_null))
-
-    if c.kind == "format_len":
-        min_len, max_len = c.params
-        length = pc.utf8_length(col)
-        bad = pc.less(length, min_len)
-        if max_len is not None:
-            bad = pc.or_(bad, pc.greater(length, max_len))
-        return pc.fill_null(bad, False)
-
-    if c.kind == "format_range":
-        lo, hi = (_range_scalar(v, col.type) for v in c.params)
-        bad = None
-        if lo is not None:
-            bad = pc.less(col, lo)
-        if hi is not None:
-            hi_bad = pc.greater(col, hi)
-            bad = hi_bad if bad is None else pc.or_(bad, hi_bad)
-        return pc.fill_null(bad, False) if bad is not None else None
-
-    raise ValueError(f"unknown constraint kind {c.kind!r}")
+    return KERNELS[c.kind](c, col, pc.is_null(col), batch, ir)
 
 
 def _violation_rows(batch: pa.Table, mask, cid: str, message: str) -> pa.Table:

@@ -42,6 +42,8 @@ from ..constraints.kernels import (
 from ..stages.groupcheck import (
     SortedRunChecker,
     add_salt_column,
+    make_bucket_adder,
+    make_bucket_checker,
     make_salted_group_fn,
     merge_run_boundaries,
 )
@@ -62,6 +64,7 @@ class ValidationResult:
 
 
 def _dataset_from(source: Source, columns: Optional[list] = None):
+    import ray
     import ray.data
 
     if hasattr(source, "map_batches"):          # already a Dataset
@@ -74,7 +77,17 @@ def _dataset_from(source: Source, columns: Optional[list] = None):
         paths = [source]
     else:
         paths = list(source)
-    return ray.data.read_parquet(paths, columns=columns)
+    # Size blocks to the DATA, not the file count: many small files otherwise
+    # explode into hundreds of tiny blocks and the sort's all-to-all pays
+    # per-block overhead quadratically. Target ~128 MB blocks with a floor of
+    # 2 blocks per CPU for parallelism.
+    # parquet compresses this corpus ~4x; block sizing targets IN-MEMORY bytes
+    total_bytes = 4 * sum(os.path.getsize(p) for p in paths)
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    target = 128 * 1024 * 1024
+    nblocks = max(2 * cpus, total_bytes // target + 1)
+    return ray.data.read_parquet(paths, columns=columns,
+                                 override_num_blocks=int(nblocks))
 
 
 def _collect(ds) -> pa.Table:
@@ -91,9 +104,17 @@ def validate(source: Source, spec: Optional[dict] = None,
              ir: Optional[ConstraintIR] = None, *, mode: str = "enumerate",
              strategy: str = "sort", sketch: bool = True,
              batch_size: int = 65536, concurrency=None,
+             use_actors: bool = False, overlap_stages: bool = False,
              merge_boundaries_now: bool = True,
              out_dir: Optional[str] = None) -> ValidationResult:
-    """Run the full validation pipeline. Ray must already be initialised."""
+    """Run the full validation pipeline. Ray must already be initialised.
+
+    ``use_actors``: the row stage's setup (constraint IR) is cheap, so plain
+    tasks (default) outperform an actor pool — tasks reuse warm workers and
+    need no pool ramp-up. Set True for deployments where the stage gains heavy
+    per-actor state (models, codecs); ops/text.py and ops/multimodal.py keep
+    actor pools because their init is genuinely heavy.
+    """
     import ray
 
     from ..rayutil import ensure_worker_importable
@@ -101,62 +122,133 @@ def validate(source: Source, spec: Optional[dict] = None,
 
     if ir is None:
         ir = compile_constraints(spec)
-    ir_ref = ray.put(ir)  # broadcast once; each actor reads it zero-copy
 
     ds = _dataset_from(source)
     t0 = time.perf_counter()
-    if concurrency is None:
-        # actor pool sized to the session's CPUs, leaving headroom for IO tasks
+
+    if strategy == "fused":
+        # single execution: one read, one shuffle (stages/fused.py)
+        from ..stages.fused import (FusedRowStage, make_fused_bucket_check,
+                                    split_fused)
+
+        gc = ir.group_check
+        assert gc is not None, "fused strategy requires a group check"
         avail = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, avail - 1))
+        stage = FusedRowStage(ir, gc, 4 * avail, mode=mode, sketch=sketch)
+        result = _collect(
+            ds.map_batches(stage, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+            .groupby("_bucket")
+            .map_groups(make_fused_bucket_check(gc), batch_format="pyarrow"))
+        t_row = t_wide = time.perf_counter() - t0
+        t_merge_start = time.perf_counter()
+        all_viol, state, counters = split_fused(result)
+        return _finish(all_viol, state, counters, ir, sketch, mode, strategy,
+                       t0, t_row, t_wide, t_merge_start, out_dir, None)
 
-    combined = ds.map_batches(
-        RowValidateAndSketch,
-        fn_constructor_args=(ir_ref,),
-        fn_constructor_kwargs={"mode": mode, "sketch": sketch},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-    combined_t = _collect(combined)
-    violations, state, counters = split_combined(combined_t)
-    viol_parts = [violations]
+    def run_row_stage() -> pa.Table:
+        kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=batch_size)
+        if use_actors:
+            avail = int(ray.cluster_resources().get("CPU", 4))
+            pool = concurrency or (max(2, avail - 2), max(2, avail - 2))
+            ir_ref = ray.put(ir)  # broadcast once; each actor reads zero-copy
+            combined = ds.map_batches(
+                RowValidateAndSketch,
+                fn_constructor_args=(ir_ref,),
+                fn_constructor_kwargs={"mode": mode, "sketch": sketch},
+                concurrency=pool, **kwargs)
+        else:
+            stage = RowValidateAndSketch(ir, mode=mode, sketch=sketch)
+            combined = ds.map_batches(stage, **kwargs)
+        return _collect(combined)
 
-    boundaries = None
     gc = ir.group_check
-    if gc is not None:
+
+    def run_wide_stage() -> Optional[pa.Table]:
+        if gc is None:
+            return None
         cols = [gc.group_key, gc.order_by, gc.ts_column]
         gds = _dataset_from(source, columns=cols)  # pruned second read
-        if strategy == "sort":
+        if strategy == "hashbucket":
+            # hash-partition whole conversations into ~4 buckets per CPU;
+            # each bucket is sorted and checked vectorized. Fastest strategy;
+            # assumes max conversation size ≪ bucket size (use "sort" for
+            # pathological skew — it splits inside conversations).
+            avail = int(ray.cluster_resources().get("CPU", 4))
+            out = gds.map_batches(make_bucket_adder(gc, 4 * avail),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+                .groupby("_bucket") \
+                .map_groups(make_bucket_checker(gc), batch_format="pyarrow")
+        elif strategy == "sort":
             sds = gds.sort([gc.group_key, gc.order_by])
-            out = sds.map_batches(SortedRunChecker(gc), batch_format="pyarrow",
+            # edges-only boundaries suffice within one sorted stream; the
+            # partitioned runner needs every run's record for cross-partition
+            # overlap detection (independently sorted partitions)
+            checker = SortedRunChecker(
+                gc, boundary_mode="edges" if merge_boundaries_now else "all")
+            out = sds.map_batches(checker, batch_format="pyarrow",
                                   zero_copy_batch=True)
-            out_t = _collect(out)
-            gv = out_t.filter(pc.equal(out_t["kind"], "violation"))
-            viol_parts.append(pa.table(
-                {n: gv[n] for n in VIOLATION_SCHEMA.names}, schema=VIOLATION_SCHEMA))
-            boundaries = out_t.filter(pc.equal(out_t["kind"], "boundary")) \
-                .drop_columns(["kind", "turn_idx", "constraint_id", "message"])
-            if merge_boundaries_now:
-                viol_parts.append(merge_run_boundaries(boundaries, gc))
         elif strategy == "groupby":
             salted = gds.map_batches(add_salt_column(gc), batch_format="pyarrow",
                                      zero_copy_batch=True)
             out = salted.groupby([gc.group_key, "_salt"]).map_groups(
                 make_salted_group_fn(gc), batch_format="pyarrow")
-            out_t = _collect(out)
-            gv = out_t.filter(pc.equal(out_t["kind"], "violation"))
-            viol_parts.append(pa.table(
-                {n: gv[n] for n in VIOLATION_SCHEMA.names}, schema=VIOLATION_SCHEMA))
-            b = out_t.filter(pc.equal(out_t["kind"], "boundary"))
-            if merge_boundaries_now:
-                viol_parts.append(merge_boundaries(b, gc))
-            boundaries = None  # bucket-keyed; cross-partition merge uses sort strategy
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
+        return _collect(out)
+
+    # The two full-data stages are independent DAGs (full-width row pass vs
+    # pruned-column shuffle). On a CPU-saturated single node, overlapping them
+    # is zero-sum (measured: contention cancels the overlap), so they run
+    # sequentially by default; ``overlap_stages=True`` interleaves them for
+    # IO-bound clusters where the read doesn't saturate compute.
+    t_row = t_wide = 0.0
+    if overlap_stages:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f_row = pool.submit(run_row_stage)
+            f_wide = pool.submit(run_wide_stage)
+            combined_t = f_row.result()
+            t_row = time.perf_counter() - t0
+            out_t = f_wide.result()
+            t_wide = time.perf_counter() - t0
+    else:
+        combined_t = run_row_stage()
+        t_row = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        out_t = run_wide_stage()
+        t_wide = time.perf_counter() - t1
+
+    t_merge_start = time.perf_counter()
+    violations, state, counters = split_combined(combined_t)
+    viol_parts = [violations]
+    boundaries = None
+    if out_t is not None:
+        gv = out_t.filter(pc.equal(out_t["kind"], "violation"))
+        viol_parts.append(pa.table(
+            {n: gv[n] for n in VIOLATION_SCHEMA.names}, schema=VIOLATION_SCHEMA))
+        b = out_t.filter(pc.equal(out_t["kind"], "boundary"))
+        if strategy == "sort":
+            boundaries = b.drop_columns(["kind", "turn_idx", "constraint_id",
+                                         "message"])
+            if merge_boundaries_now:
+                viol_parts.append(merge_run_boundaries(boundaries, gc))
+        elif strategy == "groupby":
+            if merge_boundaries_now:
+                viol_parts.append(merge_boundaries(b, gc))
+            boundaries = None  # bucket-keyed; partitioned mode uses sort strategy
+        # hashbucket: whole conversations per bucket — nothing to merge
 
     all_viol = pa.concat_tables(viol_parts)
+    return _finish(all_viol, state, counters, ir, sketch, mode, strategy,
+                   t0, t_row, t_wide, t_merge_start, out_dir, boundaries)
+
+
+def _finish(all_viol, state, counters, ir, sketch, mode, strategy,
+            t0, t_row, t_wide, t_merge_start, out_dir, boundaries) -> ValidationResult:
     drift = state.evaluate_drift(ir.drift_checks) if sketch else []
     passed = (all_viol.num_rows == 0) and all(d["passed"] for d in drift)
 
@@ -173,6 +265,9 @@ def validate(source: Source, spec: Optional[dict] = None,
         "violations_by_constraint": {str(k): int(v)
                                      for k, v in by_constraint.items()},
         "wall_s": round(time.perf_counter() - t0, 3),
+        "wall_row_stage_s": round(t_row, 3),
+        "wall_wide_stage_s": round(t_wide, 3),
+        "wall_driver_merge_s": round(time.perf_counter() - t_merge_start, 3),
         "ir_hash": ir.ir_hash,
         "strategy": strategy,
         "mode": mode,

@@ -75,16 +75,17 @@ class GeneratedData:
     out_dir: str = ""
 
 
-def _build_shard(conv_lo: int, conv_hi: int, lens: np.ndarray, offsets: np.ndarray,
+def _build_shard(conv_lo: int, conv_hi: int, shard_lens: np.ndarray, g0: int,
                  drifted: bool) -> dict:
-    """Columnar arrays for conversations [conv_lo, conv_hi) — clean data."""
-    shard_lens = lens[conv_lo:conv_hi]
+    """Columnar arrays for conversations [conv_lo, conv_hi) — clean data.
+    ``shard_lens`` covers exactly this range; ``g0`` is the global row index
+    of its first row (so workers never need the global offsets array)."""
     n = int(shard_lens.sum())
     conv_idx = np.repeat(np.arange(conv_lo, conv_hi, dtype=np.int64), shard_lens)
     # pos within conversation via the arange-minus-offset trick
     starts = np.concatenate([[0], np.cumsum(shard_lens)])[:-1]
     pos = np.arange(n, dtype=np.int64) - np.repeat(starts, shard_lens)
-    g = offsets[conv_lo] + np.arange(n, dtype=np.int64)  # global row index
+    g = np.int64(g0) + np.arange(n, dtype=np.int64)  # global row index
 
     role_code = _role_codes(pos, drifted)
     tool_mask = (role_code == 3) | ((role_code == 2) & (_h(g, 99) % 5 == 0))
@@ -97,7 +98,11 @@ def _build_shard(conv_lo: int, conv_hi: int, lens: np.ndarray, offsets: np.ndarr
         "turn_idx": pos.copy(), "role_code": role_code,
         "tool_mask": tool_mask, "tool_pick": tool_pick,
         "text_len": tl, "text_start": start,
-        "ts": BASE_TS_US + conv_idx * CONV_STEP_US + pos * TURN_STEP_US,
+        # conversation starts wrap within ~116 days so ts stays inside the
+        # spec's [2020, 2035) range at ANY corpus size (mono is per-conv, so
+        # wrapping does not affect in-conversation ordering)
+        "ts": (BASE_TS_US + (conv_idx % 1_000_000) * CONV_STEP_US
+               + pos * TURN_STEP_US),
     }
 
 
@@ -145,8 +150,146 @@ def _materialize(shard: dict, *, null_tid, null_text, long_text, null_ts,
     })
 
 
+
+def _special_convs_local(lo: int, hi: int, lens_slice: np.ndarray, inject: bool):
+    """Pure per-range computation of the conv-level injection sets
+    (``lens_slice`` covers [lo, hi))."""
+    r = np.arange(lo, hi, dtype=np.int64)
+    hot = set(r[(r % HOT_EVERY) == 1].tolist())
+    if not inject:
+        return set(), set(), hot
+    swap = {int(c) for c in r[(r % 83) == 13]
+            if lens_slice[c - lo] >= 4 and c not in hot}
+    dup = {int(c) for c in r[(r % 101) == 17]
+           if lens_slice[c - lo] >= 2 and c not in hot and c not in swap}
+    return swap, dup, hot
+
+
+def _generate_one_shard(args: tuple):
+    """Build + inject + write ONE shard file (pure function of the plan —
+    parallel workers produce byte-identical output to the sequential path)."""
+    (s, lo, hi, lens_slice_bytes, g0, n_convs, drifted, inject,
+     incoming_dups, out_dir) = args
+    lens_slice = np.frombuffer(lens_slice_bytes, np.int64).copy()
+    # local view of the global offsets for this range
+    offs_local = np.int64(g0) + np.concatenate([[0], np.cumsum(lens_slice)])
+
+    def lens_of(c):
+        return int(lens_slice[c - lo])
+
+    swap_convs, dup_convs, hot_convs = _special_convs_local(lo, hi, lens_slice,
+                                                            inject)
+
+    # resumable: shard content is pure, so an existing (atomically written)
+    # file is correct — still recompute the (cheap) golden rows, skip the
+    # expensive materialize+write below.
+    path = os.path.join(out_dir, f"part-{s:04d}.parquet")
+
+    shard = _build_shard(lo, hi, lens_slice, int(g0), drifted)
+    n, g = shard["n"], shard["g"]
+    conv_idx, pos = shard["conv_idx"], shard["pos"]
+    dirty = np.zeros(n, bool)
+    golden: list[tuple] = []
+
+    if inject:
+        for c in sorted(swap_convs | dup_convs | hot_convs):
+            # conv c's rows are the contiguous span starting at offs_local[c-lo]
+            start = int(offs_local[c - lo] - g0)
+            cid = f"c{c:08d}"
+            if c in swap_convs:
+                p1, p2 = start + 1, start + 2
+                shard["turn_idx"][p1], shard["turn_idx"][p2] = 2, 1
+                dirty[p1] = dirty[p2] = True
+                golden.append((cid, 2, "mono:turn_idx",
+                               "Non-monotonic ts for turn order"))
+            elif c in dup_convs:
+                p1 = start + 1
+                dirty[p1] = True
+                golden.append((cid, int(pos[p1]),
+                               "unique:(conv_id,turn_idx)", "Duplicate key"))
+            elif c in hot_convs and lens_of(c) >= HOT_LEN:
+                pa_, pb = start + SALT_SPAN - 1, start + SALT_SPAN
+                shard["turn_idx"][pa_], shard["turn_idx"][pb] = \
+                    SALT_SPAN, SALT_SPAN - 1
+                dirty[pa_] = dirty[pb] = True
+                golden.append((cid, SALT_SPAN, "mono:turn_idx",
+                               "Non-monotonic ts for turn order"))
+
+        def take(mask):
+            m = mask & ~dirty
+            dirty[m] = True
+            return m
+
+        null_tid = take(g % 997 == 3)
+        bad_role1 = take(g % 1009 == 5)
+        bad_role2 = take(g % 2017 == 7)
+        null_text = take(g % 1013 == 11)
+        long_text = take(g % 4999 == 13)
+        null_ts = take(g % 1019 == 17)
+        range_ts = take(g % 3001 == 19)
+        bad_tool = take(g % 1021 == 23)
+
+        for i in np.flatnonzero(null_tid):
+            cid = f"c{conv_idx[i]:08d}"
+            golden.append((cid, None, "required:turn_idx", "Required property is missing"))
+            golden.append((cid, None, "type:turn_idx", "Invalid Type"))
+        for i in np.flatnonzero(bad_role1 | bad_role2):
+            golden.append((f"c{conv_idx[i]:08d}", int(pos[i]), "enum:role",
+                           "Value not in enumeration"))
+        for i in np.flatnonzero(null_text):
+            cid = f"c{conv_idx[i]:08d}"
+            golden.append((cid, int(pos[i]), "required:text", "Required property is missing"))
+            golden.append((cid, int(pos[i]), "type:text", "Invalid Type"))
+        for i in np.flatnonzero(long_text):
+            golden.append((f"c{conv_idx[i]:08d}", int(pos[i]), "format:text",
+                           "String length out of bounds"))
+        for i in np.flatnonzero(null_ts):
+            cid = f"c{conv_idx[i]:08d}"
+            golden.append((cid, int(pos[i]), "required:ts", "Required property is missing"))
+            golden.append((cid, int(pos[i]), "type:ts", "Invalid Type"))
+        for i in np.flatnonzero(range_ts):
+            cid = f"c{conv_idx[i]:08d}"
+            golden.append((cid, int(pos[i]), "range:ts", "Value out of range"))
+            if pos[i] > 0:
+                golden.append((cid, int(pos[i]), "mono:turn_idx",
+                               "Non-monotonic ts for turn order"))
+        for i in np.flatnonzero(bad_tool):
+            golden.append((f"c{conv_idx[i]:08d}", int(pos[i]), "ref:tool",
+                           "Unresolved reference"))
+    else:
+        z = np.zeros(n, bool)
+        null_tid = bad_role1 = bad_role2 = null_text = long_text = z
+        null_ts = range_ts = bad_tool = z
+
+    if os.path.exists(path):
+        return s, path, golden, pq.ParquetFile(path).metadata.num_rows
+
+    tbl = _materialize(shard, null_tid=null_tid, null_text=null_text,
+                       long_text=long_text, null_ts=null_ts, range_ts=range_ts,
+                       bad_tool=bad_tool, bad_role1=bad_role1,
+                       bad_role2=bad_role2)
+    # rows duplicated INTO this shard from other shards' dup conversations
+    if incoming_dups:
+        add = []
+        for c, p, len_c, g0_c in incoming_dups:
+            shard1 = _build_shard(c, c + 1, np.array([len_c], np.int64),
+                                  int(g0_c), drifted)
+            one = _materialize(shard1, **{k: np.zeros(shard1["n"], bool) for k in
+                                          ("null_tid", "null_text", "long_text",
+                                           "null_ts", "range_ts", "bad_tool",
+                                           "bad_role1", "bad_role2")})
+            add.append(one.slice(p, 1))
+        tbl = pa.concat_tables([tbl] + add)
+
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic: a crashed run never leaves partial shards
+    return s, path, golden, tbl.num_rows
+
+
 def generate_transcripts(out_dir: str, n_convs: int = 600, n_files: int = 4,
-                         inject: bool = True, drifted: bool = False) -> GeneratedData:
+                         inject: bool = True, drifted: bool = False,
+                         workers: int = 0) -> GeneratedData:
     """Generate the transcripts table + (if inject) the golden violation corpus.
 
     Injection classes (disjoint by a first-wins dirty mask, conv-level first):
@@ -164,123 +307,50 @@ def generate_transcripts(out_dir: str, n_convs: int = 600, n_files: int = 4,
     offsets = np.concatenate([[0], np.cumsum(lens)])
     n_total = int(offsets[-1])
 
-    hot_convs = set(np.flatnonzero((all_convs % HOT_EVERY) == 1).tolist())
-    swap_convs = {c for c in np.flatnonzero((all_convs % 83) == 13).tolist()
-                  if lens[c] >= 4 and c not in hot_convs} if inject else set()
-    dup_convs = {c for c in np.flatnonzero((all_convs % 101) == 17).tolist()
-                 if lens[c] >= 2 and c not in hot_convs and c not in swap_convs} if inject else set()
-
-    golden: list[tuple] = []
-    dup_rows_by_shard: dict[int, list] = {}
     per_shard = max(1, (n_convs + n_files - 1) // n_files)
-    files = []
-
+    shard_ranges = []
     for s in range(n_files):
         lo, hi = s * per_shard, min((s + 1) * per_shard, n_convs)
         if lo >= hi:
             break
-        shard = _build_shard(lo, hi, lens, offsets, drifted)
-        n, g = shard["n"], shard["g"]
-        conv_idx, pos = shard["conv_idx"], shard["pos"]
-        dirty = np.zeros(n, bool)
+        shard_ranges.append((s, lo, hi))
+    n_shards = len(shard_ranges)
 
-        if inject:
-            # conv-level first
-            for c in sorted(set(conv_idx.tolist()) & (swap_convs | dup_convs | hot_convs)):
-                rows = np.flatnonzero(conv_idx == c)
-                cid = f"c{c:08d}"
-                if c in swap_convs:
-                    p1, p2 = rows[1], rows[2]
-                    shard["turn_idx"][p1], shard["turn_idx"][p2] = 2, 1
-                    dirty[p1] = dirty[p2] = True
-                    golden.append((cid, 2, "mono:turn_idx",
-                                   "Non-monotonic ts for turn order"))
-                elif c in dup_convs:
-                    p1 = rows[1]
-                    dirty[p1] = True
-                    dup_rows_by_shard.setdefault((s + 1) % n_files, []).append(
-                        (c, int(pos[p1])))
-                    golden.append((cid, int(pos[p1]),
-                                   "unique:(conv_id,turn_idx)", "Duplicate key"))
-                elif c in hot_convs and len(rows) >= HOT_LEN:
-                    pa_, pb = rows[SALT_SPAN - 1], rows[SALT_SPAN]  # tids 4095/4096
-                    shard["turn_idx"][pa_], shard["turn_idx"][pb] = SALT_SPAN, SALT_SPAN - 1
-                    dirty[pa_] = dirty[pb] = True
-                    golden.append((cid, SALT_SPAN, "mono:turn_idx",
-                                   "Non-monotonic ts for turn order"))
+    # duplicated-row routing plan (pure): dup conv c's row at position 1 is
+    # appended to the NEXT shard — crosses file boundaries
+    incoming: dict[int, list] = {s: [] for s, _, _ in shard_ranges}
+    if inject:
+        for s, lo, hi in shard_ranges:
+            _, dup, _ = _special_convs_local(lo, hi, lens[lo:hi], True)
+            for c in sorted(dup):
+                incoming[(s + 1) % n_shards].append(
+                    (c, 1, int(lens[c]), int(offsets[c])))
 
-            def take(mask):
-                m = mask & ~dirty
-                dirty[m] = True
-                return m
+    jobs = [(s, lo, hi, lens[lo:hi].tobytes(), int(offsets[lo]), n_convs,
+             drifted, inject, incoming[s], out_dir)
+            for s, lo, hi in shard_ranges]
 
-            null_tid = take(g % 997 == 3)
-            bad_role1 = take(g % 1009 == 5)
-            bad_role2 = take(g % 2017 == 7)
-            null_text = take(g % 1013 == 11)
-            long_text = take(g % 4999 == 13)
-            null_ts = take(g % 1019 == 17)
-            range_ts = take(g % 3001 == 19)
-            bad_tool = take(g % 1021 == 23)
-
-            for i in np.flatnonzero(null_tid):
-                cid = f"c{conv_idx[i]:08d}"
-                golden.append((cid, None, "required:turn_idx", "Required property is missing"))
-                golden.append((cid, None, "type:turn_idx", "Invalid Type"))
-            for i in np.flatnonzero(bad_role1 | bad_role2):
-                golden.append((f"c{conv_idx[i]:08d}", int(pos[i]), "enum:role",
-                               "Value not in enumeration"))
-            for i in np.flatnonzero(null_text):
-                cid = f"c{conv_idx[i]:08d}"
-                golden.append((cid, int(pos[i]), "required:text", "Required property is missing"))
-                golden.append((cid, int(pos[i]), "type:text", "Invalid Type"))
-            for i in np.flatnonzero(long_text):
-                golden.append((f"c{conv_idx[i]:08d}", int(pos[i]), "format:text",
-                               "String length out of bounds"))
-            for i in np.flatnonzero(null_ts):
-                cid = f"c{conv_idx[i]:08d}"
-                golden.append((cid, int(pos[i]), "required:ts", "Required property is missing"))
-                golden.append((cid, int(pos[i]), "type:ts", "Invalid Type"))
-            for i in np.flatnonzero(range_ts):
-                cid = f"c{conv_idx[i]:08d}"
-                golden.append((cid, int(pos[i]), "range:ts", "Value out of range"))
-                if pos[i] > 0:  # a 1999 timestamp also regresses in turn order
-                    golden.append((cid, int(pos[i]), "mono:turn_idx",
-                                   "Non-monotonic ts for turn order"))
-                if pos[i] + 1 < lens[conv_idx[i]]:  # and its successor regresses back
-                    pass  # successor ts > 1999 always: no extra violation
-            for i in np.flatnonzero(bad_tool):
-                golden.append((f"c{conv_idx[i]:08d}", int(pos[i]), "ref:tool",
-                               "Unresolved reference"))
-        else:
-            z = np.zeros(n, bool)
-            null_tid = bad_role1 = bad_role2 = null_text = long_text = z
-            null_ts = range_ts = bad_tool = z
-
-        tbl = _materialize(shard, null_tid=null_tid, null_text=null_text,
-                           long_text=long_text, null_ts=null_ts, range_ts=range_ts,
-                           bad_tool=bad_tool, bad_role1=bad_role1, bad_role2=bad_role2)
-        files.append((s, tbl))
-
-    # append duplicated rows to their (next) shard — crosses file boundaries
+    golden: list[tuple] = []
     out_files = []
-    tables = dict(files)
-    for s, rows in dup_rows_by_shard.items():
-        if s not in tables:
-            s = files[0][0]
-        add = []
-        for c, p in rows:
-            shard1 = _build_shard(c, c + 1, lens, offsets, drifted)
-            one = _materialize(shard1, **{k: np.zeros(shard1["n"], bool) for k in
-                                          ("null_tid", "null_text", "long_text", "null_ts",
-                                           "range_ts", "bad_tool", "bad_role1", "bad_role2")})
-            add.append(one.slice(p, 1))
-        tables[s] = pa.concat_tables([tables[s]] + add)
+    n_rows_written = 0
+    if workers == 0:
+        workers = min(os.cpu_count() or 4, n_shards) if n_shards > 4 else 1
+    if workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
 
-    for s in sorted(tables):
-        path = os.path.join(out_dir, f"part-{s:04d}.parquet")
-        pq.write_table(tables[s], path)
-        out_files.append(path)
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            for s, path, g_rows, n_rows in pool.map(_generate_one_shard, jobs,
+                                                    chunksize=1):
+                out_files.append(path)
+                golden.extend(g_rows)
+                n_rows_written += n_rows
+    else:
+        for job in jobs:
+            s, path, g_rows, n_rows = _generate_one_shard(job)
+            out_files.append(path)
+            golden.extend(g_rows)
+            n_rows_written += n_rows
+    out_files.sort()
 
     golden_tbl = pa.table({
         "conv_id": pa.array([x[0] for x in golden], pa.string()),
@@ -292,9 +362,9 @@ def generate_transcripts(out_dir: str, n_convs: int = 600, n_files: int = 4,
     if inject:
         pq.write_table(golden_tbl, os.path.join(out_dir, "golden_violations.parquet"))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"n_convs": n_convs, "n_turns": n_total + sum(
-            len(v) for v in dup_rows_by_shard.values()),
-            "n_files": len(out_files), "inject": inject, "drifted": drifted}, f)
+        json.dump({"n_convs": n_convs, "n_turns": n_rows_written,
+                   "n_files": len(out_files), "inject": inject,
+                   "drifted": drifted}, f)
     return GeneratedData(files=out_files, golden_violations=golden_tbl,
                          n_turns=n_total, n_convs=n_convs, out_dir=out_dir)
 
@@ -305,8 +375,7 @@ def reference_stats(n_convs: int = 2000) -> dict:
     from ..state import SketchState
 
     lens = conv_len(np.arange(n_convs, dtype=np.int64))
-    offsets = np.concatenate([[0], np.cumsum(lens)])
-    shard = _build_shard(0, n_convs, lens, offsets, drifted=False)
+    shard = _build_shard(0, n_convs, lens, 0, drifted=False)
     z = np.zeros(shard["n"], bool)
     tbl = _materialize(shard, null_tid=z, null_text=z, long_text=z, null_ts=z,
                        range_ts=z, bad_tool=z, bad_role1=z, bad_role2=z)

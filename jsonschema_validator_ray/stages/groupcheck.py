@@ -66,8 +66,17 @@ class SortedRunChecker:
     """map_batches stage over blocks of the (conv_id, turn_idx, ts)-projected
     stream AFTER ds.sort([group_key, order_by]). One vectorized pass per block."""
 
-    def __init__(self, gc: GroupCheck):
+    def __init__(self, gc: GroupCheck, boundary_mode: str = "edges"):
+        """boundary_mode: "edges" emits boundary records only for the FIRST and
+        LAST run of each block — after a global sort, a conversation's rows are
+        contiguous, so only those two runs can straddle a block split. This
+        keeps driver-side merge volume at 2 records per block instead of one
+        per conversation. "all" emits every run's record — required in
+        partitioned mode, where independently-sorted partitions can overlap on
+        ANY conversation (duplicates across input files)."""
+        assert boundary_mode in ("edges", "all")
         self.gc = gc
+        self.boundary_mode = boundary_mode
         self.cid_unique = f"unique:({gc.group_key},{gc.order_by})"
         self.cid_mono = f"mono:{gc.order_by}"
 
@@ -75,55 +84,76 @@ class SortedRunChecker:
         gc = self.gc
         if batch.num_rows == 0:
             return CHECK_OUT_SCHEMA.empty_table()
-        conv = _np(batch[gc.group_key].cast(pa.string()))
-        tid_raw = batch[gc.order_by]
-        keep = ~_np(pc.is_null(tid_raw))
-        if not keep.all():
-            conv = conv[keep]
-        if conv.size == 0:
+        # stay in Arrow: NEVER materialize the string key column as Python
+        # objects — adjacent-equality via sliced pc.equal is a vectorized C
+        # string compare, and only the (rare) violation rows are ever taken.
+        conv_arr = batch[gc.group_key]
+        if isinstance(conv_arr, pa.ChunkedArray):
+            conv_arr = conv_arr.combine_chunks()
+        keep_mask = pc.is_valid(batch[gc.order_by])
+        if not pc.all(keep_mask).as_py():
+            batch = batch.filter(keep_mask)
+            conv_arr = batch[gc.group_key]
+            if isinstance(conv_arr, pa.ChunkedArray):
+                conv_arr = conv_arr.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
             return CHECK_OUT_SCHEMA.empty_table()
-        tid = _np(tid_raw.cast(pa.int64()))[keep] if not keep.all() \
-            else _np(tid_raw.cast(pa.int64()))
-        ts = _np(batch[gc.ts_column].cast(pa.int64(), safe=False)).astype(np.float64)[keep] \
-            if not keep.all() else \
-            _np(batch[gc.ts_column].cast(pa.int64(), safe=False)).astype(np.float64)
+        tid = _np(batch[gc.order_by].cast(pa.int64()))
+        ts = _np(batch[gc.ts_column].cast(pa.int64(), safe=False)).astype(np.float64)
 
-        # blocks arrive sorted by (conv, tid); assert cheaply in debug only
-        same = conv[1:] == conv[:-1]
+        # blocks arrive sorted by (conv, tid)
+        same = _np(pc.equal(conv_arr.slice(1), conv_arr.slice(0, n - 1))) \
+            if n > 1 else np.zeros(0, bool)
 
-        v_conv: list = []
-        v_tid: list = []
+        v_idx: list = []            # indices into this (filtered) batch
         v_cid: list = []
         v_msg: list = []
 
         if gc.check_unique:
             dup = np.flatnonzero(same & (tid[1:] == tid[:-1])) + 1
-            v_conv += conv[dup].tolist()
-            v_tid += tid[dup].tolist()
+            v_idx += dup.tolist()
             v_cid += [self.cid_unique] * dup.size
             v_msg += ["Duplicate key"] * dup.size
 
         valid = ts == ts
         if gc.check_mono and valid.any():
-            cv, tv, sv = conv[valid], tid[valid], ts[valid]
-            same_v = cv[1:] == cv[:-1]
+            vpos = np.flatnonzero(valid)
+            tv, sv = tid[vpos], ts[vpos]
+            if vpos.size > 1:
+                cv_arr = conv_arr.take(pa.array(vpos)) if not valid.all() \
+                    else conv_arr
+                same_v = _np(pc.equal(cv_arr.slice(1),
+                                      cv_arr.slice(0, vpos.size - 1)))
+            else:
+                same_v = np.zeros(0, bool)
             reg = np.flatnonzero(same_v & (sv[1:] < sv[:-1]) & (tv[1:] != tv[:-1])) + 1
-            v_conv += cv[reg].tolist()
-            v_tid += tv[reg].tolist()
+            v_idx += vpos[reg].tolist()
             v_cid += [self.cid_mono] * reg.size
             v_msg += ["Non-monotonic ts for turn order"] * reg.size
 
+        v_conv = conv_arr.take(pa.array(v_idx, pa.int64()))
+        v_conv = v_conv.cast(pa.string(), safe=False).to_pylist() \
+            if len(v_conv) else []
+        v_tid = tid[np.asarray(v_idx, np.int64)].tolist() if v_idx else []
+
         # per-run boundary records (runs = maximal same-conv spans in this block)
         run_starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
-        run_ends = np.concatenate([run_starts[1:], [conv.size]])  # exclusive
-        n = conv.size
+        run_ends = np.concatenate([run_starts[1:], [n]])  # exclusive
         idx = np.arange(n)
         masked_first = np.where(valid, idx, n)
         first_valid = np.minimum.reduceat(masked_first, run_starts)
         masked_last = np.where(valid, idx, -1)
         last_valid = np.maximum.reduceat(masked_last, run_starts)
+        if self.boundary_mode == "edges" and run_starts.size > 2:
+            keep_runs = np.array([0, run_starts.size - 1])
+            run_starts = run_starts[keep_runs]
+            run_ends = run_ends[keep_runs]
+            first_valid = first_valid[keep_runs]
+            last_valid = last_valid[keep_runs]
 
-        b_conv = conv[run_starts].tolist()
+        b_conv = conv_arr.take(pa.array(run_starts, pa.int64())) \
+            .cast(pa.string(), safe=False).to_pylist()
         b_first_tid = tid[run_starts].tolist()
         b_last_tid = tid[run_ends - 1].tolist()
         b_first_vts = [float(ts[int(f)]) if f < n else float("nan") for f in first_valid]
@@ -193,7 +223,43 @@ def merge_run_boundaries(boundaries: pa.Table, gc: GroupCheck) -> pa.Table:
     }, schema=VIOLATION_SCHEMA)
 
 
-# --- strategy 2: salted groupby (north-star shape) -------------------------
+# --- strategy: hash-bucket groupby (fastest; whole conversations per bucket)
+
+def make_bucket_adder(gc: GroupCheck, n_buckets: int):
+    """Vectorized hash-partition key: ``_bucket = hash64(group_key) % n``.
+    polars' vectorized hash straight from Arrow — no Python row materialization."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        col = batch[gc.group_key]
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        h = (s.hash(seed=42) % n_buckets).to_numpy().astype(np.int64)
+        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+    return add_bucket
+
+
+def make_bucket_checker(gc: GroupCheck):
+    """map_groups fn for groupby("_bucket"): sort the bucket by (group_key,
+    order_by) — vectorized Arrow sort over ~bucket_size rows — and run the
+    sorted-run checker over it. Buckets contain WHOLE conversations, so no
+    boundary merge is needed.
+
+    Skew note: a conversation is never split, so a pathological conversation
+    comparable to a bucket in size needs the skew-proof "sort" strategy (range
+    partitioning splits inside conversations and the boundary merge restores
+    semantics) or the salted "groupby" strategy."""
+    checker = SortedRunChecker(gc, boundary_mode="edges")
+
+    def check_bucket(group: pa.Table) -> pa.Table:
+        srt = group.sort_by([(gc.group_key, "ascending"),
+                             (gc.order_by, "ascending")])
+        out = checker(srt)
+        return out.filter(pc.equal(out["kind"], "violation"))
+    return check_bucket
+
+
+# --- strategy: salted groupby (north-star shape) ---------------------------
 
 def add_salt_column(gc: GroupCheck):
     """map_batches fn adding ``_salt = turn_idx // salt_span`` (null → -1)."""

@@ -43,7 +43,7 @@ def test_generator_deterministic(tmp_path):
     assert a.golden_violations.equals(b.golden_violations)
 
 
-@pytest.mark.parametrize("strategy", ["sort", "groupby"])
+@pytest.mark.parametrize("strategy", ["sort", "groupby", "hashbucket", "fused"])
 def test_engine_matches_golden(ray_session, corpus, strategy):
     gen, spec = corpus
     res = validate(gen.out_dir, spec=spec, strategy=strategy)
