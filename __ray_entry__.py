@@ -330,7 +330,7 @@ def q_minhash_neardup_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_near_duplicates(ds, "doc_id", "text",
-                                   verify_threshold=0.5)
+                                   verify_threshold=0.8)
 
 
 def q_simhash_neardup_documents(sf_dir: str) -> pa.Table:

@@ -41,7 +41,10 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 class MinHasher:
-    """n_perms permutation min-hashes via universal hashing (a*x+b mod p)."""
+    """n_perms permutation min-hashes via universal hashing (a*x+b mod p).
+
+    The signature matmul is blocked over shingles so the (n_shingles x
+    n_perms) intermediate stays cache-resident."""
 
     def __init__(self, n_perms: int = 128, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -50,18 +53,31 @@ class MinHasher:
         self.n_perms = n_perms
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
-        x = shingles.astype(np.uint64)[:, None]
-        # (a*x + b) mod p with 64-bit wrap is fine for min-comparison purposes
-        vals = (x * self.a[None, :] + self.b[None, :]) % _MERSENNE
-        return vals.min(axis=0)
+        x = shingles.astype(np.uint64)
+        out = np.full(self.n_perms, np.uint64(0xFFFFFFFFFFFFFFFF))
+        step = 512
+        for i in range(0, x.size, step):
+            # (a*x + b) mod p; 64-bit wrap preserves min-comparison uniformity
+            vals = (x[i:i + step, None] * self.a[None, :] + self.b[None, :]) \
+                % _MERSENNE
+            np.minimum(out, vals.min(axis=0), out=out)
+        return out
 
 
 def minhash_lsh_candidates(ds, id_column: str, text_column: str,
                            n_perms: int = 128, bands: int = 32, k: int = 5,
-                           concurrency=(1, 4)):
+                           concurrency=None):
     """MinHash + banded LSH: returns a Dataset of candidate bucket rows
     (band, band_hash, id). Same (band, band_hash) ⇒ candidate pair."""
     rows_per_band = n_perms // bands
+    if concurrency is None:
+        import ray
+        avail = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        # fixed-size pool: the autoscaling pool ramps too slowly for a short
+        # compute-dense stage (measured on the signature stage)
+        size = max(2, min(avail - 2, 16))
+        concurrency = (size, size)
 
     class SignatureStage:
         def __init__(self):
@@ -70,7 +86,7 @@ def minhash_lsh_candidates(ds, id_column: str, text_column: str,
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_column].to_pylist()
             texts = batch[text_column].to_pylist()
-            out_band, out_hash, out_id = [], [], []
+            out_band, out_hash, out_id, out_sig = [], [], [], []
             for i, t in zip(ids, texts):
                 sig = self.hasher.signature(_shingle_hashes(t or "", k))
                 bands_view = sig.reshape(bands, rows_per_band)
@@ -80,14 +96,19 @@ def minhash_lsh_candidates(ds, id_column: str, text_column: str,
                     out_band.append(bi)
                     out_hash.append(h)
                     out_id.append(i)
+                    # full signature rides on the band-0 row (one per doc) so
+                    # the pair stage can estimate Jaccard without re-reading
+                    out_sig.append(sig.tobytes() if bi == 0 else None)
             return pa.table({
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.string()),
                 id_column: pa.array(out_id),
+                "signature": pa.array(out_sig, pa.binary()),
             })
 
+    # small batches so the signature work spreads across the whole pool
     return ds.map_batches(SignatureStage, batch_format="pyarrow",
-                          concurrency=concurrency)
+                          batch_size=256, concurrency=concurrency)
 
 
 def minhash_near_duplicates(ds, id_column: str, text_column: str,
@@ -105,24 +126,53 @@ def minhash_near_duplicates(ds, id_column: str, text_column: str,
     buckets = minhash_lsh_candidates(ds, id_column, text_column, n_perms,
                                      bands, k, concurrency)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_column].to_pylist()))
-        pairs = list(combinations(ids, 2))
-        return pa.table({
-            "id_a": pa.array([p[0] for p in pairs]),
-            "id_b": pa.array([p[1] for p in pairs]),
-        })
-
-    pair_t = pa.concat_tables(ray.get(
-        buckets.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow").to_arrow_refs()),
-        promote_options="default")
-    if pair_t.num_rows == 0:
+    # Bucket rows are |docs| x bands (tiny relative to the corpus); candidate
+    # pairs are extracted with ONE vectorized sort + run scan — per-bucket
+    # map_groups would pay a Python call per bucket (~|docs| x bands calls).
+    bt = pa.concat_tables(ray.get(buckets.to_arrow_refs()),
+                          promote_options="default")
+    bt = bt.sort_by([("band", "ascending"), ("band_hash", "ascending"),
+                     (id_column, "ascending")])
+    band = np.asarray(bt["band"].to_pylist(), np.int64)
+    bh = bt["band_hash"].to_pylist()
+    ids_col = np.asarray(bt[id_column].to_pylist(), np.int64)
+    pairs = set()
+    start = 0
+    n = len(band)
+    for i in range(1, n + 1):
+        if i == n or band[i] != band[start] or bh[i] != bh[start]:
+            if i - start > 1:
+                uniq = sorted(set(ids_col[start:i].tolist()))
+                pairs.update(combinations(uniq, 2))
+            start = i
+    if not pairs:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    pairs = sorted({(a, b) for a, b in zip(pair_t["id_a"].to_pylist(),
-                                           pair_t["id_b"].to_pylist())})
+    pairs = sorted(pairs)
+
+    # Vectorized signature-agreement pre-filter: est(J) has σ ≈ 1/sqrt(perms);
+    # pairs estimated far below threshold cannot pass exact verification, so
+    # only near/above-threshold candidates pay the exact shingle Jaccard.
+    sig_rows = bt.filter(pc.is_valid(bt["signature"]))
+    sig_ids = np.asarray(sig_rows[id_column].to_pylist(), np.int64)
+    sig_mat = np.frombuffer(b"".join(sig_rows["signature"].to_pylist()),
+                            np.uint64).reshape(len(sig_ids), n_perms)
+    row_of = {int(i): r for r, i in enumerate(sig_ids)}
+    pa_idx = np.array([row_of[a] for a, _ in pairs])
+    pb_idx = np.array([row_of[b] for _, b in pairs])
+    margin = 3.0 / np.sqrt(n_perms)
+    keep = np.zeros(len(pairs), bool)
+    step = 65536   # chunk: the pairwise compare matrix stays ~64 MB
+    for i in range(0, len(pairs), step):
+        est = (sig_mat[pa_idx[i:i + step]] ==
+               sig_mat[pb_idx[i:i + step]]).mean(axis=1)
+        keep[i:i + step] = est >= (verify_threshold - margin)
+    pairs = [p for p, k_ in zip(pairs, keep) if k_]
+    if not pairs:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
 
     cand_ids = sorted({i for p in pairs for i in p})
     docs = pa.concat_tables(ray.get(
