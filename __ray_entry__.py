@@ -295,6 +295,15 @@ def q_simsearch_top5(sf_dir: str) -> pa.Table:
     }).sort_by([("cos", "descending"), ("vec_id", "ascending")])
 
 
+def q_sessionize_events(sf_dir: str) -> pa.Table:
+    """Gap-based session windows (30 min) per user — the batch form of a
+    streaming session window."""
+    from jsonschema_validator_ray.ops.aggregates import sessionize_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return sessionize_counts(ds, "user_id", "ts", "event_id")
+
+
 def q_quality_documents(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.text import add_quality_score
 
@@ -422,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats_documents": q_lang_stats_documents,
         "events_per_day": q_events_per_day,
         "simsearch_top5": q_simsearch_top5,
+        "sessionize_events": q_sessionize_events,
         "quality_documents": q_quality_documents,
         "hll_distinct_events": q_hll_distinct_events,
         "minhash_neardup_documents": q_minhash_neardup_documents,
@@ -516,6 +526,18 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(b.embedding AS DOUBLE[])) DESC,
                      b.vec_id
             LIMIT 5
+        """,
+        "sessionize_events": """
+            WITH w AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pts
+                FROM events)
+            SELECT user_id,
+                   count(*) FILTER (WHERE pts IS NULL
+                                    OR ts - pts > INTERVAL 30 MINUTE)
+                       AS n_sessions
+            FROM w GROUP BY user_id ORDER BY user_id
         """,
         "quality_documents": """
             SELECT doc_id,

@@ -142,3 +142,61 @@ def top_k(ds, key: str, k: int, *, descending: bool = True,
     if tiebreak:
         order.append((tiebreak, "ascending"))
     return parts.sort_by(order).slice(0, k)
+
+
+def sessionize_counts(ds, user_col: str, ts_col: str, order_col: str,
+                      gap_us: int = 30 * 60 * 1_000_000) -> pa.Table:
+    """Gap-based sessionization (the batch form of a session window): per
+    user, events ordered by (ts, order_col) start a new session when the gap
+    to the previous event exceeds ``gap_us``. Returns (user, n_sessions).
+
+    Execution: hash-bucket groupby keeps WHOLE users per bucket (no session
+    can straddle buckets), then one vectorized pass per bucket — the same
+    shape as the uniqueness/monotonicity wide stage."""
+    import ray
+
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    avail = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    n_buckets = 4 * avail
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        col = batch[user_col]
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        h = (s.hash(seed=42) % n_buckets).to_numpy().astype(np.int64)
+        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        srt = group.sort_by([(user_col, "ascending"), (ts_col, "ascending"),
+                             (order_col, "ascending")])
+        n = srt.num_rows
+        if n == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64())})
+        user = srt[user_col].combine_chunks() \
+            if isinstance(srt[user_col], pa.ChunkedArray) else srt[user_col]
+        ts_np = srt[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same_user = np.zeros(n, bool)
+        if n > 1:
+            same_user[1:] = pc.equal(user.slice(1), user.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+        new_session = ~same_user | (np.diff(ts_np, prepend=ts_np[0] - 1)
+                                    > gap_us)
+        # per-user session counts: runs of the (sorted) user column
+        run_starts = np.flatnonzero(~same_user)
+        counts = np.add.reduceat(new_session.astype(np.int64), run_starts)
+        users = user.take(pa.array(run_starts, pa.int64()))
+        return pa.table({user_col: users.cast(pa.int64(), safe=False),
+                         "n_sessions": pa.array(counts, pa.int64())})
+
+    out = ds.map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(count_bucket, batch_format="pyarrow")
+    import ray as _ray
+    parts = pa.concat_tables(_ray.get(out.to_arrow_refs()),
+                             promote_options="default")
+    return parts.sort_by(user_col)
