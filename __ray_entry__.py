@@ -119,10 +119,12 @@ def q_ref_check_lineitem(sf_dir: str) -> pa.Table:
     import ray
 
     part_keys = _collect(_read(sf_dir, "part", ["p_partkey"]))["p_partkey"]
-    keys_ref = ray.put(part_keys.to_pylist())
+    # broadcast the Arrow array itself: ray.get on workers is zero-copy from
+    # the local object store — never rebuilt per batch
+    keys_ref = ray.put(part_keys.combine_chunks().cast(pa.int64()))
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = pa.array(ray.get(keys_ref), pa.int64())
+        keys = ray.get(keys_ref)
         ok = pc.is_in(batch["l_partkey"], value_set=keys)
         return pa.table({
             "n": pa.array([batch.num_rows], pa.int64()),
@@ -169,15 +171,25 @@ def q_mono_check_events(sf_dir: str) -> pa.Table:
     cross = merge_run_boundaries(bounds, gc)
     all_viol = pa.concat_tables([viol_t, cross])
 
-    from collections import Counter
-    per_user = Counter(int(u) for u in all_viol["conv_id"].to_pylist())
-    users = sorted(set(_collect(_read(sf_dir, "events", ["user_id"]))
-                       ["user_id"].to_pylist()))
+    # distinct users via a DISTRIBUTED groupby — the collected table is
+    # result-sized (one row per user), never the full user_id column
+    users_t = _collect(_read(sf_dir, "events", ["user_id"])
+                       .groupby("user_id").count())
+    users = pa.table({"user_id": users_t["user_id"].cast(pa.int64())})
+    # violations are output-sized (tiny): vectorized count per user + left join
+    if all_viol.num_rows:
+        vt = pa.table({"user_id": all_viol["conv_id"].cast(pa.int64())})
+        vc = pa.TableGroupBy(vt, "user_id").aggregate([("user_id", "count")])
+        counts = pa.table({"user_id": vc["user_id"],
+                           "n_regressions": vc["user_id_count"].cast(pa.int64())})
+    else:
+        counts = pa.table({"user_id": pa.array([], pa.int64()),
+                           "n_regressions": pa.array([], pa.int64())})
+    joined = users.join(counts, keys="user_id", join_type="left outer")
     return pa.table({
-        "user_id": pa.array(users, pa.int64()),
-        "n_regressions": pa.array([per_user.get(u, 0) for u in users],
-                                  pa.int64()),
-    })
+        "user_id": joined["user_id"],
+        "n_regressions": joined["n_regressions"].fill_null(0).cast(pa.int64()),
+    }).sort_by("user_id")
 
 
 def q_pricing_summary_lineitem(sf_dir: str) -> pa.Table:
@@ -321,8 +333,7 @@ def q_hll_distinct_events(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         h = HyperLogLog(12)
-        h.update_hashes(hash64([str(x) for x in
-                                batch["user_id"].to_pylist()]))
+        h.update_hashes(hash64(batch["user_id"]))  # Arrow → polars, zero-copy
         return pa.table({"registers": pa.array([h.to_bytes()], pa.binary())})
 
     parts = _collect(_read(sf_dir, "events", ["user_id"]).map_batches(
@@ -508,7 +519,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "lang_stats_documents": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "events_per_day": """

@@ -16,7 +16,23 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), np.float64)
+    """Arrow list<float> / fixed_size_list<float> column → (n, dim) float64
+    matrix via zero-copy flatten of the child values — never to_pylist()."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(n, dim).astype(np.float64, copy=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if not (widths == widths[0]).all():
+        return np.asarray(col.to_pylist(), np.float64)  # ragged: slow path
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, int(widths[0])).astype(np.float64, copy=False)
 
 
 def brute_force_topk(ds, query_vectors: np.ndarray, id_column: str,
@@ -38,14 +54,15 @@ def brute_force_topk(ds, query_vectors: np.ndarray, id_column: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)                  # zero-copy from local store
-        ids = np.asarray(batch[id_column].to_pylist(), np.int64)
+        ids = batch[id_column].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
         mat = _to_matrix(batch[vec_column])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = qm @ mat.T                    # (n_q, n_batch)
         out_q, out_id, out_cos = [], [], []
         for qi in range(qm.shape[0]):
             s = sims[qi]
-            mask = np.array([i not in excl for i in ids]) if excl else \
+            mask = ~np.isin(ids, list(excl)) if excl else \
                 np.ones(len(ids), bool)
             cand = np.flatnonzero(mask)
             if cand.size == 0:
@@ -121,7 +138,8 @@ def ivf_topk(ds, query_vectors: np.ndarray, id_column: str, vec_column: str,
         c = ray.get(cents_ref)
         qm = ray.get(q_ref)
         pr = ray.get(probes_ref)
-        ids = np.asarray(batch[id_column].to_pylist(), np.int64)
+        ids = batch[id_column].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
         mat = _to_matrix(batch[vec_column])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(mat @ c.T, axis=1)
@@ -129,7 +147,7 @@ def ivf_topk(ds, query_vectors: np.ndarray, id_column: str, vec_column: str,
         for qi in range(qm.shape[0]):
             in_probe = np.isin(assign, pr[qi])
             if excl:
-                in_probe &= np.array([i not in excl for i in ids])
+                in_probe &= ~np.isin(ids, list(excl))
             cand = np.flatnonzero(in_probe)
             if cand.size == 0:
                 continue

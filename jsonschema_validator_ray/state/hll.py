@@ -14,10 +14,19 @@ _SEED = 0x9E3779B97F4A7C15
 
 
 def hash64(values) -> np.ndarray:
-    """Vectorized 64-bit hash of an arrow/numpy/list of values → uint64."""
-    import polars as pl
+    """Vectorized 64-bit hash of an arrow/numpy/list of values → uint64.
 
-    s = pl.Series("v", values)
+    Arrow (Chunked)Arrays are handed to polars zero-copy — never pass
+    ``col.to_pylist()`` here; feed the column itself."""
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        s = pl.from_arrow(values)
+    else:
+        s = pl.Series("v", values)
     return s.hash(seed=42).to_numpy().astype(np.uint64)
 
 
