@@ -260,6 +260,10 @@ def group_check_table(group: pa.Table, gc: GroupCheck, *, emit_boundary: bool = 
     surfaces as a ts regression; ``(group_key, order_by)`` must be unique.
     Null order keys are skipped (they already fired type/required kernels).
     """
+    gk_valid = pc.is_valid(group[gc.group_key])
+    if not pc.all(gk_valid).as_py():
+        # null group keys already fired required/type kernels — skip them
+        group = group.filter(gk_valid)
     conv = group[gc.group_key][0].as_py() if group.num_rows else None
     tid_all = _np(group[gc.order_by].cast(pa.int64()).fill_null(np.iinfo(np.int64).min))
     null_mask = _np(pc.is_null(group[gc.order_by]))

@@ -170,6 +170,16 @@ def validate(source: Source, spec: Optional[dict] = None,
             return None
         cols = [gc.group_key, gc.order_by, gc.ts_column]
         gds = _dataset_from(source, columns=cols)  # pruned second read
+
+        # rows with a null group/order key are excluded from group checks (they
+        # already fired required/type kernels) — and Ray's sort/groupby key
+        # comparators cannot order None against strings anyway
+        def _drop_null_keys(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.and_(pc.is_valid(batch[gc.group_key]),
+                                        pc.is_valid(batch[gc.order_by])))
+
+        gds = gds.map_batches(_drop_null_keys, batch_format="pyarrow",
+                              zero_copy_batch=True)
         if strategy == "hashbucket":
             # hash-partition whole conversations into ~4 buckets per CPU;
             # each bucket is sorted and checked vectorized. Fastest strategy;
@@ -226,6 +236,10 @@ def validate(source: Source, spec: Optional[dict] = None,
     violations, state, counters = split_combined(combined_t)
     viol_parts = [violations]
     boundaries = None
+    if out_t is not None and "kind" not in out_t.column_names:
+        # all groups/blocks emitted empty tables: Ray loses the schema of an
+        # all-empty map output — semantically there is no wide-stage output
+        out_t = None
     if out_t is not None:
         gv = out_t.filter(pc.equal(out_t["kind"], "violation"))
         viol_parts.append(pa.table(

@@ -250,8 +250,14 @@ def _generate_one_shard(args: tuple):
         for i in np.flatnonzero(range_ts):
             cid = f"c{conv_idx[i]:08d}"
             golden.append((cid, int(pos[i]), "range:ts", "Value out of range"))
-            if pos[i] > 0:
-                golden.append((cid, int(pos[i]), "mono:turn_idx",
+            # mono regression fires only if a PRECEDING row of the conversation
+            # survives with non-null turn_idx AND non-null ts (the final
+            # injection masks encode dirty-first-wins exactly; conv-level
+            # injections keep tid/ts valid, so they never mask a predecessor)
+            p = int(pos[i])
+            lo = i - p          # conv rows are contiguous in the shard
+            if p > 0 and bool(np.any(~(null_tid[lo:i] | null_ts[lo:i]))):
+                golden.append((cid, p, "mono:turn_idx",
                                "Non-monotonic ts for turn order"))
         for i in np.flatnonzero(bad_tool):
             golden.append((f"c{conv_idx[i]:08d}", int(pos[i]), "ref:tool",

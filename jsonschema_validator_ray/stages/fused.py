@@ -186,5 +186,13 @@ def split_fused(result: pa.Table):
     verd = result.filter(pc.equal(result["kind"], KIND_VERDICT))
     n_rows = sum(x or 0 for x in verd["n_rows"].to_pylist()) or state.n_rows
     n_row_violations = sum(x or 0 for x in verd["n_violations"].to_pylist())
+    if n_row_violations == 0 and violations.num_rows:
+        # enumerate mode emits no verdict rows: count non-group-check
+        # violation rows, matching split_combined's semantics
+        is_group = pc.or_(
+            pc.starts_with(violations["constraint_id"], "mono:"),
+            pc.starts_with(violations["constraint_id"], "unique:"))
+        n_group = pc.sum(pc.cast(is_group, pa.int64())).as_py() or 0
+        n_row_violations = violations.num_rows - int(n_group)
     return violations, state, {"n_rows": int(n_rows),
                                "n_row_violations": int(n_row_violations)}

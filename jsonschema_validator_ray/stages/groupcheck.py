@@ -90,7 +90,11 @@ class SortedRunChecker:
         conv_arr = batch[gc.group_key]
         if isinstance(conv_arr, pa.ChunkedArray):
             conv_arr = conv_arr.combine_chunks()
-        keep_mask = pc.is_valid(batch[gc.order_by])
+        # null group keys are excluded like null order keys: those rows already
+        # fired required/type kernels, and a null key would poison the
+        # adjacent-equality masks below (pc.equal yields null, not False)
+        keep_mask = pc.and_(pc.is_valid(batch[gc.order_by]),
+                            pc.is_valid(conv_arr))
         if not pc.all(keep_mask).as_py():
             batch = batch.filter(keep_mask)
             conv_arr = batch[gc.group_key]
@@ -207,9 +211,24 @@ def merge_run_boundaries(boundaries: pa.Table, gc: GroupCheck) -> pa.Table:
         out_cid += [f"unique:({gc.group_key},{gc.order_by})"] * dup.size
         out_msg += ["Duplicate key"] * dup.size
     if gc.check_mono:
-        ok = same & (first_vts[1:] == first_vts[1:]) & (last_vts[:-1] == last_vts[:-1])
-        reg = np.flatnonzero(ok & (first_vts[1:] < last_vts[:-1])
-                             & (first_vtid[1:] != last_vtid[:-1])) + 1
+        # carry the last valid (vts, vtid) FORWARD per conv_id: a run record
+        # with no valid-ts rows (NaN first/last_vts) must not break the chain —
+        # each record's first valid pair compares against the nearest
+        # preceding record (same conv) that has a valid last pair.
+        n = len(conv)
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1]) \
+            if n else np.zeros(0, np.int64)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        conv_start = np.repeat(starts, lens)          # conv's first record idx
+        validL = last_vts == last_vts
+        validF = first_vts == first_vts
+        src = np.where(validL, np.arange(n), -1)
+        prev_src = np.concatenate([[-1], np.maximum.accumulate(src)[:-1]]) \
+            if n else np.zeros(0, np.int64)
+        ok = (prev_src >= conv_start) & validF
+        p = np.where(prev_src >= 0, prev_src, 0)      # safe gather index
+        reg = np.flatnonzero(ok & (first_vts < last_vts[p])
+                             & (first_vtid != last_vtid[p]))
         out_conv += conv[reg].tolist()
         out_tid += first_vtid[reg].tolist()
         out_cid += [f"mono:{gc.order_by}"] * reg.size

@@ -218,3 +218,54 @@ def test_salted_boundary_merge_clean_and_distinct_convs():
     both = pa.concat_tables([b0, b1, c_other])
     boundaries = both.filter(pc.equal(both["kind"], "boundary"))
     assert merge_boundaries(boundaries, GC).num_rows == 0
+
+
+def test_sorted_run_checker_null_group_key():
+    """A null conv_id row (itself a required:conv_id violation) must be
+    skipped by the wide stage, not crash the adjacent-equality masks."""
+    from jsonschema_validator_ray.stages.groupcheck import SortedRunChecker
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", None, "c2"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0, 0], pa.int32()),
+        "ts": ts("2024-01-01T00:00:00", "2024-01-01T00:00:01",
+                 "2024-01-01T00:00:02", "2024-01-01T00:00:03"),
+    })
+    out = SortedRunChecker(GC)(t)
+    v = out.filter(pa.compute.equal(out["kind"], "violation"))
+    assert v.num_rows == 0
+    b = out.filter(pa.compute.equal(out["kind"], "boundary"))
+    assert sorted(b["conv_id"].to_pylist()) == ["c1", "c2"]
+
+
+def test_group_check_table_null_group_key():
+    t = pa.table({
+        "conv_id": pa.array([None, "c1", "c1"], pa.string()),
+        "turn_idx": pa.array([0, 0, 1], pa.int32()),
+        "ts": ts("2024-01-01T00:00:05", "2024-01-01T00:00:00",
+                 "2024-01-01T00:00:01"),
+    })
+    out = group_check_table(t, GC)
+    v = out.filter(pa.compute.equal(out["kind"], "violation"))
+    assert v.num_rows == 0
+
+
+def test_merge_run_boundaries_carries_past_nan_runs():
+    """A ts regression straddling an intervening all-null-ts run must still be
+    caught: the carried (last_vts, last_vtid) skips the NaN record."""
+    from jsonschema_validator_ray.stages.groupcheck import merge_run_boundaries
+
+    nan = float("nan")
+    boundaries = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c1"], pa.string()),
+        "first_tid": pa.array([0, 10, 20], pa.int64()),
+        "last_tid": pa.array([9, 19, 29], pa.int64()),
+        "first_vts": pa.array([1000.0, nan, 500.0], pa.float64()),
+        "last_vts": pa.array([2000.0, nan, 600.0], pa.float64()),
+        "first_vtid": pa.array([0, -1, 20], pa.int64()),
+        "last_vtid": pa.array([9, -1, 29], pa.int64()),
+    })
+    out = merge_run_boundaries(boundaries, GC)
+    got = list(zip(out["conv_id"].to_pylist(), out["turn_idx"].to_pylist(),
+                   out["constraint_id"].to_pylist()))
+    assert ("c1", 20, "mono:turn_idx") in got

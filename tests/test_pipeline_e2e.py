@@ -4,6 +4,7 @@ that set under both wide-stage strategies; kill/resume must be byte-identical;
 drift verdicts must separate injected/drifted/clean variants."""
 
 import json
+import numpy as np
 import os
 
 import pyarrow as pa
@@ -133,3 +134,36 @@ def test_partitioned_refuses_stale_ir(ray_session, corpus, tmp_path):
     assert r["complete"] is True
     with open(os.path.join(out, "manifests", "part-00000.json")) as f:
         assert json.load(f)["ir_hash"] == ir2.ir_hash
+
+
+def test_fused_reports_row_violation_count(ray_session, corpus):
+    gen, spec = corpus
+    res = validate(gen.out_dir, spec=spec, strategy="fused")
+    expected = sum(1 for c in gen.golden_violations["constraint_id"].to_pylist()
+                   if not (c.startswith("mono:") or c.startswith("unique:")))
+    assert res.metrics["n_row_violations"] == expected
+
+
+def test_null_group_key_rows_survive_pipeline(ray_session, tmp_path):
+    """A corpus row with null conv_id reports required/type violations from
+    the row stage and does not crash any wide-stage strategy."""
+    import pyarrow.parquet as _pq
+    from jsonschema_validator_ray.constraints.ir import TRANSCRIPT_SPEC
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", None], pa.string()),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": pa.array(["system", "user", "user"], pa.string()),
+        "text": pa.array(["a", "b", "c"], pa.string()),
+        "tool": pa.array([None, None, None], pa.string()),
+        "ts": pa.array([np.datetime64("2024-01-01T00:00:00", "us"),
+                        np.datetime64("2024-01-01T00:00:01", "us"),
+                        np.datetime64("2024-01-01T00:00:02", "us")],
+                       pa.timestamp("us")),
+    })
+    p = str(tmp_path / "nullconv.parquet")
+    _pq.write_table(t, p)
+    for strategy in ("sort", "groupby", "hashbucket", "fused"):
+        res = validate(p, spec=TRANSCRIPT_SPEC, strategy=strategy)
+        cids = sorted(res.violations["constraint_id"].to_pylist())
+        assert cids == ["required:conv_id", "type:conv_id"], (strategy, cids)
