@@ -391,10 +391,25 @@ def q_ivf_search_embeddings(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    """EXACT blocked all-pairs cosine near-dup (distributed block matmuls;
+    oracle-checked). The approximate at-scale path is embedding_neardup_ivf."""
     from jsonschema_validator_ray.ops.dedup import embedding_near_duplicates
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    t = embedding_near_duplicates(ds, "vec_id", "embedding", threshold=0.9)
+    t = embedding_near_duplicates(ds, "vec_id", "embedding", threshold=0.45,
+                                  rows_per_block=512)
+    return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                     "cos": pc.round(t["cos"], ndigits=4)})
+
+
+def q_embedding_neardup_ivf(sf_dir: str) -> pa.Table:
+    """IVF-bucketed approximate near-dup: compare only within (multi-probe)
+    centroid buckets — the O(N²)-avoiding scale path."""
+    from jsonschema_validator_ray.ops.dedup import embedding_neardup_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = embedding_neardup_ivf(ds, "vec_id", "embedding", threshold=0.45,
+                              n_centroids=8, n_assign=3)
     return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
                      "cos": pc.round(t["cos"], ndigits=4)})
 
@@ -451,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q_fingerprint_documents,
         "ivf_search_embeddings": q_ivf_search_embeddings,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "multimodal_image_features": q_multimodal_image_features,
         "drift_events_type": q_drift_events_type,
     }
@@ -550,6 +566,16 @@ def oracle_sql() -> dict[str, str]:
                                     OR ts - pts > INTERVAL 30 MINUTE)
                        AS n_sessions
             FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY id_a, id_b
         """,
         "quality_documents": """
             SELECT doc_id,

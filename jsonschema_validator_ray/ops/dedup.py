@@ -1,20 +1,29 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
 verification, embedding-cosine near-dup.
 
-Scale shapes:
-- exact: content-hash per batch (map_batches) → groupby(hash) shuffle of the
-  HASH + id only (never the payload) → keeper = min id per group.
-- MinHash LSH: shingle→minhash signature per batch (vectorized numpy) →
-  flat_map band rows → groupby(band_key) buckets → candidate pairs from
-  same-bucket ids → exact Jaccard verify (per-pair, only on candidates).
-- SimHash: 64-bit hyperplane-free charged-bit signature; near-dup = small
-  Hamming distance within LSH bands of the signature.
+Scale shapes (nothing here materializes the corpus on the driver):
+
+- exact: vectorized 128-bit content hash per batch (map_batches) →
+  groupby(hash) shuffle of the HASH + id only (never the payload) →
+  keeper = min id per group.
+- MinHash LSH: vectorized shingle→minhash signatures per batch →
+  band rows (band, band_hash, id — ~24 bytes each, never the payload) →
+  DISTRIBUTED partition-bucket groupby emits candidate pairs →
+  distributed pair dedup (groupby) → distributed exact-Jaccard verify via a
+  reduce-side join: shingle sets of candidate docs are co-partitioned with
+  their pairs and compared inside map_groups. Only the candidate PAIR LIST
+  (output-scale, a vanishing fraction at 100 TB) ever touches the driver.
+- SimHash: 64-bit charged-bit signature per doc; 4×16-bit band LSH rows carry
+  the 8-byte signature, so candidate verification (Hamming distance) happens
+  inside the same distributed band groupby — no separate verify join.
+- embedding near-dup: exact all-pairs over BLOCKS — the normalized block
+  matrices stay in the object store; one Ray task per block pair computes a
+  blocked matmul. O(B²) tasks: exact and oracle-checkable. The approximate
+  at-scale path (`embedding_neardup_ivf`) assigns vectors to IVF centroid
+  buckets and compares within buckets only.
 """
 
 from __future__ import annotations
-
-import hashlib
-from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
@@ -23,10 +32,13 @@ import pyarrow.compute as pc
 from ..state.hll import hash64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of the k-char shingles of a text (vectorized windows)."""
+    """Hashes of the k-char shingles of a text (vectorized windows),
+    deduplicated (set semantics for Jaccard)."""
     if not text or len(text) < k:
         return hash64([text or ""])
     b = np.frombuffer(text.encode("utf-8", "ignore"), np.uint8)
@@ -34,17 +46,14 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         return hash64([text])
     # windowed view → per-window 64-bit FNV-ish fold, vectorized
     win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    h = np.full(win.shape[0], np.uint64(1469598103934665603))
+    h = np.full(win.shape[0], _FNV_OFFSET)
     for j in range(k):
-        h = (h ^ win[:, j]) * np.uint64(1099511628211)
+        h = (h ^ win[:, j]) * _FNV_PRIME
     return np.unique(h)
 
 
 class MinHasher:
-    """n_perms permutation min-hashes via universal hashing (a*x+b mod p).
-
-    The signature matmul is blocked over shingles so the (n_shingles x
-    n_perms) intermediate stays cache-resident."""
+    """n_perms permutation min-hashes via universal hashing (a*x+b mod p)."""
 
     def __init__(self, n_perms: int = 128, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -57,152 +66,310 @@ class MinHasher:
         out = np.full(self.n_perms, np.uint64(0xFFFFFFFFFFFFFFFF))
         step = 512
         for i in range(0, x.size, step):
-            # (a*x + b) mod p; 64-bit wrap preserves min-comparison uniformity
             vals = (x[i:i + step, None] * self.a[None, :] + self.b[None, :]) \
                 % _MERSENNE
             np.minimum(out, vals.min(axis=0), out=out)
         return out
 
+    def signatures_batch(self, shingles_list: list[np.ndarray]) -> np.ndarray:
+        """Vectorized ACROSS documents: concatenate every doc's shingles and
+        reduce per-doc minima with ``np.minimum.reduceat`` — no per-doc Python
+        in the permutation math. Returns (n_docs, n_perms) uint64."""
+        n = len(shingles_list)
+        if n == 0:
+            return np.zeros((0, self.n_perms), np.uint64)
+        x = np.concatenate(shingles_list).astype(np.uint64)
+        offsets = np.concatenate(
+            [[0], np.cumsum([s.size for s in shingles_list])[:-1]]).astype(np.int64)
+        out = np.empty((n, self.n_perms), np.uint64)
+        pb = 16   # perm block: keeps the (n_shingles x pb) intermediate ~tens of MB
+        for j in range(0, self.n_perms, pb):
+            vals = (x[:, None] * self.a[None, j:j + pb]
+                    + self.b[None, j:j + pb]) % _MERSENNE
+            out[:, j:j + pb] = np.minimum.reduceat(vals, offsets, axis=0)
+        return out
 
-def minhash_lsh_candidates(ds, id_column: str, text_column: str,
-                           n_perms: int = 128, bands: int = 32, k: int = 5,
-                           concurrency=None):
-    """MinHash + banded LSH: returns a Dataset of candidate bucket rows
-    (band, band_hash, id). Same (band, band_hash) ⇒ candidate pair."""
-    rows_per_band = n_perms // bands
+
+def _fold_bands(sig_mat: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, n_perms) signatures → (n_docs, bands) 64-bit band hashes via a
+    vectorized FNV fold over each band's rows."""
+    n, n_perms = sig_mat.shape
+    rpb = n_perms // bands
+    view = sig_mat.reshape(n, bands, rpb)
+    h = np.full((n, bands), _FNV_OFFSET)
+    for j in range(rpb):
+        h = (h ^ view[:, :, j]) * _FNV_PRIME
+    return h
+
+
+def _default_concurrency():
+    import ray
+    avail = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    size = max(2, min(avail - 2, 16))
+    return (size, size)
+
+
+def minhash_signatures(ds, id_column: str, text_column: str,
+                       n_perms: int = 128, k: int = 5, concurrency=None):
+    """Dataset of (id, signature binary) — one vectorized pass per batch."""
     if concurrency is None:
-        import ray
-        avail = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        # fixed-size pool: the autoscaling pool ramps too slowly for a short
-        # compute-dense stage (measured on the signature stage)
-        size = max(2, min(avail - 2, 16))
-        concurrency = (size, size)
+        concurrency = _default_concurrency()
 
     class SignatureStage:
         def __init__(self):
             self.hasher = MinHasher(n_perms)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_column].to_pylist()
             texts = batch[text_column].to_pylist()
-            out_band, out_hash, out_id, out_sig = [], [], [], []
-            for i, t in zip(ids, texts):
-                sig = self.hasher.signature(_shingle_hashes(t or "", k))
-                bands_view = sig.reshape(bands, rows_per_band)
-                for bi in range(bands):
-                    h = hashlib.blake2b(bands_view[bi].tobytes(),
-                                        digest_size=8).hexdigest()
-                    out_band.append(bi)
-                    out_hash.append(h)
-                    out_id.append(i)
-                    # full signature rides on the band-0 row (one per doc) so
-                    # the pair stage can estimate Jaccard without re-reading
-                    out_sig.append(sig.tobytes() if bi == 0 else None)
+            shingles = [_shingle_hashes(t or "", k) for t in texts]
+            sig_mat = self.hasher.signatures_batch(shingles)
+            sigs = [sig_mat[i].tobytes() for i in range(len(texts))]
             return pa.table({
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
-                id_column: pa.array(out_id),
-                "signature": pa.array(out_sig, pa.binary()),
+                id_column: batch[id_column],
+                "signature": pa.array(sigs, pa.binary()),
             })
 
-    # small batches so the signature work spreads across the whole pool
     return ds.map_batches(SignatureStage, batch_format="pyarrow",
                           batch_size=256, concurrency=concurrency)
+
+
+def minhash_band_rows(sigs_ds, id_column: str, n_perms: int, bands: int,
+                      n_buckets: int):
+    """Signatures → band rows (pb, band, band_hash, id): ~24 bytes per row,
+    |docs| × bands rows total — the ONLY thing the LSH shuffle moves."""
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "pb": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                id_column: pa.array([], pa.int64()),
+            })
+        sig_col = batch["signature"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig_mat = np.frombuffer(b"".join(sig_col.to_pylist()),
+                                np.uint64).reshape(n, n_perms)
+        bh = _fold_bands(sig_mat, bands)                      # (n, bands)
+        band_idx = np.broadcast_to(np.arange(bands, dtype=np.uint64),
+                                   (n, bands))
+        pb = ((bh * np.uint64(0x9E3779B97F4A7C15) + band_idx)
+              % np.uint64(n_buckets)).astype(np.int64)
+        ids = np.repeat(
+            batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64), bands)
+        return pa.table({
+            "pb": pa.array(pb.ravel(), pa.int64()),
+            "band": pa.array(band_idx.astype(np.int32).ravel(), pa.int32()),
+            "band_hash": pa.array(bh.astype(np.int64).ravel(), pa.int64()),
+            id_column: pa.array(ids, pa.int64()),
+        })
+
+    return sigs_ds.map_batches(expand, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _emit_bucket_pairs(id_column: str):
+    """map_groups fn over one partition bucket (pb): vectorized sort + run
+    scan over (band, band_hash); same (band, band_hash) run ⇒ candidate
+    pairs. Runs with >1 row are rare, so the per-run combine loop is short."""
+    from itertools import combinations
+
+    def emit(group: pa.Table) -> pa.Table:
+        srt = group.sort_by([("band", "ascending"), ("band_hash", "ascending"),
+                             (id_column, "ascending")])
+        band = srt["band"].combine_chunks().to_numpy(zero_copy_only=False)
+        bh = srt["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = srt[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(band)
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate([starts[1:], [n]])
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                uniq = np.unique(ids[s:e])
+                if uniq.size > 1:
+                    for a, b in combinations(uniq.tolist(), 2):
+                        out_a.append(a)
+                        out_b.append(b)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+    return emit
+
+
+def minhash_lsh_candidate_pairs(ds, id_column: str, text_column: str,
+                                n_perms: int = 128, bands: int = 32,
+                                k: int = 5, n_buckets: int = 0,
+                                concurrency=None):
+    """Distributed LSH candidate pairs: returns a Dataset of UNIQUE
+    (id_a, id_b) rows. No driver-side materialization anywhere."""
+    import ray
+
+    if n_buckets <= 0:
+        avail = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        n_buckets = 4 * avail
+    sigs = minhash_signatures(ds, id_column, text_column, n_perms, k,
+                              concurrency)
+    band_ds = minhash_band_rows(sigs, id_column, n_perms, bands, n_buckets)
+    from ray.data.aggregate import Count
+
+    pairs = band_ds.groupby("pb").map_groups(_emit_bucket_pairs(id_column),
+                                             batch_format="pyarrow")
+    # distributed dedup: the same pair can surface from several bands
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def _jaccard_verify_pairs(ds, pairs: list[tuple[int, int]], id_column: str,
+                          text_column: str, k: int,
+                          verify_threshold: float,
+                          n_verify_parts: int = 0) -> pa.Table:
+    """Distributed exact-Jaccard verify via a reduce-side join: each pair is
+    assigned a verify partition; candidate docs' shingle sets are computed
+    distributed (one pass over the filtered corpus) and replicated ONLY to
+    the partitions that need them; map_groups compares pairs in-partition.
+
+    The pair list itself is output-scale (a vanishing fraction of the corpus
+    at 100 TB) — the only driver-side state is the id→partitions map."""
+    import ray
+    import ray.data
+
+    if not pairs:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    if n_verify_parts <= 0:
+        avail = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        n_verify_parts = min(len(pairs), 2 * avail)
+
+    needs: dict[int, set] = {}
+    for i, (a, b) in enumerate(pairs):
+        vp = i % n_verify_parts
+        needs.setdefault(int(a), set()).add(vp)
+        needs.setdefault(int(b), set()).add(vp)
+    needs_ref = ray.put({d: sorted(v) for d, v in needs.items()})
+    cand_ids_ref = ray.put(pa.array(sorted(needs), pa.int64()))
+
+    pair_tbl = pa.table({
+        "vp": pa.array([i % n_verify_parts for i in range(len(pairs))],
+                       pa.int64()),
+        "kind": pa.array([0] * len(pairs), pa.int8()),
+        "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+        "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        "doc_id": pa.array([None] * len(pairs), pa.int64()),
+        "shingles": pa.array([None] * len(pairs), pa.binary()),
+    })
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ids_ref)
+        nd = ray.get(needs_ref)
+        sel = batch.filter(pc.is_in(batch[id_column], value_set=cand))
+        out_vp: list = []
+        out_id: list = []
+        out_sh: list = []
+        for i, t in zip(sel[id_column].to_pylist(),
+                        sel[text_column].to_pylist()):
+            sh = _shingle_hashes(t or "", k).tobytes()
+            for vp in nd.get(int(i), ()):
+                out_vp.append(vp)
+                out_id.append(int(i))
+                out_sh.append(sh)
+        m = len(out_vp)
+        return pa.table({
+            "vp": pa.array(out_vp, pa.int64()),
+            "kind": pa.array([1] * m, pa.int8()),
+            "id_a": pa.array([None] * m, pa.int64()),
+            "id_b": pa.array([None] * m, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "shingles": pa.array(out_sh, pa.binary()),
+        })
+
+    import ray.data as rd
+    union_ds = rd.from_arrow(pair_tbl).union(
+        ds.map_batches(shingle_rows, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    def verify(group: pa.Table) -> pa.Table:
+        docs = group.filter(pc.equal(group["kind"], 1))
+        prs = group.filter(pc.equal(group["kind"], 0))
+        sh = {int(i): np.frombuffer(s, np.uint64)
+              for i, s in zip(docs["doc_id"].to_pylist(),
+                              docs["shingles"].to_pylist())}
+        out_a: list = []
+        out_b: list = []
+        out_j: list = []
+        for a, b in zip(prs["id_a"].to_pylist(), prs["id_b"].to_pylist()):
+            sa, sb = sh.get(int(a)), sh.get(int(b))
+            if sa is None or sb is None:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+            if j >= verify_threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(j)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    parts = [t for t in ray.get(
+        union_ds.groupby("vp").map_groups(
+            verify, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "id_a" in t.column_names]
+    if not parts:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return pa.concat_tables(parts).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])
 
 
 def minhash_near_duplicates(ds, id_column: str, text_column: str,
                             n_perms: int = 128, bands: int = 32, k: int = 5,
                             verify_threshold: float = 0.8,
-                            concurrency=(1, 4)) -> pa.Table:
-    """Full near-dup pipeline: signatures → band buckets (groupby shuffle) →
-    candidate pairs → exact shingle-Jaccard verification. Returns
-    (id_a, id_b, jaccard) for verified pairs, id_a < id_b.
+                            concurrency=None) -> pa.Table:
+    """Full near-dup pipeline, distributed end-to-end: signatures → band rows
+    → bucket groupby pair emission → pair dedup → reduce-side exact-Jaccard
+    verify. Returns (id_a, id_b, jaccard) for verified pairs, id_a < id_b.
 
-    The verify stage re-reads ONLY candidate documents (broadcast the
-    candidate id set; at 100 TB candidates are a vanishing fraction)."""
+    The only driver-side materialization is the candidate PAIR LIST
+    (output-scale). Band rows are |docs| × bands ~24-byte rows; payloads are
+    re-read once, filtered to candidates, for the verify join."""
     import ray
 
-    buckets = minhash_lsh_candidates(ds, id_column, text_column, n_perms,
-                                     bands, k, concurrency)
+    pairs_ds = minhash_lsh_candidate_pairs(ds, id_column, text_column,
+                                           n_perms, bands, k,
+                                           concurrency=concurrency)
+    pair_parts = [t for t in ray.get(pairs_ds.to_arrow_refs())
+                  if t.num_rows and "id_a" in t.column_names]
+    pairs: list[tuple[int, int]] = []
+    for t in pair_parts:
+        pairs.extend(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    pairs.sort()
+    return _jaccard_verify_pairs(ds, pairs, id_column, text_column, k,
+                                 verify_threshold)
 
-    # Bucket rows are |docs| x bands (tiny relative to the corpus); candidate
-    # pairs are extracted with ONE vectorized sort + run scan — per-bucket
-    # map_groups would pay a Python call per bucket (~|docs| x bands calls).
-    bt = pa.concat_tables(ray.get(buckets.to_arrow_refs()),
-                          promote_options="default")
-    bt = bt.sort_by([("band", "ascending"), ("band_hash", "ascending"),
-                     (id_column, "ascending")])
-    band = np.asarray(bt["band"].to_pylist(), np.int64)
-    bh = bt["band_hash"].to_pylist()
-    ids_col = np.asarray(bt[id_column].to_pylist(), np.int64)
-    pairs = set()
-    start = 0
-    n = len(band)
-    for i in range(1, n + 1):
-        if i == n or band[i] != band[start] or bh[i] != bh[start]:
-            if i - start > 1:
-                uniq = sorted(set(ids_col[start:i].tolist()))
-                pairs.update(combinations(uniq, 2))
-            start = i
-    if not pairs:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    pairs = sorted(pairs)
 
-    # Vectorized signature-agreement pre-filter: est(J) has σ ≈ 1/sqrt(perms);
-    # pairs estimated far below threshold cannot pass exact verification, so
-    # only near/above-threshold candidates pay the exact shingle Jaccard.
-    sig_rows = bt.filter(pc.is_valid(bt["signature"]))
-    sig_ids = np.asarray(sig_rows[id_column].to_pylist(), np.int64)
-    sig_mat = np.frombuffer(b"".join(sig_rows["signature"].to_pylist()),
-                            np.uint64).reshape(len(sig_ids), n_perms)
-    row_of = {int(i): r for r, i in enumerate(sig_ids)}
-    pa_idx = np.array([row_of[a] for a, _ in pairs])
-    pb_idx = np.array([row_of[b] for _, b in pairs])
-    margin = 3.0 / np.sqrt(n_perms)
-    keep = np.zeros(len(pairs), bool)
-    step = 65536   # chunk: the pairwise compare matrix stays ~64 MB
-    for i in range(0, len(pairs), step):
-        est = (sig_mat[pa_idx[i:i + step]] ==
-               sig_mat[pb_idx[i:i + step]]).mean(axis=1)
-        keep[i:i + step] = est >= (verify_threshold - margin)
-    pairs = [p for p, k_ in zip(pairs, keep) if k_]
-    if not pairs:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-
-    cand_ids = sorted({i for p in pairs for i in p})
-    docs = pa.concat_tables(ray.get(
-        ds.map_batches(
-            lambda b: b.filter(pc.is_in(b[id_column],
-                                        value_set=pa.array(cand_ids))),
-            batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()),
-        promote_options="default")
-    text_by_id = dict(zip(docs[id_column].to_pylist(),
-                          docs[text_column].to_pylist()))
-    sh = {i: _shingle_hashes(text_by_id.get(i) or "", k) for i in cand_ids}
-
-    out_a, out_b, out_j = [], [], []
-    for a, b in pairs:
-        sa, sb = sh[a], sh[b]
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 1.0
-        if j >= verify_threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(j)
-    return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                     "id_b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
-
+# --- SimHash ---------------------------------------------------------------
 
 def add_simhash(ds, text_column: str = "text", out: str = "simhash", k: int = 5,
-                concurrency=(1, 4)):
+                concurrency=None):
     """64-bit SimHash per document: sign-sum of shingle-hash bits."""
+    if concurrency is None:
+        concurrency = _default_concurrency()
+
     class Stage:
         def __init__(self):
             self.bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
@@ -216,45 +383,104 @@ def add_simhash(ds, text_column: str = "text", out: str = "simhash", k: int = 5,
                 sims[i] = np.uint64(((charge > 0) * self.bits).sum())
             return batch.append_column(out, pa.array(sims, pa.uint64()))
 
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(Stage, batch_format="pyarrow", batch_size=256,
+                          concurrency=concurrency)
 
 
 def simhash_near_duplicates(ds, id_column: str, text_column: str = "text",
-                            max_hamming: int = 3, k: int = 5) -> pa.Table:
-    """SimHash near-dup: 4×16-bit band LSH on the signature, verify candidates
-    by Hamming distance ≤ max_hamming. Returns (id_a, id_b, hamming)."""
+                            max_hamming: int = 3, k: int = 5,
+                            n_buckets: int = 0) -> pa.Table:
+    """SimHash near-dup, distributed: 4×16-bit band LSH rows carry the 8-byte
+    signature, so Hamming verification happens inside the band-bucket groupby;
+    pairs are deduped with a distributed groupby. Returns (id_a, id_b,
+    hamming) — nothing corpus-sized ever reaches the driver."""
     import ray
+    from ray.data.aggregate import Min
+
+    if n_buckets <= 0:
+        avail = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        n_buckets = 4 * avail
 
     with_sig = add_simhash(ds, text_column, "simhash", k)
-    t = pa.concat_tables(ray.get(
-        with_sig.select_columns([id_column, "simhash"]).to_arrow_refs()),
-        promote_options="default")
-    ids = np.asarray(t[id_column].to_pylist(), np.int64)
-    sigs = np.asarray(t["simhash"].to_pylist(), np.uint64)
-    cands = set()
-    for band in range(4):
-        keys = (sigs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        order = np.argsort(keys, kind="stable")
-        ks, os_ = keys[order], order
-        start = 0
-        for i in range(1, len(ks) + 1):
-            if i == len(ks) or ks[i] != ks[start]:
-                if i - start > 1:
-                    for a, b in combinations(sorted(ids[os_[start:i]]), 2):
-                        cands.add((int(a), int(b)))
-                start = i
-    sig_by_id = dict(zip(ids.tolist(), sigs.tolist()))
-    out_a, out_b, out_h = [], [], []
-    for a, b in sorted(cands):
-        d = int(bin(sig_by_id[a] ^ sig_by_id[b]).count("1"))
-        if d <= max_hamming:
-            out_a.append(a)
-            out_b.append(b)
-            out_h.append(d)
-    return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                     "id_b": pa.array(out_b, pa.int64()),
-                     "hamming": pa.array(out_h, pa.int64())})
 
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sigs = batch["simhash"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.empty((n, 4), np.uint64)
+        for band in range(4):
+            keys[:, band] = (sigs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        band_idx = np.broadcast_to(np.arange(4, dtype=np.uint64), (n, 4))
+        pb = ((keys * np.uint64(0x9E3779B97F4A7C15) + band_idx)
+              % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "pb": pa.array(pb.ravel(), pa.int64()),
+            "band": pa.array(band_idx.astype(np.int32).ravel(), pa.int32()),
+            "band_hash": pa.array(keys.astype(np.int64).ravel(), pa.int64()),
+            id_column: pa.array(np.repeat(ids, 4), pa.int64()),
+            "simhash": pa.array(np.repeat(sigs, 4).astype(np.int64), pa.int64()),
+        })
+
+    band_ds = with_sig.select_columns([id_column, "simhash"]) \
+        .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    from itertools import combinations
+
+    def emit(group: pa.Table) -> pa.Table:
+        srt = group.sort_by([("band", "ascending"), ("band_hash", "ascending"),
+                             (id_column, "ascending")])
+        band = srt["band"].combine_chunks().to_numpy(zero_copy_only=False)
+        bh = srt["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = srt[id_column].combine_chunks().to_numpy(zero_copy_only=False)
+        sigs = srt["simhash"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(band)
+        out_a: list = []
+        out_b: list = []
+        out_h: list = []
+        if n:
+            new_run = np.empty(n, bool)
+            new_run[0] = True
+            new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+            starts = np.flatnonzero(new_run)
+            ends = np.concatenate([starts[1:], [n]])
+            for s, e in zip(starts, ends):
+                if e - s > 1:
+                    uniq_ids, first = np.unique(ids[s:e], return_index=True)
+                    if uniq_ids.size < 2:
+                        continue
+                    usig = sigs[s:e][first]
+                    for (ia, sa), (ib, sb) in combinations(
+                            zip(uniq_ids.tolist(), usig.tolist()), 2):
+                        d = int(bin(sa ^ sb).count("1"))
+                        if d <= max_hamming:
+                            out_a.append(ia)
+                            out_b.append(ib)
+                            out_h.append(d)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_h, pa.int64())})
+
+    verified = band_ds.groupby("pb").map_groups(emit, batch_format="pyarrow")
+    deduped = verified.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+    parts = [t for t in ray.get(deduped.to_arrow_refs())
+             if t.num_rows and "id_a" in t.column_names]
+    if not parts:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])
+    return pa.table({"id_a": out["id_a"].cast(pa.int64()),
+                     "id_b": out["id_b"].cast(pa.int64()),
+                     "hamming": out["hamming"].cast(pa.int64())})
+
+
+# --- exact dedup -----------------------------------------------------------
 
 def exact_dedup_keepers(ds, id_column: str, text_column: str):
     """Exact dedup: content hash per batch → groupby(hash) over (hash, id)
@@ -288,24 +514,152 @@ def exact_dedup_keepers(ds, id_column: str, text_column: str):
         Count(alias_name="n_copies"))
 
 
+# --- embedding near-dup ----------------------------------------------------
+
 def embedding_near_duplicates(ds, id_column: str, vec_column: str,
-                              threshold: float = 0.95) -> pa.Table:
-    """Embedding-cosine near-dup for corpora whose embedding table fits the
-    driver after normalization (sf-scale); the at-scale path goes through
-    ops.simsearch IVF buckets. Returns (id_a, id_b, cos)."""
+                              threshold: float = 0.95,
+                              rows_per_block: int = 4096) -> pa.Table:
+    """EXACT embedding-cosine near-dup via blocked all-pairs: the corpus is
+    re-blocked into normalized (ids, matrix) chunks held in the OBJECT STORE;
+    one Ray task per block pair (i ≤ j) computes a blocked matmul and emits
+    only pairs ≥ threshold. O(B²) tasks of bounded memory — exact (hence
+    DuckDB-oracle-checkable), distributed, nothing corpus-sized on the driver.
+
+    For corpora where O(N²) compare is unaffordable, use
+    ``embedding_neardup_ivf`` (IVF-bucketed, approximate)."""
     import ray
 
-    t = pa.concat_tables(ray.get(
-        ds.select_columns([id_column, vec_column]).to_arrow_refs()),
-        promote_options="default")
-    ids = np.asarray(t[id_column].to_pylist(), np.int64)
-    mat = np.asarray(t[vec_column].to_pylist(), np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    sims = mat @ mat.T
-    iu = np.triu_indices(len(ids), k=1)
-    mask = sims[iu] >= threshold
-    return pa.table({
-        "id_a": pa.array(ids[iu[0][mask]], pa.int64()),
-        "id_b": pa.array(ids[iu[1][mask]], pa.int64()),
-        "cos": pa.array(sims[iu][mask], pa.float64()),
-    })
+    from .simsearch import _to_matrix
+
+    def to_block(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(batch[vec_column])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        return pa.table({"ids": pa.array([ids.tobytes()], pa.binary()),
+                         "mat": pa.array([mat.astype(np.float32).tobytes()],
+                                         pa.binary()),
+                         "n": pa.array([len(ids)], pa.int64()),
+                         "dim": pa.array([mat.shape[1] if len(ids) else 0],
+                                         pa.int64())})
+
+    blocks_ds = ds.map_batches(to_block, batch_format="pyarrow",
+                               batch_size=rows_per_block,
+                               zero_copy_batch=True)
+    # the driver holds only OBJECT REFS to the packed blocks — the matrices
+    # themselves stay in the object store and ship directly to compare tasks
+    refs = blocks_ds.to_arrow_refs()
+
+    @ray.remote
+    def compare(tbl_i: pa.Table, tbl_j: pa.Table, same: bool):
+        def unpack(t):
+            if t.num_rows == 0 or "ids" not in t.column_names:
+                return np.zeros(0, np.int64), np.zeros((0, 1), np.float64)
+            ids = np.concatenate([np.frombuffer(x, np.int64)
+                                  for x in t["ids"].to_pylist()])
+            mats = [np.frombuffer(m, np.float32).reshape(-1, int(d))
+                    for m, d, n in zip(t["mat"].to_pylist(),
+                                       t["dim"].to_pylist(),
+                                       t["n"].to_pylist()) if n]
+            mat = np.vstack(mats).astype(np.float64) if mats \
+                else np.zeros((0, 1), np.float64)
+            return ids, mat
+        ia, ma = unpack(tbl_i)
+        ib, mb = unpack(tbl_j)
+        if not len(ia) or not len(ib):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        sims = ma @ mb.T
+        if same:
+            r, c = np.triu_indices(len(ia), k=1)
+        else:
+            r, c = np.unravel_index(np.arange(sims.size), sims.shape)
+        mask = sims[r, c] >= threshold
+        a, b = ia[r[mask]], ib[c[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "cos": pa.array(sims[r, c][mask], pa.float64())})
+
+    futures = [compare.remote(refs[i], refs[j], i == j)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = [t for t in ray.get(futures) if t.num_rows]
+    if not parts:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    return pa.concat_tables(parts).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def embedding_neardup_ivf(ds, id_column: str, vec_column: str,
+                          threshold: float = 0.95, n_centroids: int = 16,
+                          n_assign: int = 2) -> pa.Table:
+    """Approximate at-scale embedding near-dup: assign each vector to its
+    ``n_assign`` nearest IVF centroids (multi-probe closes most cross-bucket
+    misses), then compare all pairs WITHIN each centroid bucket via a
+    distributed groupby — compare volume drops from O(N²) to
+    O(sum_b n_b²). Partitioning assumption: near-duplicate vectors land in at
+    least one common centroid bucket (holds when threshold ≫ inter-centroid
+    similarity)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from .simsearch import _to_matrix, train_ivf_centroids
+
+    cents = train_ivf_centroids(ds, vec_column, n_centroids)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(batch[vec_column])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        sims = mat @ c.T
+        top = np.argsort(-sims, axis=1)[:, :n_assign]        # (n, n_assign)
+        n = len(ids)
+        return pa.table({
+            "bucket": pa.array(top.ravel().astype(np.int64), pa.int64()),
+            id_column: pa.array(np.repeat(ids, n_assign), pa.int64()),
+            "vec": pa.array([mat[i].astype(np.float32).tobytes()
+                             for i in range(n) for _ in range(n_assign)],
+                            pa.binary()),
+        })
+
+    def compare_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, first = np.unique(ids, return_index=True)
+        vecs = [group["vec"][int(i)].as_py() for i in first]
+        if uniq.size < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        dim = len(vecs[0]) // 4
+        mat = np.frombuffer(b"".join(vecs), np.float32) \
+            .reshape(uniq.size, dim).astype(np.float64)
+        sims = mat @ mat.T
+        r, c = np.triu_indices(uniq.size, k=1)
+        mask = sims[r, c] >= threshold
+        return pa.table({"id_a": pa.array(uniq[r[mask]], pa.int64()),
+                         "id_b": pa.array(uniq[c[mask]], pa.int64()),
+                         "cos": pa.array(sims[r, c][mask], pa.float64())})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pairs = assigned.groupby("bucket").map_groups(compare_bucket,
+                                                  batch_format="pyarrow")
+    deduped = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cos", alias_name="cos"))
+    parts = [t for t in ray.get(deduped.to_arrow_refs())
+             if t.num_rows and "id_a" in t.column_names]
+    if not parts:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    return pa.concat_tables(parts).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])

@@ -156,3 +156,49 @@ def test_fingerprint_shift_stability(ray_session):
     out = pa.concat_tables(ray.get(add_fingerprint(ds).to_arrow_refs()))
     fp = out.sort_by("doc_id")["fingerprint"].to_pylist()
     assert fp[0] == fp[1]   # winnowed min-hash stable under a small prefix shift
+
+
+def test_embedding_neardup_exact_blocked(ray_session):
+    """Exact blocked all-pairs matches a driver-side numpy all-pairs."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import embedding_near_duplicates
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 16)).astype(np.float32)
+    mat[33] = mat[7] + rng.normal(size=16).astype(np.float32) * 0.02
+    mat[90] = mat[41] * 1.5
+    t = pa.table({"vec_id": pa.array(range(120), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in mat],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    got = embedding_near_duplicates(ds, "vec_id", "embedding",
+                                    threshold=0.95, rows_per_block=32)
+    pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    r, c = np.triu_indices(120, k=1)
+    expect = {(int(a), int(b)) for a, b in zip(r[sims[r, c] >= 0.95],
+                                               c[sims[r, c] >= 0.95])}
+    assert pairs == expect
+    assert (7, 33) in pairs and (41, 90) in pairs
+
+
+def test_embedding_neardup_ivf_finds_planted(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import embedding_neardup_ivf
+
+    rng = np.random.default_rng(12)
+    mat = rng.normal(size=(200, 16)).astype(np.float32)
+    mat[150] = mat[20] + rng.normal(size=16).astype(np.float32) * 0.01
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in mat],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    got = embedding_neardup_ivf(ds, "vec_id", "embedding", threshold=0.95,
+                                n_centroids=8, n_assign=2)
+    pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+    assert (20, 150) in pairs
