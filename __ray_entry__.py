@@ -71,6 +71,29 @@ def _transcripts_for(sf_dir: str) -> tuple:
     return _TX_CACHE[n_convs]
 
 
+_CURRENT_LINK = "/tmp/graft_transcripts/current"
+
+
+def _ensure_current_corpus(sf_dir: str) -> tuple:
+    """Generate the deterministic corpus for ``sf_dir`` and point the fixed
+    symlink at it. The transcript oracle SQL reads through the symlink, so
+    the corpus the Ray query just validated is exactly what DuckDB sees."""
+    gen, spec = _transcripts_for(sf_dir)
+    os.makedirs(os.path.dirname(_CURRENT_LINK), exist_ok=True)
+    tmp = _CURRENT_LINK + ".lnk"
+    try:
+        if (os.path.islink(_CURRENT_LINK)
+                and os.readlink(_CURRENT_LINK) == gen.out_dir):
+            return gen, spec
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(gen.out_dir, tmp)
+        os.replace(tmp, _CURRENT_LINK)
+    except OSError:
+        pass
+    return gen, spec
+
+
 def entry() -> Any:
     """Flagship: full constraint validation of the deterministic transcript
     corpus at tiny scale; returns the violation rows (stable schema)."""
@@ -90,11 +113,30 @@ def entry() -> Any:
 def q_transcript_validate(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.pipelines import validate
 
-    gen, spec = _transcripts_for(sf_dir)
+    gen, spec = _ensure_current_corpus(sf_dir)
     res = validate(gen.out_dir, spec=spec, strategy="sort")
     return res.violations.sort_by([
         ("conv_id", "ascending"), ("turn_idx", "ascending"),
         ("constraint_id", "ascending")])
+
+
+def q_transcript_verdict(sf_dir: str) -> pa.Table:
+    """Fail-fast verdict mode (the reference's founding ``is_valid`` design,
+    /root/reference/README.md:18-26): per-batch early-exit kernels, no row
+    violations materialized — only the run verdict + row count."""
+    import json as _json
+
+    from jsonschema_validator_ray.pipelines import validate
+
+    gen, spec = _ensure_current_corpus(sf_dir)
+    spec_nd = _json.loads(_json.dumps(spec))
+    spec_nd.get("table", {}).pop("drift", None)   # drift isn't SQL-expressible
+    res = validate(gen.out_dir, spec=spec_nd, mode="verdict", sketch=False,
+                   strategy="sort")
+    return pa.table({
+        "passed": pa.array([res.passed]),
+        "n_rows": pa.array([res.metrics["n_rows"]], pa.int64()),
+    })
 
 
 def q_profile_events(sf_dir: str) -> pa.Table:
@@ -445,6 +487,7 @@ def q_drift_events_type(sf_dir: str) -> pa.Table:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcript_validate": q_transcript_validate,
+        "transcript_verdict": q_transcript_verdict,
         "profile_events": q_profile_events,
         "enum_check_events": q_enum_check_events,
         "ref_check_lineitem": q_ref_check_lineitem,
@@ -472,8 +515,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_TX_GLOB = _CURRENT_LINK + "/part-*.parquet"
+
+
+def _transcript_violation_sql() -> str:
+    """UNION-of-SELECTs oracle for every SQL-expressible constraint of the
+    transcript spec (row kernels + uniqueness + monotonicity), over the
+    corpus the Ray query just validated (read through the fixed symlink)."""
+    from jsonschema_validator_ray.constraints.ir import ROLES, TOOL_DICTIONARY
+
+    roles = ", ".join(f"'{r}'" for r in ROLES)
+    tools = ", ".join(f"'{t}'" for t in TOOL_DICTIONARY)
+    return f"""
+        WITH tx AS (SELECT * FROM read_parquet('{_TX_GLOB}')),
+        v AS (
+            SELECT conv_id, turn_idx, 'required:conv_id' AS constraint_id,
+                   'Required property is missing' AS message
+            FROM tx WHERE conv_id IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'type:conv_id', 'Invalid Type'
+            FROM tx WHERE conv_id IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'required:turn_idx',
+                   'Required property is missing'
+            FROM tx WHERE turn_idx IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'type:turn_idx', 'Invalid Type'
+            FROM tx WHERE turn_idx IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'required:role',
+                   'Required property is missing'
+            FROM tx WHERE role IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'type:role', 'Invalid Type'
+            FROM tx WHERE role IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'enum:role', 'Value not in enumeration'
+            FROM tx WHERE role IS NOT NULL AND role NOT IN ({roles})
+            UNION ALL
+            SELECT conv_id, turn_idx, 'required:text',
+                   'Required property is missing'
+            FROM tx WHERE text IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'type:text', 'Invalid Type'
+            FROM tx WHERE text IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'format:text',
+                   'String length out of bounds'
+            FROM tx WHERE length(text) > 32768
+            UNION ALL
+            SELECT conv_id, turn_idx, 'ref:tool', 'Unresolved reference'
+            FROM tx WHERE tool IS NOT NULL AND tool NOT IN ({tools})
+            UNION ALL
+            SELECT conv_id, turn_idx, 'required:ts',
+                   'Required property is missing'
+            FROM tx WHERE ts IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'type:ts', 'Invalid Type'
+            FROM tx WHERE ts IS NULL
+            UNION ALL
+            SELECT conv_id, turn_idx, 'range:ts', 'Value out of range'
+            FROM tx WHERE ts < TIMESTAMP '2020-01-01 00:00:00'
+                       OR ts > TIMESTAMP '2035-01-01 00:00:00'
+            UNION ALL
+            SELECT conv_id, turn_idx, 'unique:(conv_id,turn_idx)',
+                   'Duplicate key'
+            FROM (SELECT conv_id, turn_idx,
+                         row_number() OVER (PARTITION BY conv_id, turn_idx)
+                             AS rn
+                  FROM tx
+                  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
+            WHERE rn > 1
+            UNION ALL
+            SELECT conv_id, turn_idx, 'mono:turn_idx',
+                   'Non-monotonic ts for turn order'
+            FROM (SELECT conv_id, turn_idx, ts,
+                         lag(ts) OVER w AS pts,
+                         lag(turn_idx) OVER w AS ptid
+                  FROM tx
+                  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                        AND ts IS NOT NULL
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            WHERE ts < pts AND turn_idx <> ptid
+        )
+        SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+               constraint_id, message
+        FROM v ORDER BY conv_id, turn_idx, constraint_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    # the transcript oracles read through the /tmp corpus symlink: make sure
+    # it exists even if the driver evaluates oracles before queries (the
+    # query itself re-points the link at the sf it was handed)
+    if not os.path.islink(_CURRENT_LINK):
+        _ensure_current_corpus("/root/testdata/sf0.01")
+    tx_v = _transcript_violation_sql()
     return {
+        "transcript_validate": tx_v,
+        "transcript_verdict": f"""
+            WITH tx AS (SELECT * FROM read_parquet('{_TX_GLOB}')),
+            v AS ({tx_v.replace('ORDER BY conv_id, turn_idx, constraint_id',
+                                '')})
+            SELECT (SELECT count(*) FROM v) = 0 AS passed,
+                   (SELECT count(*) FROM tx) AS n_rows
+        """,
         "profile_events": """
             SELECT count(*) AS n_rows,
                    count(*) - count(props) AS n_null_props,

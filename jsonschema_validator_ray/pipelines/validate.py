@@ -264,7 +264,11 @@ def validate(source: Source, spec: Optional[dict] = None,
 def _finish(all_viol, state, counters, ir, sketch, mode, strategy,
             t0, t_row, t_wide, t_merge_start, out_dir, boundaries) -> ValidationResult:
     drift = state.evaluate_drift(ir.drift_checks) if sketch else []
-    passed = (all_viol.num_rows == 0) and all(d["passed"] for d in drift)
+    # verdict mode materializes NO row-violation rows — the per-batch verdict
+    # counters are the only trace of row-kernel failures, so fold them in
+    passed = (all_viol.num_rows == 0
+              and counters.get("n_row_violations", 0) == 0
+              and all(d["passed"] for d in drift))
 
     if all_viol.num_rows:
         by_c = pa.TableGroupBy(all_viol, "constraint_id").aggregate(
