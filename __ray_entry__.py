@@ -234,6 +234,33 @@ def q_mono_check_events(sf_dir: str) -> pa.Table:
     }).sort_by("user_id")
 
 
+def q_struct_check_events(sf_dir: str) -> pa.Table:
+    """Nested-payload validation: the `props` JSON column's `k` field gets
+    type/required/range sub-constraints (table-scale analog of the
+    reference's recursive `properties` keyword,
+    /root/reference/src/keywords/properties_.rs:65-94)."""
+    from jsonschema_validator_ray.constraints.ir import compile_constraints
+    from jsonschema_validator_ray.constraints.kernels import make_row_validator
+
+    spec = {
+        "columns": {"props": {"type": ["string", "null"], "json": True,
+                              "properties": {"k": {"type": "integer",
+                                                   "required": True,
+                                                   "min": 0, "max": 49}}}},
+        "keys": {"id": "event_id", "order": None},
+    }
+    ir = compile_constraints(spec)
+    validator = make_row_validator(ir)
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = _collect(ds.map_batches(validator, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    return pa.table({
+        "event_id": pc.cast(out["conv_id"], pa.int64()),
+        "constraint_id": out["constraint_id"],
+        "message": out["message"],
+    }).sort_by([("event_id", "ascending"), ("constraint_id", "ascending")])
+
+
 def q_pricing_summary_lineitem(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped grouped aggregate with EXACT integer-cent sums."""
     cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"),
@@ -493,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_check_lineitem": q_ref_check_lineitem,
         "unique_check_events": q_unique_check_events,
         "mono_check_events": q_mono_check_events,
+        "struct_check_events": q_struct_check_events,
         "pricing_summary_lineitem": q_pricing_summary_lineitem,
         "topk_orders": q_topk_orders,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -651,6 +679,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    count(*) FILTER (WHERE ts < pts) AS n_regressions
             FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "struct_check_events": """
+            WITH e AS (
+                SELECT event_id, props,
+                       json_extract_string(props, '$.k') AS raw,
+                       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS kv
+                FROM events)
+            SELECT event_id, 'range:props/k' AS constraint_id,
+                   'Value out of range' AS message
+            FROM e WHERE kv < 0 OR kv > 49
+            UNION ALL
+            SELECT event_id, 'required:props/k',
+                   'Required property is missing'
+            FROM e WHERE props IS NOT NULL AND raw IS NULL
+            UNION ALL
+            SELECT event_id, 'type:props/k', 'Invalid Type'
+            FROM e WHERE raw IS NOT NULL AND kv IS NULL
+            ORDER BY event_id, constraint_id
         """,
         "pricing_summary_lineitem": """
             SELECT l_returnflag, l_linestatus,

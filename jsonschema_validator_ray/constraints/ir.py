@@ -32,13 +32,43 @@ SPEC_VERSION = 1  # analog of DraftVersion (src/types/draft_version.rs:1-11)
 @dataclass(frozen=True)
 class RowConstraint:
     """One row-local constraint kernel: evaluated vectorized inside the fused
-    ``map_batches`` validate stage. ``params`` must stay hashable/JSON-able."""
+    ``map_batches`` validate stage. ``params`` must stay hashable/JSON-able.
+
+    ``parent`` is set for nested-payload constraints (compiled from a
+    column's ``properties`` sub-spec, the table-scale analog of the
+    reference's recursive ``properties`` keyword,
+    /root/reference/src/keywords/properties_.rs:65-94): the kernel runs on a
+    derived ``{parent}/{field}`` column and is masked to rows whose parent
+    payload is present (non-object instances pass vacuously,
+    properties_.rs:124-128)."""
 
     cid: str           # e.g. "enum:role" — lands in the violation rows
     kind: str          # type | enum | required | format_len | format_range | ref
     column: str
     params: tuple = ()
     message: str = ""
+    parent: str = ""   # set for nested (struct/JSON payload) constraints
+
+
+@dataclass(frozen=True)
+class StructDecode:
+    """One derived column: extract ``field`` from the ``parent`` payload
+    column (JSON string via vectorized polars JSONPath, or a pa.struct field)
+    into columns ``{parent}/{field}`` (value cast to ``engine_type``, null on
+    uncastable) and ``{parent}/{field}#present`` (key present)."""
+
+    parent: str
+    field: str
+    engine_type: str   # integer | number | string | boolean
+    json: bool = True
+
+    @property
+    def value_col(self) -> str:
+        return f"{self.parent}/{self.field}"
+
+    @property
+    def present_col(self) -> str:
+        return f"{self.parent}/{self.field}#present"
 
 
 @dataclass(frozen=True)
@@ -76,6 +106,9 @@ class ConstraintIR:
     drift_checks: list = field(default_factory=list)
     dictionaries: dict = field(default_factory=dict)   # name -> tuple of values
     columns: dict = field(default_factory=dict)        # column -> declared type set
+    struct_decodes: list = field(default_factory=list)  # StructDecode per nested field
+    key_column: str = "conv_id"     # violation-row attribution key
+    order_column: str = "turn_idx"  # violation-row attribution order (or "")
     ir_hash: str = ""
 
     def dictionary_for(self, constraint: RowConstraint) -> tuple:
@@ -114,6 +147,68 @@ def _parse_type_set(column: str, declared: Any) -> frozenset:
     raise SchemaError.malformed(
         column, KeywordType.TYPE, wrong_value_type_detail("string", declared)
     )
+
+
+_NESTED_TYPES = ("integer", "number", "string", "boolean")
+
+
+def _compile_properties(ir: ConstraintIR, col: str, cspec: dict) -> None:
+    """Compile a column's nested ``properties`` sub-spec (the table-scale
+    analog of the reference's recursive ``properties`` compile,
+    src/keywords/properties_.rs:49-113): each declared field becomes a
+    StructDecode (vectorized extract + cast into derived columns) plus
+    nested RowConstraints on the derived columns, with ``{col}/{field}``
+    violation paths (path rule of properties_.rs:127)."""
+    props = cspec["properties"]
+    if not isinstance(props, dict):
+        raise SchemaError.malformed(
+            col, KeywordType.PROPERTIES,
+            wrong_value_type_detail("object", props))
+    is_json = bool(cspec.get("json", True))
+    for fname, fspec in props.items():
+        if not isinstance(fspec, dict):
+            raise SchemaError.malformed(
+                fname, KeywordType.PROPERTIES,
+                "Values of properties object must be of object type. The "
+                f"following URLs are recognized as faulty: "
+                f"#/columns/{col}/properties/{fname}",
+            )
+        declared = fspec.get("type", "string")
+        types = _parse_type_set(f"{col}/{fname}", declared)
+        etype = next((t for t in _NESTED_TYPES if t in types), "string")
+        d = StructDecode(parent=col, field=fname, engine_type=etype,
+                         json=is_json)
+        ir.struct_decodes.append(d)
+        path = f"{col}/{fname}"
+        if "type" in fspec:
+            ir.row_constraints.append(RowConstraint(
+                cid=f"type:{path}", kind="nested_type", column=d.value_col,
+                params=(d.present_col,), message="Invalid Type", parent=col))
+        if fspec.get("required"):
+            ir.row_constraints.append(RowConstraint(
+                cid=f"required:{path}", kind="nested_required",
+                column=d.present_col, message="Required property is missing",
+                parent=col))
+        if "enum" in fspec:
+            values = fspec["enum"]
+            if not isinstance(values, list) or not values:
+                raise SchemaError.malformed(
+                    path, KeywordType.TYPE,
+                    "This array MUST have at least one element.")
+            ir.row_constraints.append(RowConstraint(
+                cid=f"enum:{path}", kind="enum", column=d.value_col,
+                params=tuple(values), message="Value not in enumeration",
+                parent=col))
+        if "min" in fspec or "max" in fspec:
+            ir.row_constraints.append(RowConstraint(
+                cid=f"range:{path}", kind="format_range", column=d.value_col,
+                params=(fspec.get("min"), fspec.get("max")),
+                message="Value out of range", parent=col))
+        if "max_length" in fspec or "min_length" in fspec:
+            ir.row_constraints.append(RowConstraint(
+                cid=f"format:{path}", kind="format_len", column=d.value_col,
+                params=(fspec.get("min_length", 0), fspec.get("max_length")),
+                message="String length out of bounds", parent=col))
 
 
 def compile_constraints(spec: dict) -> ConstraintIR:
@@ -190,6 +285,12 @@ def compile_constraints(spec: dict) -> ConstraintIR:
             ir.row_constraints.append(RowConstraint(
                 cid=f"ref:{col}", kind="ref", column=col,
                 params=(dict_name,), message="Unresolved reference"))
+        if "properties" in cspec:
+            _compile_properties(ir, col, cspec)
+
+    keys = spec.get("keys") or {}
+    ir.key_column = keys.get("id", "conv_id")
+    ir.order_column = keys.get("order", "turn_idx") or ""
 
     table = spec.get("table") or {}
     mono = table.get("monotonic")

@@ -145,6 +145,24 @@ def _k_format_len(c, col, is_null, batch, ir):
     return pc.fill_null(bad, False)
 
 
+@kernel("nested_required")
+def _k_nested_required(c, col, is_null, batch, ir):
+    # column = the `{parent}/{field}#present` boolean: absent key ⇒ violation
+    # (the validator masks to rows whose parent payload is present)
+    return pc.invert(pc.fill_null(col, False))
+
+
+@kernel("nested_type")
+def _k_nested_type(c, col, is_null, batch, ir):
+    # value present (key matched) but not castable to the declared type:
+    # `{"k": "abc"}` under integer ⇒ Invalid Type; absent key ⇒ skip
+    present_col = c.params[0]
+    if present_col not in batch.column_names:
+        return None
+    present = pc.fill_null(batch[present_col], False)
+    return pc.and_(present, is_null)
+
+
 @kernel("format_range")
 def _k_format_range(c, col, is_null, batch, ir):
     lo, hi = (_range_scalar(v, col.type) for v in c.params)
@@ -170,15 +188,21 @@ def evaluate_kernel(c: RowConstraint, batch: pa.Table, ir: ConstraintIR) -> Opti
     return KERNELS[c.kind](c, col, pc.is_null(col), batch, ir)
 
 
-def _violation_rows(batch: pa.Table, mask, cid: str, message: str) -> pa.Table:
+def _violation_rows(batch: pa.Table, mask, cid: str, message: str,
+                    key_col: str = "conv_id",
+                    order_col: str = "turn_idx") -> pa.Table:
+    """Violation rows attributed by the IR's key columns (defaults match the
+    transcript table; any table can redirect via spec ``keys``). The output
+    schema is fixed — non-string keys are cast."""
     idx = pa.array(np.flatnonzero(_np(mask).astype(bool)))
     k = len(idx)
-    conv = (batch["conv_id"].take(idx).cast(pa.string(), safe=False)
-            if "conv_id" in batch.column_names else pa.nulls(k, pa.string()))
-    if "turn_idx" in batch.column_names and pa.types.is_integer(batch["turn_idx"].type):
-        turn = batch["turn_idx"].take(idx).cast(pa.int32(), safe=False)
+    conv = (batch[key_col].take(idx).cast(pa.string(), safe=False)
+            if key_col in batch.column_names else pa.nulls(k, pa.string()))
+    if (order_col and order_col in batch.column_names
+            and pa.types.is_integer(batch[order_col].type)):
+        turn = batch[order_col].take(idx).cast(pa.int32(), safe=False)
     else:
-        # non-integer turn_idx column (itself a type violation): keys are unknowable
+        # non-integer order column (itself a type violation): keys unknowable
         turn = pa.nulls(k, pa.int32())
     return pa.table({
         "conv_id": conv,
@@ -186,6 +210,58 @@ def _violation_rows(batch: pa.Table, mask, cid: str, message: str) -> pa.Table:
         "constraint_id": pa.array([cid] * k, type=pa.string()),
         "message": pa.array([message] * k, type=pa.string()),
     }, schema=VIOLATION_SCHEMA)
+
+
+def augment_with_struct_decodes(batch: pa.Table, ir: ConstraintIR) -> pa.Table:
+    """Vectorized nested-payload extraction: for each StructDecode, append
+    the ``{parent}/{field}`` value column (cast to the declared type, null on
+    uncastable) and ``{parent}/{field}#present`` (key present). JSON string
+    payloads decode via polars' vectorized JSONPath (no Python row loop);
+    pa.struct payloads read the child field zero-copy."""
+    if not ir.struct_decodes:
+        return batch
+    import polars as pl
+
+    _PL_TYPES = {"integer": pl.Int64, "number": pl.Float64,
+                 "boolean": pl.Boolean, "string": pl.Utf8}
+    json_cache: dict = {}
+    for d in ir.struct_decodes:
+        if d.parent not in batch.column_names:
+            continue
+        col = batch[d.parent]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if d.json and pa.types.is_string(col.type):
+            s = json_cache.get(d.parent)
+            if s is None:
+                s = pl.from_arrow(col)
+                json_cache[d.parent] = s
+            raw = s.str.json_path_match(f"$.{d.field}")
+            present = raw.is_not_null()
+            value = raw if d.engine_type == "string" else \
+                raw.cast(_PL_TYPES[d.engine_type], strict=False)
+            value_arr = value.to_arrow()
+            present_arr = present.to_arrow()
+        elif pa.types.is_struct(col.type):
+            try:
+                f = col.field(d.field)
+            except KeyError:
+                f = pa.nulls(len(col))
+            present_arr = pc.is_valid(f)
+            try:
+                value_arr = f.cast({"integer": pa.int64(),
+                                    "number": pa.float64(),
+                                    "boolean": pa.bool_(),
+                                    "string": pa.string()}[d.engine_type])
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                value_arr = pa.nulls(len(col))
+        else:
+            # unsupported payload dtype: fields are all-absent
+            value_arr = pa.nulls(batch.num_rows)
+            present_arr = pa.array(np.zeros(batch.num_rows, bool))
+        batch = batch.append_column(d.value_col, value_arr)
+        batch = batch.append_column(d.present_col, present_arr)
+    return batch
 
 
 def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
@@ -197,12 +273,25 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
     assert mode in ("enumerate", "verdict")
     constraints = list(ir.row_constraints)
 
+    def eval_mask(c: RowConstraint, batch: pa.Table):
+        mask = evaluate_kernel(c, batch, ir)
+        if mask is None:
+            return None
+        if c.parent and c.parent in batch.column_names:
+            # nested constraints pass vacuously where the parent payload is
+            # null (non-object instances, properties_.rs:133)
+            mask = pc.and_(pc.fill_null(mask, False),
+                           pc.is_valid(batch[c.parent]))
+        return mask
+
     def validate_batch(batch: pa.Table) -> pa.Table:
+        n_in = batch.num_rows
+        batch = augment_with_struct_decodes(batch, ir)
         if mode == "verdict":
             total = 0
             first_cid = None
             for c in constraints:
-                mask = evaluate_kernel(c, batch, ir)
+                mask = eval_mask(c, batch)
                 if mask is None:
                     continue
                 k = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
@@ -211,7 +300,7 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
                     first_cid = first_cid or c.cid
                     break  # fail-fast (keywords/mod.rs:30-32)
             return pa.table({
-                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "n_rows": pa.array([n_in], pa.int64()),
                 "n_violations": pa.array([total], pa.int64()),
                 "passed": pa.array([total == 0]),
                 "first_constraint_id": pa.array([first_cid], pa.string()),
@@ -219,12 +308,13 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
 
         parts = []
         for c in constraints:
-            mask = evaluate_kernel(c, batch, ir)
+            mask = eval_mask(c, batch)
             if mask is None:
                 continue
             if not pc.any(mask).as_py():
                 continue
-            parts.append(_violation_rows(batch, mask, c.cid, c.message))
+            parts.append(_violation_rows(batch, mask, c.cid, c.message,
+                                         ir.key_column, ir.order_column))
         if not parts:
             return VIOLATION_SCHEMA.empty_table()
         return pa.concat_tables(parts)

@@ -269,3 +269,62 @@ def test_merge_run_boundaries_carries_past_nan_runs():
     got = list(zip(out["conv_id"].to_pylist(), out["turn_idx"].to_pylist(),
                    out["constraint_id"].to_pylist()))
     assert ("c1", 20, "mono:turn_idx") in got
+
+
+def _nested_spec(json=True):
+    return {
+        "columns": {"props": {"type": ["string", "null"] if json else ["null"],
+                              "json": json,
+                              "properties": {"k": {"type": "integer",
+                                                   "required": True,
+                                                   "min": 0, "max": 49}}}},
+        "keys": {"id": "event_id", "order": None},
+    }
+
+
+def test_nested_json_properties_kernels():
+    """Table-scale `properties` analog: type/required/range on a JSON field,
+    vacuous on null parents (properties_.rs:124-135 semantics)."""
+    from jsonschema_validator_ray.constraints.kernels import make_row_validator
+
+    ir = compile_constraints(_nested_spec())
+    batch = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "props": pa.array(['{"k": 10}', '{"k": 77}', '{"j": 1}',
+                           '{"k": "abc"}', None], pa.string()),
+    })
+    v = make_row_validator(ir)(batch)
+    got = sorted(zip(v["conv_id"].to_pylist(), v["constraint_id"].to_pylist()))
+    assert got == [("2", "range:props/k"), ("3", "required:props/k"),
+                   ("4", "type:props/k")]
+
+
+def test_nested_struct_column_kernels():
+    """pa.struct payloads: child field read zero-copy, same sub-constraints."""
+    from jsonschema_validator_ray.constraints.kernels import make_row_validator
+
+    spec = {
+        "columns": {"props": {"json": False,
+                              "properties": {"k": {"type": "integer",
+                                                   "required": True,
+                                                   "min": 0, "max": 49}}}},
+        "keys": {"id": "event_id", "order": None},
+    }
+    ir = compile_constraints(spec)
+    batch = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "props": pa.array([{"k": 5}, {"k": 88}, {"k": None}],
+                          pa.struct([("k", pa.int64())])),
+    })
+    v = make_row_validator(ir)(batch)
+    got = sorted(zip(v["conv_id"].to_pylist(), v["constraint_id"].to_pylist()))
+    assert got == [("2", "range:props/k"), ("3", "required:props/k")]
+
+
+def test_nested_compile_errors_reference_style():
+    with pytest.raises(SchemaError):
+        compile_constraints({"columns": {"props": {
+            "properties": {"k": "not-an-object"}}}})
+    with pytest.raises(SchemaError):
+        compile_constraints({"columns": {"props": {
+            "properties": {"k": {"type": "frobnicate"}}}}})
