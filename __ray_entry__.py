@@ -385,6 +385,16 @@ def q_sessionize_events(sf_dir: str) -> pa.Table:
     return sessionize_counts(ds, "user_id", "ts", "event_id")
 
 
+def q_sample_events(sf_dir: str) -> pa.Table:
+    """Deterministic 10% hash sample (Knuth multiplicative hash on event_id):
+    resumable / re-run-stable sampling whose predicate is plain SQL."""
+    from jsonschema_validator_ray.ops.sampling import hash_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    out = _collect(hash_sample(ds, "event_id", 0.1, seed=7))
+    return out.sort_by("event_id")
+
+
 def q_quality_documents(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.text import add_quality_score
 
@@ -530,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simsearch_top5": q_simsearch_top5,
         "sessionize_events": q_sessionize_events,
         "quality_documents": q_quality_documents,
+        "sample_events": q_sample_events,
         "hll_distinct_events": q_hll_distinct_events,
         "minhash_neardup_documents": q_minhash_neardup_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -731,6 +742,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "sample_events": """
+            SELECT event_id, user_id FROM events
+            WHERE (event_id * 2654435761 + 7 * 2654435769) % 4294967296
+                  < CAST(0.1 * 4294967296 AS BIGINT)
+            ORDER BY event_id
         """,
         "events_per_day": """
             SELECT date_trunc('day', ts) AS day, count(*) AS n

@@ -609,7 +609,8 @@ def embedding_neardup_ivf(ds, id_column: str, vec_column: str,
 
     from .simsearch import _to_matrix, train_ivf_centroids
 
-    cents = train_ivf_centroids(ds, vec_column, n_centroids)
+    cents = train_ivf_centroids(ds, vec_column, n_centroids,
+                                id_column=id_column)
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:

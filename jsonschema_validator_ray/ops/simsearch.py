@@ -94,12 +94,25 @@ def brute_force_topk(ds, query_vectors: np.ndarray, id_column: str,
 
 def train_ivf_centroids(ds, vec_column: str, n_centroids: int = 16,
                         sample_rows: int = 2048, iters: int = 8,
-                        seed: int = 13) -> np.ndarray:
-    """k-means-lite on a driver-side sample (Lloyd iterations, numpy)."""
+                        seed: int = 13, id_column: str | None = None) -> np.ndarray:
+    """k-means-lite on a driver-side sample (Lloyd iterations, numpy).
+
+    With ``id_column`` the sample is a deterministic hash sample spread over
+    the WHOLE corpus (ops/sampling.py), not the first ``sample_rows`` rows —
+    first-rows sampling biases centroids toward the leading files' clusters.
+    ``ds.count()`` is metadata-only for parquet sources."""
     import ray
 
+    src = ds.select_columns([c for c in (id_column, vec_column) if c])
+    if id_column is not None:
+        from .sampling import hash_sample
+
+        total = ds.count()
+        if total > sample_rows:
+            frac = min(1.0, 2.0 * sample_rows / total)
+            src = hash_sample(src, id_column, frac, seed=seed)
     sample = pa.concat_tables(ray.get(
-        ds.select_columns([vec_column]).limit(sample_rows).to_arrow_refs()),
+        src.limit(sample_rows).to_arrow_refs()),
         promote_options="default")
     x = _to_matrix(sample[vec_column])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -123,7 +136,8 @@ def ivf_topk(ds, query_vectors: np.ndarray, id_column: str, vec_column: str,
     brute_force_topk."""
     import ray
 
-    cents = train_ivf_centroids(ds, vec_column, n_centroids)
+    cents = train_ivf_centroids(ds, vec_column, n_centroids,
+                                id_column=id_column)
     q = np.asarray(query_vectors, np.float64)
     if q.ndim == 1:
         q = q[None, :]

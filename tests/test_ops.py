@@ -202,3 +202,28 @@ def test_embedding_neardup_ivf_finds_planted(ray_session):
                                 n_centroids=8, n_assign=2)
     pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
     assert (20, 150) in pairs
+
+
+def test_hash_sample_deterministic_and_unbiased(ray_session):
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sampling import hash_sample, random_sample
+
+    t = pa.table({"id": pa.array(range(20000), pa.int64()),
+                  "v": pa.array(range(20000), pa.int64())})
+    ds = ray.data.from_arrow(t)
+    a = pa.concat_tables(ray.get(
+        hash_sample(ds, "id", 0.2, seed=3).to_arrow_refs())).sort_by("id")
+    b = pa.concat_tables(ray.get(
+        hash_sample(ds, "id", 0.2, seed=3).to_arrow_refs())).sort_by("id")
+    assert a.equals(b)                       # deterministic
+    frac = a.num_rows / 20000
+    assert 0.17 < frac < 0.23                # ~binomial(20000, 0.2) 5-sigma
+    c = pa.concat_tables(ray.get(
+        hash_sample(ds, "id", 0.2, seed=4).to_arrow_refs()))
+    assert not a.equals(c.sort_by("id"))     # seed-sensitive
+
+    r = pa.concat_tables(ray.get(
+        random_sample(ds, 0.3, seed=1).to_arrow_refs()))
+    assert 0.26 < r.num_rows / 20000 < 0.34
