@@ -385,6 +385,19 @@ def q_sessionize_events(sf_dir: str) -> pa.Table:
     return sessionize_counts(ds, "user_id", "ts", "event_id")
 
 
+def q_ngram_jaccard_neardup(sf_dir: str) -> pa.Table:
+    """Exact word-trigram Jaccard near-dup via a distributed set-similarity
+    join (gram co-occurrence groupby) — the SQL-checkable member of the
+    near-dup family."""
+    from jsonschema_validator_ray.ops.dedup import ngram_jaccard_near_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    t = ngram_jaccard_near_duplicates(ds, "doc_id", "text", n=3,
+                                      threshold=0.5)
+    return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                     "jaccard": pc.round(t["jaccard"], ndigits=4)})
+
+
 def q_sample_events(sf_dir: str) -> pa.Table:
     """Deterministic 10% hash sample (Knuth multiplicative hash on event_id):
     resumable / re-run-stable sampling whose predicate is plain SQL."""
@@ -541,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "quality_documents": q_quality_documents,
         "sample_events": q_sample_events,
+        "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "hll_distinct_events": q_hll_distinct_events,
         "minhash_neardup_documents": q_minhash_neardup_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -776,6 +790,27 @@ def oracle_sql() -> dict[str, str]:
                                     OR ts - pts > INTERVAL 30 MINUTE)
                        AS n_sessions
             FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "ngram_jaccard_neardup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            tri AS (SELECT DISTINCT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                               AS t
+                    FROM w WHERE len(ws) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                      FROM tri a JOIN tri b
+                        ON a.t = b.t AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+            FROM inter JOIN cnt ca ON ca.doc_id = id_a
+                       JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+            ORDER BY id_a, id_b
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

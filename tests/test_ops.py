@@ -227,3 +227,16 @@ def test_hash_sample_deterministic_and_unbiased(ray_session):
     r = pa.concat_tables(ray.get(
         random_sample(ds, 0.3, seed=1).to_arrow_refs()))
     assert 0.26 < r.num_rows / 20000 < 0.34
+
+
+def test_ngram_jaccard_neardup(docs_ds):
+    from jsonschema_validator_ray.ops.dedup import ngram_jaccard_near_duplicates
+
+    out = ngram_jaccard_near_duplicates(docs_ds, "doc_id", "text",
+                                        n=3, threshold=0.8)
+    pairs = dict(zip(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()),
+                     out["jaccard"].to_pylist()))
+    assert pairs.get((0, 40)) == 1.0         # exact dup: identical gram sets
+    assert (0, 41) in pairs                  # near dup
+    # different base sentences share no trigram run above threshold
+    assert not any(a % 4 != b % 4 and b < 40 for a, b in pairs)
