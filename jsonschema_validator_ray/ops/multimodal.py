@@ -1,19 +1,34 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-container — clearly marked below); everything Ray-side is real and tested:
-schemas, batch sizing for large payloads, actor signatures, output layout.
-Swap ``_decode_image_stub`` for a real decoder (PIL/torchvision/ffmpeg) on a
-cluster that has one.
+Decode resolution order (probed once per actor, never per batch):
+
+1. Optional libraries (PIL for images, soundfile for audio) when importable.
+2. REAL pure-python/numpy decoders for public uncompressed formats that need
+   no external library: PPM ``P6`` images and PCM WAV audio (stdlib ``wave``).
+   The synthetic test corpus emits exactly these formats, so the real decode
+   path is exercised in this container.
+3. A clearly-marked deterministic STUB for anything else (e.g. JPEG without
+   PIL, video) — the Ray-side plumbing (schemas, small-batch sizing, actor
+   signature, output layout) is real regardless.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
+
+try:                                # optional, probed once at import
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+try:
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -26,8 +41,28 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def _encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes((np.clip(samples, -1, 1) * 32767)
+                      .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def synthetic_media_table(n: int = 64, seed: int = 3) -> pa.Table:
-    """Deterministic fake media rows for tests (payload = seeded bytes)."""
+    """Deterministic media rows for tests: images are REAL PPM payloads,
+    audio rows are REAL PCM WAV payloads (so the genuine decoders run in
+    this container); video stays an opaque blob (stub decode)."""
     rng = np.random.default_rng(seed)
     types = ["image", "audio", "video"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
@@ -35,25 +70,109 @@ def synthetic_media_table(n: int = 64, seed: int = 3) -> pa.Table:
         t = types[i % 3]
         rows["media_id"].append(i)
         rows["media_type"].append(t)
-        rows["payload"].append(rng.bytes(256 + (i % 7) * 128))
-        rows["width"].append(64 + 32 * (i % 4) if t != "audio" else None)
-        rows["height"].append(64 + 32 * ((i + 1) % 4) if t != "audio" else None)
+        w = 64 + 32 * (i % 4) if t != "audio" else None
+        h = 64 + 32 * ((i + 1) % 4) if t != "audio" else None
+        if t == "image":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows["payload"].append(_encode_ppm(img))
+        elif t == "audio":
+            samples = rng.normal(0, 0.2, 16000 // 4).astype(np.float32)
+            rows["payload"].append(_encode_wav(samples, 16000))
+        else:
+            rows["payload"].append(rng.bytes(256 + (i % 7) * 128))
+        rows["width"].append(w)
+        rows["height"].append(h)
         rows["sample_rate"].append(16000 if t == "audio" else None)
         rows["duration_ms"].append(1000 + i * 10 if t != "image" else None)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — deterministic fake decode (no image libs in this container).
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decode of a binary PPM (``P6``) image — pure numpy, no deps."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = []
+    pos = 2
+    while len(parts) < 3:                    # width, height, maxval
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":     # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end:end + 1].isspace():
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    pos += 1                                 # single whitespace before raster
+    w, h, _maxval = parts
+    return np.frombuffer(payload, np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
 
-    Real implementation: ``PIL.Image.open(io.BytesIO(payload))`` → RGB array.
-    The fake derives a (h, w, 3) uint8 array from a payload digest so tests
-    are deterministic and the downstream plumbing sees realistic shapes."""
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of a PCM WAV payload via stdlib ``wave`` → (float32
+    mono samples in [-1, 1], sample_rate)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        sr = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB — deterministic fake decode for formats with no available
+    decoder (e.g. JPEG without PIL). Derives a (h, w, 3) uint8 array from a
+    payload digest so tests are deterministic and downstream plumbing sees
+    realistic shapes."""
     digest = hashlib.blake2b(payload, digest_size=8).digest()
     seed = int.from_bytes(digest, "little")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height or 64, width or 64, 3),
                         dtype=np.uint8)
+
+
+def decode_image(payload: bytes, width: int | None = None,
+                 height: int | None = None) -> np.ndarray:
+    """Decode an image payload: PIL when importable → PPM decoder → stub."""
+    if _PIL_Image is not None:
+        try:
+            return np.asarray(
+                _PIL_Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception:
+            pass
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    return _decode_image_stub(payload, width, height)
+
+
+def decode_audio(payload: bytes,
+                 sample_rate: int | None = None) -> tuple[np.ndarray, int]:
+    """Decode an audio payload: soundfile → stdlib WAV → stub waveform."""
+    if _soundfile is not None:
+        try:
+            x, sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+            return x, sr
+        except Exception:
+            pass
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    # STUB: derive a waveform from the payload bytes
+    x = np.frombuffer(payload, np.uint8).astype(np.float32) / 255.0
+    return x, sample_rate or 16000
 
 
 class ImageFeatureStage:
@@ -80,7 +199,7 @@ class ImageFeatureStage:
                 batch["height"].to_pylist()):
             if mtype != "image":
                 continue
-            img = _decode_image_stub(payload, w, h)
+            img = decode_image(payload, w, h)
             small = self._resize_nn(img)
             feats.append(small.reshape(-1, 3).mean(axis=0).astype(np.float32))
             ids.append(mid)
@@ -92,8 +211,8 @@ class ImageFeatureStage:
 
 
 class AudioFrameSampleStage:
-    """Actor-pool stage: frame-sample an audio payload (STUB decode — derives
-    a waveform from the payload bytes; real impl: soundfile/ffmpeg)."""
+    """Actor-pool stage: frame-sample an audio payload (decode resolution:
+    soundfile → stdlib PCM WAV → stub waveform)."""
 
     def __init__(self, frame_ms: int = 100):
         self.frame_ms = frame_ms
@@ -106,11 +225,13 @@ class AudioFrameSampleStage:
                 batch["duration_ms"].to_pylist()):
             if mtype != "audio":
                 continue
-            wave = np.frombuffer(payload, np.uint8).astype(np.float32) / 255.0
-            frames = max(1, (dur or 1000) // self.frame_ms)
+            samples, srate = decode_audio(payload, sr)
+            frames = max(1, int(len(samples) * 1000 / max(srate, 1))
+                         // self.frame_ms) if len(samples) else 1
             ids.append(mid)
             n_frames.append(frames)
-            rms.append(float(np.sqrt(np.mean(wave ** 2))))
+            rms.append(float(np.sqrt(np.mean(samples ** 2)))
+                       if len(samples) else 0.0)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "n_frames": pa.array(n_frames, pa.int64()),
