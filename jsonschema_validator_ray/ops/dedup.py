@@ -130,27 +130,41 @@ def minhash_signatures(ds, id_column: str, text_column: str,
                 "signature": pa.array(sigs, pa.binary()),
             })
 
-    return ds.map_batches(SignatureStage, batch_format="pyarrow",
-                          batch_size=256, concurrency=concurrency)
+    # task-based, not an actor pool: MinHasher init is cheap (two rng
+    # arrays), and plain tasks skip pool ramp-up (measured on the row stage)
+    return ds.map_batches(SignatureStage(), batch_format="pyarrow",
+                          batch_size=256)
 
 
 def minhash_band_rows(sigs_ds, id_column: str, n_perms: int, bands: int,
-                      n_buckets: int):
-    """Signatures → band rows (pb, band, band_hash, id): ~24 bytes per row,
-    |docs| × bands rows total — the ONLY thing the LSH shuffle moves."""
+                      n_buckets: int, carry_signature: bool = True):
+    """Signatures → band rows (pb, band, band_hash, id[, signature]).
+
+    ``carry_signature=True`` ships the full signature on every band row so
+    the bucket stage can run the signature-estimate PREFILTER before
+    emitting pairs — on low-entropy corpora LSH buckets alone can flag a
+    large fraction of all pairs (measured: 954k candidate pairs from 5k
+    docs), and pruning them before the pair-dedup shuffle is the difference
+    between seconds and minutes. The extra shuffle volume is
+    bands × 8·n_perms bytes per doc; drop ``n_perms`` (64 is plenty for a
+    0.8 threshold) when signature bytes rival payload bytes."""
     def expand(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        cols = {
+            "pb": pa.array([], pa.int64()),
+            "band": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+            id_column: pa.array([], pa.int64()),
+        }
+        if carry_signature:
+            cols["signature"] = pa.array([], pa.binary())
         if n == 0:
-            return pa.table({
-                "pb": pa.array([], pa.int64()),
-                "band": pa.array([], pa.int32()),
-                "band_hash": pa.array([], pa.int64()),
-                id_column: pa.array([], pa.int64()),
-            })
+            return pa.table(cols)
         sig_col = batch["signature"]
         if isinstance(sig_col, pa.ChunkedArray):
             sig_col = sig_col.combine_chunks()
-        sig_mat = np.frombuffer(b"".join(sig_col.to_pylist()),
+        sig_list = sig_col.to_pylist()
+        sig_mat = np.frombuffer(b"".join(sig_list),
                                 np.uint64).reshape(n, n_perms)
         bh = _fold_bands(sig_mat, bands)                      # (n, bands)
         band_idx = np.broadcast_to(np.arange(bands, dtype=np.uint64),
@@ -160,23 +174,29 @@ def minhash_band_rows(sigs_ds, id_column: str, n_perms: int, bands: int,
         ids = np.repeat(
             batch[id_column].combine_chunks().to_numpy(zero_copy_only=False)
             .astype(np.int64), bands)
-        return pa.table({
+        cols = {
             "pb": pa.array(pb.ravel(), pa.int64()),
             "band": pa.array(band_idx.astype(np.int32).ravel(), pa.int32()),
             "band_hash": pa.array(bh.astype(np.int64).ravel(), pa.int64()),
             id_column: pa.array(ids, pa.int64()),
-        })
+        }
+        if carry_signature:
+            cols["signature"] = pa.array(
+                [s for s in sig_list for _ in range(bands)], pa.binary())
+        return pa.table(cols)
 
     return sigs_ds.map_batches(expand, batch_format="pyarrow",
                                zero_copy_batch=True)
 
 
-def _emit_bucket_pairs(id_column: str):
+def _emit_bucket_pairs(id_column: str, n_perms: int = 0,
+                       est_threshold: float = 0.0):
     """map_groups fn over one partition bucket (pb): vectorized sort + run
     scan over (band, band_hash); same (band, band_hash) run ⇒ candidate
-    pairs. Runs with >1 row are rare, so the per-run combine loop is short."""
-    from itertools import combinations
-
+    pairs, vectorized triu pair generation per run. When the group carries
+    signatures, pairs failing the signature-estimate prefilter
+    (est(J) < est_threshold, σ ≈ 1/√n_perms) are dropped HERE — before any
+    pair ever hits the dedup shuffle."""
     def emit(group: pa.Table) -> pa.Table:
         srt = group.sort_by([("band", "ascending"), ("band_hash", "ascending"),
                              (id_column, "ascending")])
@@ -184,6 +204,11 @@ def _emit_bucket_pairs(id_column: str):
         bh = srt["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
         ids = srt[id_column].combine_chunks().to_numpy(zero_copy_only=False)
         n = len(band)
+        has_sig = n_perms and "signature" in srt.column_names
+        if has_sig:
+            sig_mat = np.frombuffer(
+                b"".join(srt["signature"].to_pylist()),
+                np.uint64).reshape(n, n_perms)
         if n == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
@@ -195,12 +220,23 @@ def _emit_bucket_pairs(id_column: str):
         out_a: list = []
         out_b: list = []
         for s, e in zip(starts, ends):
-            if e - s > 1:
-                uniq = np.unique(ids[s:e])
-                if uniq.size > 1:
-                    for a, b in combinations(uniq.tolist(), 2):
-                        out_a.append(a)
-                        out_b.append(b)
+            if e - s <= 1:
+                continue
+            uniq, first = np.unique(ids[s:e], return_index=True)
+            if uniq.size < 2:
+                continue
+            r, c = np.triu_indices(uniq.size, k=1)
+            if has_sig:
+                sm = sig_mat[s:e][first]
+                step = 65536   # chunk: pairwise compare matrix stays ~64 MB
+                keep = np.empty(r.size, bool)
+                for i in range(0, r.size, step):
+                    est = (sm[r[i:i + step]] ==
+                           sm[c[i:i + step]]).mean(axis=1)
+                    keep[i:i + step] = est >= est_threshold
+                r, c = r[keep], c[keep]
+            out_a.extend(uniq[r].tolist())
+            out_b.extend(uniq[c].tolist())
         return pa.table({"id_a": pa.array(out_a, pa.int64()),
                          "id_b": pa.array(out_b, pa.int64())})
     return emit
@@ -209,6 +245,7 @@ def _emit_bucket_pairs(id_column: str):
 def minhash_lsh_candidate_pairs(ds, id_column: str, text_column: str,
                                 n_perms: int = 128, bands: int = 32,
                                 k: int = 5, n_buckets: int = 0,
+                                est_threshold: float = 0.0,
                                 concurrency=None):
     """Distributed LSH candidate pairs: returns a Dataset of UNIQUE
     (id_a, id_b) rows. No driver-side materialization anywhere."""
@@ -220,11 +257,14 @@ def minhash_lsh_candidate_pairs(ds, id_column: str, text_column: str,
         n_buckets = 4 * avail
     sigs = minhash_signatures(ds, id_column, text_column, n_perms, k,
                               concurrency)
-    band_ds = minhash_band_rows(sigs, id_column, n_perms, bands, n_buckets)
+    band_ds = minhash_band_rows(sigs, id_column, n_perms, bands, n_buckets,
+                                carry_signature=bool(est_threshold))
     from ray.data.aggregate import Count
 
-    pairs = band_ds.groupby("pb").map_groups(_emit_bucket_pairs(id_column),
-                                             batch_format="pyarrow")
+    pairs = band_ds.groupby("pb").map_groups(
+        _emit_bucket_pairs(id_column, n_perms if est_threshold else 0,
+                           est_threshold),
+        batch_format="pyarrow")
     # distributed dedup: the same pair can surface from several bands
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Count(alias_name="_n")).drop_columns(["_n"])
@@ -349,9 +389,14 @@ def minhash_near_duplicates(ds, id_column: str, text_column: str,
     re-read once, filtered to candidates, for the verify join."""
     import ray
 
-    pairs_ds = minhash_lsh_candidate_pairs(ds, id_column, text_column,
-                                           n_perms, bands, k,
-                                           concurrency=concurrency)
+    # signature-estimate prefilter INSIDE the bucket stage: est(J) has
+    # σ ≈ 1/√n_perms, so pairs estimated 3σ below the verify threshold
+    # cannot pass exact verification — drop them before the pair shuffle
+    margin = 3.0 / np.sqrt(n_perms)
+    pairs_ds = minhash_lsh_candidate_pairs(
+        ds, id_column, text_column, n_perms, bands, k,
+        est_threshold=max(verify_threshold - margin, 1e-9),
+        concurrency=concurrency)
     pair_parts = [t for t in ray.get(pairs_ds.to_arrow_refs())
                   if t.num_rows and "id_a" in t.column_names]
     pairs: list[tuple[int, int]] = []
@@ -366,10 +411,8 @@ def minhash_near_duplicates(ds, id_column: str, text_column: str,
 
 def add_simhash(ds, text_column: str = "text", out: str = "simhash", k: int = 5,
                 concurrency=None):
-    """64-bit SimHash per document: sign-sum of shingle-hash bits."""
-    if concurrency is None:
-        concurrency = _default_concurrency()
-
+    """64-bit SimHash per document: sign-sum of shingle-hash bits.
+    Task-based (cheap init, no pool ramp)."""
     class Stage:
         def __init__(self):
             self.bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
@@ -383,8 +426,7 @@ def add_simhash(ds, text_column: str = "text", out: str = "simhash", k: int = 5,
                 sims[i] = np.uint64(((charge > 0) * self.bits).sum())
             return batch.append_column(out, pa.array(sims, pa.uint64()))
 
-    return ds.map_batches(Stage, batch_format="pyarrow", batch_size=256,
-                          concurrency=concurrency)
+    return ds.map_batches(Stage(), batch_format="pyarrow", batch_size=256)
 
 
 def simhash_near_duplicates(ds, id_column: str, text_column: str = "text",

@@ -63,7 +63,18 @@ class ValidationResult:
     boundaries: Optional[pa.Table] = None   # unmerged run boundaries (partitioned mode)
 
 
-def _dataset_from(source: Source, columns: Optional[list] = None):
+def _dataset_from(source: Source, columns: Optional[list] = None,
+                  target_block_bytes: int = 128 * 1024 * 1024,
+                  blocks_per_cpu_floor: int = 2):
+    """Read with blocks sized to the DATA, not the file count.
+
+    The right block size is STAGE-dependent (measured at 70M turns, 32 cpus):
+    the embarrassingly-parallel row stage wants many small blocks (~32 MB —
+    64→256 blocks cut its wall 28 s → 10 s: long read tasks starve the map
+    otherwise), while the sort/groupby shuffle pays superlinear per-block
+    overhead and wants few large ones (~128 MB — 256 blocks blew its wall up
+    25x). Callers pick via ``target_block_bytes`` / ``blocks_per_cpu_floor``.
+    parquet compresses this corpus ~4x; sizing targets IN-MEMORY bytes."""
     import ray
     import ray.data
 
@@ -77,15 +88,10 @@ def _dataset_from(source: Source, columns: Optional[list] = None):
         paths = [source]
     else:
         paths = list(source)
-    # Size blocks to the DATA, not the file count: many small files otherwise
-    # explode into hundreds of tiny blocks and the sort's all-to-all pays
-    # per-block overhead quadratically. Target ~128 MB blocks with a floor of
-    # 2 blocks per CPU for parallelism.
-    # parquet compresses this corpus ~4x; block sizing targets IN-MEMORY bytes
     total_bytes = 4 * sum(os.path.getsize(p) for p in paths)
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    target = 128 * 1024 * 1024
-    nblocks = max(2 * cpus, total_bytes // target + 1)
+    nblocks = max(blocks_per_cpu_floor * cpus,
+                  total_bytes // target_block_bytes + 1)
     return ray.data.read_parquet(paths, columns=columns,
                                  override_num_blocks=int(nblocks))
 
@@ -123,7 +129,14 @@ def validate(source: Source, spec: Optional[dict] = None,
     if ir is None:
         ir = compile_constraints(spec)
 
-    ds = _dataset_from(source)
+    if strategy == "fused":
+        # fused feeds its single read into the groupby shuffle: use the
+        # shuffle-friendly (large-block) sizing
+        ds = _dataset_from(source)
+    else:
+        # row stage: many small blocks (pipeline-friendly; see _dataset_from)
+        ds = _dataset_from(source, target_block_bytes=32 * 1024 * 1024,
+                           blocks_per_cpu_floor=8)
     t0 = time.perf_counter()
 
     if strategy == "fused":
