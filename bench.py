@@ -35,11 +35,16 @@ BENCH_QUERIES = [
     "enum_check_events",
     "mono_check_events",
     "unique_check_events",
+    "struct_check_events",
+    "sample_events",
     "exact_dedup_documents",
     "token_count_documents",
     "simsearch_top5",
     "hll_distinct_events",
     "minhash_neardup_documents",
+    "simhash_neardup_documents",
+    "ngram_jaccard_neardup",
+    "embedding_neardup",
 ]
 
 

@@ -162,12 +162,10 @@ def sessionize_counts(ds, user_col: str, ts_col: str, order_col: str,
     n_buckets = 4 * avail
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from ..stages.groupcheck import np_column_hash
 
-        col = batch[user_col]
-        s = pl.from_arrow(col.combine_chunks()
-                          if isinstance(col, pa.ChunkedArray) else col)
-        h = (s.hash(seed=42) % n_buckets).to_numpy().astype(np.int64)
+        h = (np_column_hash(batch[user_col])
+             % np.uint64(n_buckets)).astype(np.int64)
         return batch.append_column("_bucket", pa.array(h, pa.int64()))
 
     def count_bucket(group: pa.Table) -> pa.Table:

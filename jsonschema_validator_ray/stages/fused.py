@@ -49,12 +49,10 @@ KIND_ROW, KIND_VIOLATION, KIND_SKETCH, KIND_VERDICT = 0, 1, 2, 3
 
 
 def _hash_buckets(col, n_buckets: int) -> np.ndarray:
-    import polars as pl
+    # numpy-only hash: no third-party lazy imports inside worker tasks
+    from .groupcheck import np_column_hash
 
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    s = pl.from_arrow(col)
-    return (s.hash(seed=42) % n_buckets).to_numpy().astype(np.int64)
+    return (np_column_hash(col) % np.uint64(n_buckets)).astype(np.int64)
 
 
 class FusedRowStage:
