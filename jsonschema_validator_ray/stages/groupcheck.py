@@ -248,30 +248,25 @@ _FNV_OFFSET = np.uint64(1469598103934665603)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def np_column_hash(col) -> np.ndarray:
-    """Vectorized 64-bit hash of an Arrow column with NO third-party import
-    in the task (the headline hot path must not depend on polars' lazy
-    import machinery inside workers). Integers use a multiply-shift;
-    strings/binary fold the first 16 bytes + length byte-position-wise over
-    the raw Arrow buffers — ~16 vectorized ops, no Python rows."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
-        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        return (v * np.uint64(0x9E3779B97F4A7C15)) ^ (v >> np.uint64(31))
+def _np_string_hash(col) -> np.ndarray:
+    """Pure-numpy 64-bit hash of a string/binary Arrow column: FNV fold over
+    the raw buffers. Fixed-width values (e.g. conv ids) take a reshape fast
+    path; ragged values fold the first 16 bytes + length. No Python rows."""
     b = col.cast(pa.binary()) if not pa.types.is_binary(col.type) else col
     n = len(b)
     if n == 0:
         return np.zeros(0, np.uint64)
-    off_buf = b.buffers()[1]
-    width = np.int32 if pa.types.is_binary(b.type) or \
-        pa.types.is_string(b.type) else np.int64
-    offs = np.frombuffer(off_buf, width)[b.offset:b.offset + n + 1] \
+    offs = np.frombuffer(b.buffers()[1], np.int32)[b.offset:b.offset + n + 1] \
         .astype(np.int64)
     data = np.frombuffer(b.buffers()[2], np.uint8)
     lens = np.diff(offs)
     h = np.full(n, _FNV_OFFSET)
+    width = int(lens[0]) if n else 0
+    if width and (lens == width).all() and offs[-1] - offs[0] == n * width:
+        mat = data[offs[0]:offs[-1]].reshape(n, width).astype(np.uint64)
+        for j in range(width):
+            h = (h ^ mat[:, j]) * _FNV_PRIME
+        return h
     cap = int(min(lens.max(initial=0), 16))
     for j in range(cap):
         valid = lens > j
@@ -281,9 +276,35 @@ def np_column_hash(col) -> np.ndarray:
     return (h ^ lens.astype(np.uint64)) * _FNV_PRIME
 
 
+def np_column_hash(col) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow column. Integers hash in pure
+    numpy (multiply-shift); strings use polars' native hash (~3x the numpy
+    fold). The SAME function must be used by every task of a run — bucket
+    assignment is only correct if a key hashes identically everywhere — so
+    there is no silent fallback: a broken half-imported polars module
+    (seen once in fresh Ray workers) is purged from sys.modules and
+    re-imported instead."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return (v * np.uint64(0x9E3779B97F4A7C15)) ^ (v >> np.uint64(31))
+    try:
+        import polars as pl
+        return pl.from_arrow(col).hash(seed=42).to_numpy().astype(np.uint64)
+    except Exception:
+        import sys
+        for m in [m for m in list(sys.modules)
+                  if m == "polars" or m.startswith("polars.")]:
+            sys.modules.pop(m, None)
+        import polars as pl
+        return pl.from_arrow(col).hash(seed=42).to_numpy().astype(np.uint64)
+
+
 def make_bucket_adder(gc: GroupCheck, n_buckets: int):
     """Vectorized hash-partition key: ``_bucket = np_column_hash(key) % n``
-    — no Python row materialization, no in-task third-party imports."""
+    — no Python row materialization; import-failure-tolerant."""
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = (np_column_hash(batch[gc.group_key])
              % np.uint64(n_buckets)).astype(np.int64)
