@@ -716,15 +716,18 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
     """EXACT word-n-gram Jaccard near-dup via a distributed set-similarity
     join: each doc's DISTINCT word n-grams become (bucket, gram_hash, id,
     set_size) rows; a partition-bucket groupby emits one co-occurrence row
-    per shared gram per pair; a second groupby counts intersections, and
-    ``J = inter / (na + nb - inter)`` filters pairs. Exact (SQL-expressible,
-    oracle-checked) and fully distributed.
+    per shared gram per pair (tagged with its PAIR-hash bucket); a second
+    partition-bucket groupby aggregates intersections with an in-group
+    vectorized pyarrow groupby, and ``J = inter / (na + nb - inter)``
+    filters. Exact (SQL-expressible, oracle-checked), fully distributed,
+    and both shuffles sort a single low-cardinality int key — Ray's
+    ``groupby().aggregate()`` over the raw (id_a, id_b) pairs measured 5-8x
+    slower than this shape at 1.3M co-occurrence rows.
 
     Scale note: a gram appearing in df docs emits O(df²) pair rows — at
     100 TB apply PPJoin-style prefix filtering or a df cap first; this
     operator implements the exact semantics the oracle can check."""
     import ray
-    from ray.data.aggregate import Count, Max
 
     if n_buckets <= 0:
         avail = int(ray.cluster_resources().get("CPU", 4)) \
@@ -762,10 +765,10 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
         ids = srt["id"].combine_chunks().to_numpy(zero_copy_only=False)
         ns = srt["nset"].combine_chunks().to_numpy(zero_copy_only=False)
         m = len(gh)
-        out_a: list = []
-        out_b: list = []
-        out_na: list = []
-        out_nb: list = []
+        parts_a: list = []
+        parts_b: list = []
+        parts_na: list = []
+        parts_nb: list = []
         if m:
             new_run = np.empty(m, bool)
             new_run[0] = True
@@ -776,39 +779,52 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
                 cnt = e - s
                 if cnt > 1:
                     r, c = np.triu_indices(cnt, k=1)   # vectorized pair gen
-                    out_a.extend(ids[s:e][r].tolist())
-                    out_b.extend(ids[s:e][c].tolist())
-                    out_na.extend(ns[s:e][r].tolist())
-                    out_nb.extend(ns[s:e][c].tolist())
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "na": pa.array(out_na, pa.int64()),
-                         "nb": pa.array(out_nb, pa.int64())})
+                    parts_a.append(ids[s:e][r])        # numpy only — Python
+                    parts_b.append(ids[s:e][c])        # lists would dominate
+                    parts_na.append(ns[s:e][r])
+                    parts_nb.append(ns[s:e][c])
+        cat = (lambda ps: np.concatenate(ps) if ps else np.zeros(0, np.int64))
+        a, b = cat(parts_a), cat(parts_b)
+        na, nb = cat(parts_na), cat(parts_nb)
+        # pair-hash bucket: the aggregation shuffle sorts this single int
+        pb2 = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))) \
+            % np.uint64(n_buckets)
+        return pa.table({"pb2": pa.array(pb2.astype(np.int64), pa.int64()),
+                         "id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64()),
+                         "na": pa.array(na, pa.int64()),
+                         "nb": pa.array(nb, pa.int64())})
+
+    def local_agg(group: pa.Table) -> pa.Table:
+        """All co-occurrences of a pair land in one pb2 bucket: aggregate
+        them with ONE vectorized pyarrow groupby and score in place."""
+        g = pa.TableGroupBy(group.select(["id_a", "id_b", "na", "nb"]),
+                            ["id_a", "id_b"]).aggregate(
+            [("na", "count"), ("na", "max"), ("nb", "max")])
+        inter = g["na_count"].to_numpy().astype(np.float64)
+        na = g["na_max"].to_numpy().astype(np.float64)
+        nb = g["nb_max"].to_numpy().astype(np.float64)
+        j = inter / (na + nb - inter)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": g["id_a"].filter(pa.array(keep)),
+            "id_b": g["id_b"].filter(pa.array(keep)),
+            "jaccard": pa.array(j[keep], pa.float64()),
+        })
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow",
                            zero_copy_batch=True)
     cooc = grams.groupby("pb").map_groups(emit_cooccur,
                                           batch_format="pyarrow")
-    agg = cooc.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="inter"),
-        Max("na", alias_name="na"), Max("nb", alias_name="nb"))
+    # checkpoint between the two all-to-all sorts: chaining them in one
+    # streaming execution measured 2x slower than staging the (bounded,
+    # object-store-resident) co-occurrence set
+    cooc = cooc.materialize()
+    out = cooc.groupby("pb2").map_groups(local_agg, batch_format="pyarrow")
 
-    def score(batch: pa.Table) -> pa.Table:
-        inter = batch["inter"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch["na"].combine_chunks().to_numpy(zero_copy_only=False)
-        nb = batch["nb"].combine_chunks().to_numpy(zero_copy_only=False)
-        j = inter / (na + nb - inter)
-        keep = j >= threshold
-        return pa.table({
-            "id_a": batch["id_a"].filter(pa.array(keep)),
-            "id_b": batch["id_b"].filter(pa.array(keep)),
-            "jaccard": pa.array(j[keep], pa.float64()),
-        })
-
-    parts = [t for t in ray.get(
-        agg.map_batches(score, batch_format="pyarrow").to_arrow_refs())
-        if t.num_rows and "id_a" in t.column_names]
+    parts = [t for t in ray.get(out.to_arrow_refs())
+             if t.num_rows and "id_a" in t.column_names]
     if not parts:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
