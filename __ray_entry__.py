@@ -192,45 +192,45 @@ def q_unique_check_events(sf_dir: str) -> pa.Table:
 
 
 def q_mono_check_events(sf_dir: str) -> pa.Table:
-    """Per-user ts regressions in event_id order (mono kernel on a generic
-    table: group=user_id, order=event_id)."""
-    from jsonschema_validator_ray.constraints.ir import GroupCheck
-    from jsonschema_validator_ray.stages.groupcheck import (
-        SortedRunChecker, merge_run_boundaries)
+    """Per-user ts regressions in event_id order (mono check on a generic
+    table: group=user_id, order=event_id). ONE hash-bucket groupby — whole
+    users per bucket — with a vectorized in-group lag check and per-user
+    count (zeros included); nothing but the result reaches the driver."""
+    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
 
-    gc = GroupCheck(group_key="user_id", order_by="event_id", ts_column="ts",
-                    check_unique=False, check_mono=True)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = (np_column_hash(batch["user_id"]) % np.uint64(128)) \
+            .astype(np.int64)
+        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+
+    def check_bucket(group: pa.Table) -> pa.Table:
+        srt = group.sort_by([("user_id", "ascending"),
+                             ("event_id", "ascending")])
+        u = srt["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = srt["ts"].combine_chunks().cast(pa.int64(), safe=False) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(u)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_regressions": pa.array([], pa.int64())})
+        same = u[1:] == u[:-1]
+        reg = np.zeros(n, bool)
+        # SQL-lag semantics: compare each row's ts to the previous row of
+        # the same user; NaN (null ts) comparisons are False
+        reg[1:] = same & (ts[1:] < ts[:-1])
+        users, starts = np.unique(u, return_index=True)
+        counts = np.add.reduceat(reg.astype(np.int64), starts)
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "n_regressions": pa.array(counts, pa.int64())})
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-    sds = ds.sort(["user_id", "event_id"])
-    out = _collect(sds.map_batches(SortedRunChecker(gc), batch_format="pyarrow",
-                                   zero_copy_batch=True))
-    viol = out.filter(pc.equal(out["kind"], "violation"))
-    bounds = out.filter(pc.equal(out["kind"], "boundary")) \
-        .drop_columns(["kind", "turn_idx", "constraint_id", "message"])
-    from jsonschema_validator_ray.constraints.kernels import VIOLATION_SCHEMA
-    viol_t = pa.table({n: viol[n] for n in VIOLATION_SCHEMA.names},
-                      schema=VIOLATION_SCHEMA)
-    cross = merge_run_boundaries(bounds, gc)
-    all_viol = pa.concat_tables([viol_t, cross])
-
-    # distinct users via a DISTRIBUTED groupby — the collected table is
-    # result-sized (one row per user), never the full user_id column
-    users_t = _collect(_read(sf_dir, "events", ["user_id"])
-                       .groupby("user_id").count())
-    users = pa.table({"user_id": users_t["user_id"].cast(pa.int64())})
-    # violations are output-sized (tiny): vectorized count per user + left join
-    if all_viol.num_rows:
-        vt = pa.table({"user_id": all_viol["conv_id"].cast(pa.int64())})
-        vc = pa.TableGroupBy(vt, "user_id").aggregate([("user_id", "count")])
-        counts = pa.table({"user_id": vc["user_id"],
-                           "n_regressions": vc["user_id_count"].cast(pa.int64())})
-    else:
-        counts = pa.table({"user_id": pa.array([], pa.int64()),
-                           "n_regressions": pa.array([], pa.int64())})
-    joined = users.join(counts, keys="user_id", join_type="left outer")
+    out = _collect(ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("_bucket")
+                   .map_groups(check_bucket, batch_format="pyarrow"))
     return pa.table({
-        "user_id": joined["user_id"],
-        "n_regressions": joined["n_regressions"].fill_null(0).cast(pa.int64()),
+        "user_id": out["user_id"].cast(pa.int64()),
+        "n_regressions": out["n_regressions"].cast(pa.int64()),
     }).sort_by("user_id")
 
 
