@@ -203,3 +203,62 @@ def test_remote_ref_loader_called_once():
     assert [e.as_tuple() for e in schema.validation_errors("#", {"a": "x"})] == [
         ("#/a", KeywordType.TYPE, "Invalid Type")
     ]
+
+
+# --- real HTTP loader against a local mock server (ref_.rs:136-146 analog)
+
+def test_http_loader_fetches_and_caches():
+    import http.server
+    import json as _json
+    import threading
+
+    from jsonschema_validator_ray.jsonvalidate.loader import HttpSchemaLoader
+    from jsonschema_validator_ray.jsonvalidate.schema import ScopeBuilder
+
+    hits = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            body = _json.dumps({"type": "integer"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        loader = HttpSchemaLoader()
+        builder = ScopeBuilder(loader)
+        raw = {"properties": {
+            "a": {"$ref": f"{base}/schema.json"},
+            "b": {"$ref": f"{base}/schema.json"},   # same target: ONE fetch
+        }}
+        url = builder.inject_schema(raw)
+        schema = builder.schema(url, raw)
+        builder.build()
+        assert loader.calls == 1 and len(hits) == 1   # cache-deduped fetch
+        assert schema.is_valid("#", {"a": 1, "b": 2})
+        assert not schema.is_valid("#", {"a": "nope"})
+    finally:
+        srv.shutdown()
+
+
+def test_http_loader_error_is_compile_time():
+    import pytest as _pytest
+
+    from jsonschema_validator_ray.jsonvalidate import SchemaError
+    from jsonschema_validator_ray.jsonvalidate.loader import HttpSchemaLoader
+
+    loader = HttpSchemaLoader(timeout=0.5)
+    with _pytest.raises(SchemaError, match="Loader Error"):
+        loader("ftp://example.invalid/schema.json")
+    with _pytest.raises(SchemaError, match="Loader Error"):
+        loader("http://127.0.0.1:9/nothing-listens-here")
