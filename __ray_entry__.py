@@ -303,6 +303,137 @@ def q_pricing_summary_lineitem(sf_dir: str) -> pa.Table:
     }).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
+def q_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-shaped LARGE-LARGE join: orders ⨝ lineitem via a reduce-side
+    hash join (one bucket shuffle, in-bucket pyarrow join + aggregation +
+    local top-k), customer side broadcast-filtered. Revenue in exact integer
+    e4 units so the value-hash can't drift."""
+    import ray
+
+    from jsonschema_validator_ray.ops.join import reduce_side_hash_join
+
+    cutoff = pa.scalar(np.datetime64("1995-03-15T00:00:00", "us"),
+                       pa.timestamp("us"))
+    cust = _collect(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    keys_ref = ray.put(keys["c_custkey"].combine_chunks().cast(pa.int64()))
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.less(batch["o_orderdate"], cutoff),
+                    pc.is_in(batch["o_custkey"], value_set=ray.get(keys_ref)))
+        return batch.filter(m).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def lineitem_filter(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        price_c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                          pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                         pa.int64())
+        rev = pc.multiply(price_c,
+                          pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_e4": rev})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]) \
+        .map_batches(orders_filter, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"]) \
+        .map_batches(lineitem_filter, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def agg_topk(joined: pa.Table) -> pa.Table:
+        # the join key never spans buckets: this aggregation is FINAL, and
+        # only the bucket's top-10 rows leave the shuffle
+        g = pa.TableGroupBy(joined, ["l_orderkey", "o_orderdate",
+                                     "o_orderpriority"]) \
+            .aggregate([("rev_e4", "sum")])
+        g = g.sort_by([("rev_e4_sum", "descending"),
+                       ("o_orderdate", "ascending"),
+                       ("l_orderkey", "ascending")]).slice(0, 10)
+        return g
+
+    out = _collect(reduce_side_hash_join(orders, lineitem, "l_orderkey",
+                                         group_fn=agg_topk))
+    out = out.sort_by([("rev_e4_sum", "descending"),
+                       ("o_orderdate", "ascending"),
+                       ("l_orderkey", "ascending")]).slice(0, 10)
+    return pa.table({
+        "l_orderkey": out["l_orderkey"].cast(pa.int64()),
+        "revenue_e4": out["rev_e4_sum"].cast(pa.int64()),
+        "o_orderdate": out["o_orderdate"],
+        "o_orderpriority": out["o_orderpriority"],
+    })
+
+
+def q_running_total_orders(sf_dir: str) -> pa.Table:
+    """Running per-customer spend (window cumulative sum) via ONE hash-bucket
+    groupby: whole customers per bucket, vectorized in-group cumsum."""
+    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = (np_column_hash(batch["o_custkey"]) % np.uint64(128)) \
+            .astype(np.int64)
+        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+
+    def cum_bucket(group: pa.Table) -> pa.Table:
+        srt = group.sort_by([("o_custkey", "ascending"),
+                             ("o_orderdate", "ascending"),
+                             ("o_orderkey", "ascending")])
+        cust = srt["o_custkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            srt["o_totalprice"], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        run = np.cumsum(cents)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], cust[1:] != cust[:-1]]))
+        # reset the running sum at each customer boundary
+        base = np.zeros(len(cust), np.int64)
+        base[starts[1:]] = run[starts[1:] - 1]
+        run = run - np.maximum.accumulate(base)
+        return pa.table({
+            "o_custkey": srt["o_custkey"],
+            "o_orderkey": srt["o_orderkey"],
+            "running_spend_cents": pa.array(run, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out = _collect(ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("_bucket")
+                   .map_groups(cum_bucket, batch_format="pyarrow"))
+    return pa.table({
+        "o_custkey": out["o_custkey"].cast(pa.int64()),
+        "o_orderkey": out["o_orderkey"].cast(pa.int64()),
+        "running_spend_cents": out["running_spend_cents"].cast(pa.int64()),
+    }).sort_by([("o_custkey", "ascending"), ("o_orderkey", "ascending")])
+
+
+def q_top_words_documents(sf_dir: str) -> pa.Table:
+    """Corpus-wide word frequency top-20: per-batch local counts (explode +
+    pyarrow groupby), one small distributed sum, deterministic tiebreak."""
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        t = pa.table({"word": words})
+        g = pa.TableGroupBy(t, "word").aggregate([("word", "count")])
+        return pa.table({"word": g["word"],
+                         "n": g["word_count"].cast(pa.int64())})
+
+    parts = _collect(_read(sf_dir, "documents", ["text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    final = pa.TableGroupBy(parts, "word").aggregate([("n", "sum")])
+    final = final.sort_by([("n_sum", "descending"), ("word", "ascending")])
+    top = final.slice(0, 20)
+    return pa.table({"word": top["word"],
+                     "n": top["n_sum"].cast(pa.int64())})
+
+
 def q_topk_orders(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.aggregates import top_k
 
@@ -546,6 +677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "struct_check_events": q_struct_check_events,
         "pricing_summary_lineitem": q_pricing_summary_lineitem,
         "topk_orders": q_topk_orders,
+        "shipping_priority": q_shipping_priority,
+        "running_total_orders": q_running_total_orders,
+        "top_words_documents": q_top_words_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "token_count_documents": q_token_count_documents,
         "lang_stats_documents": q_lang_stats_documents,
@@ -742,6 +876,34 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_e4,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "running_total_orders": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+                       AS BIGINT) AS running_spend_cents
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "top_words_documents": """
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT 20
         """,
         "exact_dedup_documents": """
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies

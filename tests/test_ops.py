@@ -257,3 +257,25 @@ def test_real_ppm_and_wav_decode_roundtrip():
     assert sr == 8000
     assert got.shape == samples.shape
     assert np.abs(got - np.clip(samples, -1, 1)).max() < 1e-3
+
+
+def test_reduce_side_hash_join_matches_pyarrow(ray_session):
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.join import reduce_side_hash_join
+
+    rng = np.random.default_rng(21)
+    left = pa.table({"k": pa.array(rng.integers(0, 50, 300), pa.int64()),
+                     "lv": pa.array(range(300), pa.int64())})
+    right = pa.table({"k": pa.array(rng.integers(0, 50, 200), pa.int64()),
+                      "rv": pa.array(range(200), pa.int64())})
+    got = pa.concat_tables([t for t in ray.get(
+        reduce_side_hash_join(ray.data.from_arrow(left),
+                              ray.data.from_arrow(right),
+                              "k").to_arrow_refs())
+        if t.num_rows and "k" in t.column_names])
+    expect = left.join(right, keys="k", join_type="inner")
+    key = lambda t: sorted(zip(t["k"].to_pylist(), t["lv"].to_pylist(),
+                               t["rv"].to_pylist()))
+    assert key(got) == key(expect)
