@@ -648,6 +648,23 @@ def q_multimodal_image_features(sf_dir: str) -> pa.Table:
     return out.sort_by("media_id")
 
 
+def q_multimodal_audio_frames(sf_dir: str) -> pa.Table:
+    """Audio frame-sampling over real PCM WAV payloads (stdlib decode),
+    actor-pool stage with small batches for binary columns."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.multimodal import (
+        sample_audio_frames, synthetic_media_table)
+
+    ds = ray.data.from_arrow(synthetic_media_table(96))
+    out = _collect(sample_audio_frames(ds))
+    return pa.table({
+        "media_id": out["media_id"],
+        "n_frames": out["n_frames"],
+        "rms": pc.round(out["rms"], ndigits=6),
+    }).sort_by("media_id")
+
+
 def q_drift_events_type(sf_dir: str) -> pa.Table:
     """Chi-square drift of event_type frequencies vs the uniform reference."""
     from jsonschema_validator_ray.ops.aggregates import value_counts
@@ -698,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_frames": q_multimodal_audio_frames,
         "drift_events_type": q_drift_events_type,
     }
 
