@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "simhash_neardup_documents",
     "ngram_jaccard_neardup",
     "embedding_neardup",
+    "shipping_priority",
+    "running_total_orders",
 ]
 
 
