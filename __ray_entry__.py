@@ -529,6 +529,30 @@ def q_ngram_jaccard_neardup(sf_dir: str) -> pa.Table:
                      "jaccard": pc.round(t["jaccard"], ndigits=4)})
 
 
+def q_viewers_without_purchase(sf_dir: str) -> pa.Table:
+    """Set-op family (EXCEPT): users with ≥1 'view' event and NO 'purchase'
+    event — one distributed groupby with boolean-max partials."""
+    from ray.data.aggregate import Max
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "is_view": pc.cast(pc.equal(batch["event_type"], "view"),
+                               pa.int64()),
+            "is_purchase": pc.cast(pc.equal(batch["event_type"], "purchase"),
+                                   pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby("user_id").aggregate(
+        Max("is_view", alias_name="v"), Max("is_purchase", alias_name="p"))
+    out = _collect(agg)
+    keep = pc.and_(pc.equal(out["v"], 1), pc.equal(out["p"], 0))
+    return pa.table({"user_id": out["user_id"].filter(keep).cast(pa.int64())}
+                    ).sort_by("user_id")
+
+
 def q_sample_events(sf_dir: str) -> pa.Table:
     """Deterministic 10% hash sample (Knuth multiplicative hash on event_id):
     resumable / re-run-stable sampling whose predicate is plain SQL."""
@@ -705,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize_events,
         "quality_documents": q_quality_documents,
         "sample_events": q_sample_events,
+        "viewers_without_purchase": q_viewers_without_purchase,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "hll_distinct_events": q_hll_distinct_events,
         "minhash_neardup_documents": q_minhash_neardup_documents,
@@ -936,6 +961,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "viewers_without_purchase": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
         """,
         "sample_events": """
             SELECT event_id, user_id FROM events
