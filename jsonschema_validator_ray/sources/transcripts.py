@@ -181,9 +181,13 @@ def _generate_one_shard(args: tuple):
                                                             inject)
 
     # resumable: shard content is pure, so an existing (atomically written)
-    # file is correct — still recompute the (cheap) golden rows, skip the
-    # expensive materialize+write below.
+    # file with a MATCHING plan token is correct — still recompute the
+    # (cheap) golden rows, skip the expensive materialize+write below. The
+    # token guards against silently reusing shards from a previous
+    # generation into the same directory with different parameters.
     path = os.path.join(out_dir, f"part-{s:04d}.parquet")
+    plan_token = (f"{lo}:{hi}:{g0}:{n_convs}:{int(drifted)}:{int(inject)}:"
+                  f"{len(incoming_dups)}")
 
     shard = _build_shard(lo, hi, lens_slice, int(g0), drifted)
     n, g = shard["n"], shard["g"]
@@ -268,7 +272,10 @@ def _generate_one_shard(args: tuple):
         null_ts = range_ts = bad_tool = z
 
     if os.path.exists(path):
-        return s, path, golden, pq.ParquetFile(path).metadata.num_rows
+        meta = pq.ParquetFile(path).metadata.metadata or {}
+        if meta.get(b"graft_plan") == plan_token.encode():
+            return s, path, golden, pq.ParquetFile(path).metadata.num_rows
+        # stale shard from a different generation plan: fall through, rewrite
 
     tbl = _materialize(shard, null_tid=null_tid, null_text=null_text,
                        long_text=long_text, null_ts=null_ts, range_ts=range_ts,
@@ -288,6 +295,7 @@ def _generate_one_shard(args: tuple):
         tbl = pa.concat_tables([tbl] + add)
 
     tmp = path + ".tmp"
+    tbl = tbl.replace_schema_metadata({"graft_plan": plan_token})
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)  # atomic: a crashed run never leaves partial shards
     return s, path, golden, tbl.num_rows

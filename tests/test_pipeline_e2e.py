@@ -167,3 +167,32 @@ def test_null_group_key_rows_survive_pipeline(ray_session, tmp_path):
         res = validate(p, spec=TRANSCRIPT_SPEC, strategy=strategy)
         cids = sorted(res.violations["constraint_id"].to_pylist())
         assert cids == ["required:conv_id", "type:conv_id"], (strategy, cids)
+
+
+def test_generator_shard_count_invariant(tmp_path):
+    """Different n_files shardings produce the same logical corpus (row
+    multiset) and identical golden violations."""
+    a = generate_transcripts(str(tmp_path / "s2"), n_convs=60, n_files=2)
+    b = generate_transcripts(str(tmp_path / "s5"), n_convs=60, n_files=5)
+
+    def rows(gen):
+        t = pa.concat_tables([pq.read_table(f) for f in gen.files])
+        return sorted(map(tuple, zip(*[t[c].to_pylist()
+                                       for c in t.column_names])), key=repr)
+
+    assert rows(a) == rows(b)
+    assert a.golden_violations.equals(b.golden_violations)
+
+
+def test_generator_rejects_stale_shards(tmp_path):
+    """Re-generating into a directory that holds shards from a DIFFERENT
+    plan must rewrite them, not silently reuse them (plan-token guard)."""
+    d = str(tmp_path / "reuse")
+    generate_transcripts(d, n_convs=120, n_files=3)
+    gen = generate_transcripts(d, n_convs=40, n_files=3)
+    total = sum(pq.read_table(f).num_rows for f in gen.files)
+    import numpy as np
+    from jsonschema_validator_ray.sources.transcripts import conv_len
+    expected = int(conv_len(np.arange(40, dtype=np.int64)).sum())
+    # +1 row per cross-shard duplicated conversation (dup convs: c%101==17)
+    assert abs(total - expected) <= 2
