@@ -507,6 +507,31 @@ def q_simsearch_top5(sf_dir: str) -> pa.Table:
     }).sort_by([("cos", "descending"), ("vec_id", "ascending")])
 
 
+def q_simsearch_multi(sf_dir: str) -> pa.Table:
+    """Batched similarity search: top-3 cosine neighbors for FIVE query
+    vectors in one pass (the query matrix broadcasts once; each batch does
+    one matmul and emits 3 rows per query)."""
+    from jsonschema_validator_ray.ops.simsearch import brute_force_topk
+
+    q_ids = [0, 1, 2, 3, 4]
+    qset = pa.array(q_ids, pa.int64())
+    emb = _collect(_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                   .map_batches(lambda b: b.filter(
+                       pc.is_in(b["vec_id"], value_set=qset)),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    emb = emb.sort_by("vec_id")
+    queries_mat = np.asarray(emb["embedding"].to_pylist(), np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = brute_force_topk(ds, queries_mat, "vec_id", "embedding", k=3,
+                         exclude_ids=q_ids)
+    return pa.table({
+        "query_id": t["query_idx"].cast(pa.int64()),
+        "vec_id": t["vec_id"],
+        "cos": pc.round(t["cos"], ndigits=4),
+    }).sort_by([("query_id", "ascending"), ("cos", "descending"),
+                ("vec_id", "ascending")])
+
+
 def q_sessionize_events(sf_dir: str) -> pa.Table:
     """Gap-based session windows (30 min) per user — the batch form of a
     streaming session window."""
@@ -726,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats_documents": q_lang_stats_documents,
         "events_per_day": q_events_per_day,
         "simsearch_top5": q_simsearch_top5,
+        "simsearch_multi": q_simsearch_multi,
         "sessionize_events": q_sessionize_events,
         "quality_documents": q_quality_documents,
         "sample_events": q_sample_events,
@@ -989,6 +1015,24 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(b.embedding AS DOUBLE[])) DESC,
                      b.vec_id
             LIMIT 5
+        """,
+        "simsearch_multi": """
+            SELECT query_id, vec_id, cos FROM (
+                SELECT a.vec_id AS query_id, b.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 4) AS cos,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                               b.vec_id) AS rn
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id IN (0,1,2,3,4)
+                  AND b.vec_id NOT IN (0,1,2,3,4))
+            WHERE rn <= 3
+            ORDER BY query_id, cos DESC, vec_id
         """,
         "sessionize_events": """
             WITH w AS (
