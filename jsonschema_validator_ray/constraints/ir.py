@@ -58,17 +58,21 @@ class StructDecode:
     uncastable) and ``{parent}/{field}#present`` (key present)."""
 
     parent: str
-    field: str
+    field: str         # possibly dotted for RECURSIVE sub-properties: "a.b.c"
     engine_type: str   # integer | number | string | boolean
     json: bool = True
 
     @property
+    def field_parts(self) -> tuple:
+        return tuple(self.field.split("."))
+
+    @property
     def value_col(self) -> str:
-        return f"{self.parent}/{self.field}"
+        return f"{self.parent}/{'/'.join(self.field_parts)}"
 
     @property
     def present_col(self) -> str:
-        return f"{self.parent}/{self.field}#present"
+        return f"{self.value_col}#present"
 
 
 @dataclass(frozen=True)
@@ -152,43 +156,54 @@ def _parse_type_set(column: str, declared: Any) -> frozenset:
 _NESTED_TYPES = ("integer", "number", "string", "boolean")
 
 
-def _compile_properties(ir: ConstraintIR, col: str, cspec: dict) -> None:
+def _compile_properties(ir: ConstraintIR, col: str, cspec: dict, *,
+                        prefix: str = "", parent_col: str = "") -> None:
     """Compile a column's nested ``properties`` sub-spec (the table-scale
-    analog of the reference's recursive ``properties`` compile,
+    analog of the reference's RECURSIVE ``properties`` compile,
     src/keywords/properties_.rs:49-113): each declared field becomes a
     StructDecode (vectorized extract + cast into derived columns) plus
     nested RowConstraints on the derived columns, with ``{col}/{field}``
-    violation paths (path rule of properties_.rs:127)."""
+    violation paths (path rule of properties_.rs:127). A field spec may
+    itself declare ``properties`` — sub-schemas recurse to any depth with
+    dotted field paths (``$.a.b`` JSONPath / chained struct field reads)."""
     props = cspec["properties"]
     if not isinstance(props, dict):
         raise SchemaError.malformed(
             col, KeywordType.PROPERTIES,
             wrong_value_type_detail("object", props))
     is_json = bool(cspec.get("json", True))
+    mask_col = parent_col or col
     for fname, fspec in props.items():
         if not isinstance(fspec, dict):
             raise SchemaError.malformed(
                 fname, KeywordType.PROPERTIES,
                 "Values of properties object must be of object type. The "
                 f"following URLs are recognized as faulty: "
-                f"#/columns/{col}/properties/{fname}",
+                f"#/columns/{col}/properties/{prefix.replace('.', '/')}{fname}",
             )
+        fpath = f"{prefix}{fname}"
         declared = fspec.get("type", "string")
-        types = _parse_type_set(f"{col}/{fname}", declared)
+        # nested fields additionally admit "object" (an intermediate node
+        # holding sub-properties — the reference's recursive case)
+        if declared == "object" or (isinstance(declared, list)
+                                    and declared == ["object"]):
+            types = frozenset(("object",))
+        else:
+            types = _parse_type_set(f"{col}/{fpath}", declared)
         etype = next((t for t in _NESTED_TYPES if t in types), "string")
-        d = StructDecode(parent=col, field=fname, engine_type=etype,
+        d = StructDecode(parent=col, field=fpath, engine_type=etype,
                          json=is_json)
         ir.struct_decodes.append(d)
-        path = f"{col}/{fname}"
-        if "type" in fspec:
+        path = f"{col}/{fpath.replace('.', '/')}"
+        if "type" in fspec and "object" not in types:
             ir.row_constraints.append(RowConstraint(
                 cid=f"type:{path}", kind="nested_type", column=d.value_col,
-                params=(d.present_col,), message="Invalid Type", parent=col))
+                params=(d.present_col,), message="Invalid Type", parent=mask_col))
         if fspec.get("required"):
             ir.row_constraints.append(RowConstraint(
                 cid=f"required:{path}", kind="nested_required",
                 column=d.present_col, message="Required property is missing",
-                parent=col))
+                parent=mask_col))
         if "enum" in fspec:
             values = fspec["enum"]
             if not isinstance(values, list) or not values:
@@ -198,17 +213,25 @@ def _compile_properties(ir: ConstraintIR, col: str, cspec: dict) -> None:
             ir.row_constraints.append(RowConstraint(
                 cid=f"enum:{path}", kind="enum", column=d.value_col,
                 params=tuple(values), message="Value not in enumeration",
-                parent=col))
+                parent=mask_col))
         if "min" in fspec or "max" in fspec:
             ir.row_constraints.append(RowConstraint(
                 cid=f"range:{path}", kind="format_range", column=d.value_col,
                 params=(fspec.get("min"), fspec.get("max")),
-                message="Value out of range", parent=col))
+                message="Value out of range", parent=mask_col))
         if "max_length" in fspec or "min_length" in fspec:
             ir.row_constraints.append(RowConstraint(
                 cid=f"format:{path}", kind="format_len", column=d.value_col,
                 params=(fspec.get("min_length", 0), fspec.get("max_length")),
-                message="String length out of bounds", parent=col))
+                message="String length out of bounds", parent=mask_col))
+        if "properties" in fspec:   # recursive sub-schema (properties_.rs:65-94)
+            # children are vacuous where THIS field's payload is absent
+            # (per-level skip; a non-object truthy value at an intermediate
+            # path still counts as "present" — documented divergence from
+            # the reference's strict is-object check)
+            _compile_properties(ir, col, {"properties": fspec["properties"],
+                                          "json": is_json},
+                                prefix=f"{fpath}.", parent_col=d.value_col)
 
 
 def compile_constraints(spec: dict) -> ConstraintIR:

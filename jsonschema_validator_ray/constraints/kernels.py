@@ -236,7 +236,7 @@ def augment_with_struct_decodes(batch: pa.Table, ir: ConstraintIR) -> pa.Table:
             if s is None:
                 s = pl.from_arrow(col)
                 json_cache[d.parent] = s
-            raw = s.str.json_path_match(f"$.{d.field}")
+            raw = s.str.json_path_match("$." + ".".join(d.field_parts))
             present = raw.is_not_null()
             value = raw if d.engine_type == "string" else \
                 raw.cast(_PL_TYPES[d.engine_type], strict=False)
@@ -244,17 +244,30 @@ def augment_with_struct_decodes(batch: pa.Table, ir: ConstraintIR) -> pa.Table:
             present_arr = present.to_arrow()
         elif pa.types.is_struct(col.type):
             try:
-                f = col.field(d.field)
+                f = col
+                valid = pc.is_valid(col)
+                for part in d.field_parts:   # walk nested struct children,
+                    f = f.field(part)        # ANDing validity down the chain
+                    valid = pc.and_(valid, pc.is_valid(f))
+                f = pc.if_else(valid, f, pa.nulls(len(col), f.type))
             except KeyError:
                 f = pa.nulls(len(col))
-            present_arr = pc.is_valid(f)
-            try:
-                value_arr = f.cast({"integer": pa.int64(),
-                                    "number": pa.float64(),
-                                    "boolean": pa.bool_(),
-                                    "string": pa.string()}[d.engine_type])
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                value_arr = pa.nulls(len(col))
+                valid = pa.array(np.zeros(len(col), bool))
+            present_arr = valid
+            if pa.types.is_struct(f.type):
+                # intermediate object node: its value column only carries
+                # presence (children mask on is_valid of this column)
+                value_arr = pc.if_else(valid, valid,
+                                       pa.nulls(len(col), pa.bool_()))
+            else:
+                try:
+                    value_arr = f.cast({"integer": pa.int64(),
+                                        "number": pa.float64(),
+                                        "boolean": pa.bool_(),
+                                        "string": pa.string()}[d.engine_type],
+                                       safe=False)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    value_arr = pa.nulls(len(col))
         else:
             # unsupported payload dtype: fields are all-absent
             value_arr = pa.nulls(batch.num_rows)

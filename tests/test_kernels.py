@@ -328,3 +328,62 @@ def test_nested_compile_errors_reference_style():
     with pytest.raises(SchemaError):
         compile_constraints({"columns": {"props": {
             "properties": {"k": {"type": "frobnicate"}}}}})
+
+
+def test_nested_properties_recursive_two_levels():
+    """Recursive sub-properties (properties_.rs:65-94): depth-2 constraints
+    with {col}/{a}/{b} paths, vacuous where the INTERMEDIATE payload is
+    absent — not just where the root column is null."""
+    from jsonschema_validator_ray.constraints.kernels import make_row_validator
+
+    spec = {"columns": {"props": {"type": ["string", "null"], "json": True,
+        "properties": {
+            "meta": {"type": "object", "required": True, "properties": {
+                "score": {"type": "number", "required": True,
+                          "min": 0.0, "max": 1.0},
+                "tag": {"type": "string", "enum": ["a", "b"]},
+            }},
+            "k": {"type": "integer"},
+        }}},
+        "keys": {"id": "event_id", "order": None}}
+    ir = compile_constraints(spec)
+    batch = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "props": pa.array([
+            '{"meta": {"score": 0.5, "tag": "a"}, "k": 1}',
+            '{"meta": {"score": 1.5}}',
+            '{"meta": {"tag": "zzz"}}',
+            '{"k": 2}',
+            None,
+            '{"meta": {"score": "x"}}',
+        ], pa.string()),
+    })
+    v = make_row_validator(ir)(batch)
+    got = sorted(zip(v["conv_id"].to_pylist(), v["constraint_id"].to_pylist()))
+    assert got == [("2", "range:props/meta/score"),
+                   ("3", "enum:props/meta/tag"),
+                   ("3", "required:props/meta/score"),
+                   ("4", "required:props/meta"),
+                   ("6", "type:props/meta/score")]
+
+
+def test_nested_struct_recursive():
+    from jsonschema_validator_ray.constraints.kernels import make_row_validator
+
+    spec = {"columns": {"props": {"json": False,
+        "properties": {"meta": {"type": "object", "properties": {
+            "score": {"type": "integer", "required": True, "max": 10}}}}}},
+        "keys": {"id": "event_id", "order": None}}
+    ir = compile_constraints(spec)
+    t = pa.type_for_alias  # noqa: F841  (doc: nested struct dtype below)
+    inner = pa.struct([("score", pa.int64())])
+    batch = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "props": pa.array([{"meta": {"score": 5}},
+                           {"meta": {"score": 50}},
+                           {"meta": None}],
+                          pa.struct([("meta", inner)])),
+    })
+    v = make_row_validator(ir)(batch)
+    got = sorted(zip(v["conv_id"].to_pylist(), v["constraint_id"].to_pylist()))
+    assert got == [("2", "range:props/meta/score")]
