@@ -19,4 +19,15 @@ validation of multi-turn conversation transcripts, executed Ray-Data-first:
   text analysis, multimodal stubs).
 """
 
+import logging as _logging
+
+# The testdata parquet footers carry a pandas-metadata dict; Ray's schema
+# dedup tries to hash it and logs a WARNING per read task ("Failed to hash
+# the schemas ... unhashable type: 'dict'"). Harmless but noisy in every
+# bench/driver log — silence just that logger (workers import this package,
+# so the filter applies cluster-wide).
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)
+
+
 __version__ = "0.1.0"
