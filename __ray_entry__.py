@@ -588,6 +588,50 @@ def q_sample_events(sf_dir: str) -> pa.Table:
     return out.sort_by("event_id")
 
 
+def q_sliding_window_events(sf_dir: str) -> pa.Table:
+    """Sliding 1-hour count per user (batch form of a streaming sliding
+    window): ONE hash-bucket groupby, vectorized in-group two-sided
+    searchsorted — RANGE-frame semantics (peers of the current ts count)."""
+    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
+
+    HOUR_US = 3_600_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = (np_column_hash(batch["user_id"]) % np.uint64(128)) \
+            .astype(np.int64)
+        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+
+    def window_bucket(group: pa.Table) -> pa.Table:
+        srt = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        u = srt["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = srt["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(u)
+        out = np.zeros(n, np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - HOUR_US, side="left")
+            out[s:e] = hi - lo
+        return pa.table({
+            "event_id": srt["event_id"],
+            "n_events_last_hour": pa.array(out, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = _collect(ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("_bucket")
+                   .map_groups(window_bucket, batch_format="pyarrow"))
+    return pa.table({
+        "event_id": out["event_id"].cast(pa.int64()),
+        "n_events_last_hour": out["n_events_last_hour"].cast(pa.int64()),
+    }).sort_by("event_id")
+
+
 def q_quality_documents(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.text import add_quality_score
 
@@ -753,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simsearch_top5": q_simsearch_top5,
         "simsearch_multi": q_simsearch_multi,
         "sessionize_events": q_sessionize_events,
+        "sliding_window_events": q_sliding_window_events,
         "quality_documents": q_quality_documents,
         "sample_events": q_sample_events,
         "viewers_without_purchase": q_viewers_without_purchase,
@@ -1076,6 +1121,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "sliding_window_events": """
+            SELECT event_id,
+                   CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT)
+                       AS n_events_last_hour
+            FROM events ORDER BY event_id
         """,
         "quality_documents": """
             SELECT doc_id,
