@@ -136,6 +136,18 @@ def minhash_signatures(ds, id_column: str, text_column: str,
                           batch_size=256)
 
 
+def _spread_blocks(ds, min_blocks: int):
+    """Repartition UP (never down) so a compute-dense stage isn't serialized
+    by a single-file read (one parquet file → one block → ONE task). At
+    scale inputs already have many blocks and this is a no-op."""
+    try:
+        if ds.num_blocks() < min_blocks:
+            return ds.repartition(min_blocks)
+    except Exception:
+        pass
+    return ds
+
+
 def minhash_band_rows(sigs_ds, id_column: str, n_perms: int, bands: int,
                       n_buckets: int, carry_signature: bool = True):
     """Signatures → band rows (pb, band, band_hash, id[, signature]).
@@ -255,8 +267,10 @@ def minhash_lsh_candidate_pairs(ds, id_column: str, text_column: str,
         avail = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         n_buckets = 4 * avail
-    sigs = minhash_signatures(ds, id_column, text_column, n_perms, k,
-                              concurrency)
+    avail2 = int(__import__("ray").cluster_resources().get("CPU", 4)) \
+        if __import__("ray").is_initialized() else 4
+    sigs = minhash_signatures(_spread_blocks(ds, 2 * avail2), id_column,
+                              text_column, n_perms, k, concurrency)
     band_ds = minhash_band_rows(sigs, id_column, n_perms, bands, n_buckets,
                                 carry_signature=bool(est_threshold))
     from ray.data.aggregate import Count
@@ -444,7 +458,10 @@ def simhash_near_duplicates(ds, id_column: str, text_column: str = "text",
             if ray.is_initialized() else 4
         n_buckets = 4 * avail
 
-    with_sig = add_simhash(ds, text_column, "simhash", k)
+    avail2 = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    with_sig = add_simhash(_spread_blocks(ds, 2 * avail2), text_column,
+                           "simhash", k)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
