@@ -279,3 +279,34 @@ def test_reduce_side_hash_join_matches_pyarrow(ray_session):
     key = lambda t: sorted(zip(t["k"].to_pylist(), t["lv"].to_pylist(),
                                t["rv"].to_pylist()))
     assert key(got) == key(expect)
+
+
+def test_resumable_partitioned_sink(ray_session, tmp_path):
+    import os
+
+    import ray
+    import ray.data
+    import pyarrow.parquet as _pq
+
+    from jsonschema_validator_ray.ops.sink import write_partitioned_parquet
+
+    t = pa.table({"k": pa.array(range(5000), pa.int64()),
+                  "v": pa.array([f"v{i}" for i in range(5000)])})
+    out = str(tmp_path / "sink")
+    ds = ray.data.from_arrow(t).repartition(8)
+    m1 = write_partitioned_parquet(ds, out)
+    assert m1["n_rows"] == 5000 and m1["n_skipped"] == 0
+    assert len(m1["files"]) == 8
+
+    # full re-run: every block already on disk → nothing rewritten
+    m2 = write_partitioned_parquet(ray.data.from_arrow(t).repartition(8), out)
+    assert m2["n_skipped"] == len(m2["files"]) == 8
+
+    # simulate a killed run: one part missing → exactly one block rewritten
+    os.remove(m1["files"][3])
+    m3 = write_partitioned_parquet(ray.data.from_arrow(t).repartition(8), out)
+    assert m3["n_skipped"] == 7
+
+    back = pa.concat_tables([_pq.read_table(f) for f in m3["files"]])
+    assert back.num_rows == 5000
+    assert sorted(back["k"].to_pylist()) == list(range(5000))
