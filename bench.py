@@ -146,21 +146,33 @@ def main():
         _bench_transcripts_nojit = _bench_transcripts(SF_DIR)
         pair = tuple(int(x) for x in
                      os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
-        results = {}
-        for cpus in pair:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
-            p = subprocess.run([sys.executable, __file__, "--_headline-child"],
-                               env=env, capture_output=True, text=True)
-            line = [ln for ln in p.stdout.splitlines()
-                    if ln.startswith("CHILD_RESULT ")]
-            if not line:
-                print(p.stdout[-2000:], file=sys.stderr)
-                print(p.stderr[-2000:], file=sys.stderr)
-                raise RuntimeError(f"scaling child (cpus={cpus}) failed")
-            results[cpus] = json.loads(line[0][len("CHILD_RESULT "):])
+        # ALTERNATE the two levels across rounds and take the best per level:
+        # on a noisy-neighbor host, measuring the levels minutes apart makes
+        # the efficiency a ratio of two unrelated load snapshots (observed
+        # 0.55-0.91 flapping on identical code); interleaving samples both
+        # levels across the same window and best-per-level estimates capacity
+        rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+        results: dict = {c: [] for c in pair}
+        for _ in range(rounds):
+            for cpus in pair:
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                           GRAFT_SF_DIR=SF_DIR)
+                p = subprocess.run(
+                    [sys.executable, __file__, "--_headline-child"],
+                    env=env, capture_output=True, text=True)
+                line = [ln for ln in p.stdout.splitlines()
+                        if ln.startswith("CHILD_RESULT ")]
+                if not line:
+                    print(p.stdout[-2000:], file=sys.stderr)
+                    print(p.stderr[-2000:], file=sys.stderr)
+                    raise RuntimeError(f"scaling child (cpus={cpus}) failed")
+                results[cpus].append(
+                    json.loads(line[0][len("CHILD_RESULT "):]))
         lo, hi = pair
-        tp_lo = results[lo]["turns_per_sec"]
-        tp_hi = results[hi]["turns_per_sec"]
+        best = {c: max(results[c], key=lambda r: r["turns_per_sec"])
+                for c in pair}
+        tp_lo = best[lo]["turns_per_sec"]
+        tp_hi = best[hi]["turns_per_sec"]
         eff = (tp_hi / tp_lo) / (hi / lo)
         print(json.dumps({
             "metric": f"transcript validation scaling {lo}->{hi} cpus",
@@ -168,10 +180,14 @@ def main():
             "sf": SF_DIR, "num_cpus": hi,
             f"turns_per_sec_{lo}cpus": tp_lo,
             f"turns_per_sec_{hi}cpus": tp_hi,
-            f"wall_s_{lo}cpus": results[lo]["wall_s"],
-            f"wall_s_{hi}cpus": results[hi]["wall_s"],
+            f"wall_s_{lo}cpus": best[lo]["wall_s"],
+            f"wall_s_{hi}cpus": best[hi]["wall_s"],
+            f"all_turns_per_sec_{lo}cpus": [r["turns_per_sec"]
+                                            for r in results[lo]],
+            f"all_turns_per_sec_{hi}cpus": [r["turns_per_sec"]
+                                            for r in results[hi]],
             "scaling_efficiency": round(eff, 3),
-            "n_turns": results[hi]["n_turns"],
+            "n_turns": best[hi]["n_turns"],
         }))
         return
 
