@@ -196,3 +196,62 @@ def test_generator_rejects_stale_shards(tmp_path):
     expected = int(conv_len(np.arange(40, dtype=np.int64)).sum())
     # +1 row per cross-shard duplicated conversation (dup convs: c%101==17)
     assert abs(total - expected) <= 2
+
+
+def test_partitioned_sigkill_resume(ray_session, corpus, tmp_path):
+    """REAL kill -9 mid-run (not the max_partitions simulation): a child
+    process running run_partitioned is SIGKILLed after its first partition
+    commits; resuming in this process completes the job and the final
+    violation set equals a clean single-shot run."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    gen, spec = corpus
+    out = str(tmp_path / "killed")
+    spec_json = json.dumps(spec)
+    child_code = f"""
+import json, sys
+sys.path.insert(0, {json.dumps(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import ray
+ray.init(num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from jsonschema_validator_ray.pipelines import run_partitioned
+run_partitioned({json.dumps(gen.files)}, {json.dumps(out)},
+                spec=json.loads({json.dumps(spec_json)}),
+                files_per_partition=1, finalize_run=False)
+"""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)   # child owns a separate local cluster
+    p = subprocess.Popen([sys.executable, "-c", child_code], env=env,
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    manifests = os.path.join(out, "manifests")
+    deadline = _time.time() + 180
+    try:
+        while _time.time() < deadline:
+            if os.path.isdir(manifests) and any(
+                    f.endswith(".json") for f in os.listdir(manifests)):
+                break
+            if p.poll() is not None:
+                break
+            _time.sleep(0.25)
+        else:
+            raise AssertionError("child never committed a partition")
+    finally:
+        if p.poll() is None:
+            p.send_signal(signal.SIGKILL)
+        p.wait()
+    done_before = len([f for f in os.listdir(manifests)
+                       if f.endswith(".json")])
+    assert done_before >= 1
+
+    # resume in THIS process: completed partitions skip, rest run, finalize
+    summary = run_partitioned(gen.files, out, spec=spec,
+                              files_per_partition=1)
+    assert summary["complete"] is True
+
+    parts = sorted(os.listdir(os.path.join(out, "violations")))
+    got = pa.concat_tables([
+        pq.read_table(os.path.join(out, "violations", f)) for f in parts])
+    clean = validate(gen.out_dir, spec=spec, strategy="sort")
+    assert rows(got) == rows(clean.violations)
