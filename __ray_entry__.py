@@ -434,6 +434,68 @@ def q_top_words_documents(sf_dir: str) -> pa.Table:
                      "n": top["n_sum"].cast(pa.int64())})
 
 
+def q_revenue_forecast(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape with PUSHDOWN: the row predicate is handed to
+    read_parquet itself (row-group pruning + exact row filtering at the
+    scan), so only qualifying rows ever enter the object store. Revenue in
+    exact integer e4 units."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from jsonschema_validator_ray.rayutil import ensure_worker_importable
+    ensure_worker_importable()
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us")
+    hi = np.datetime64("1997-01-01T00:00:00", "us")
+    expr = ((pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"], filter=expr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                               100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)),
+                         pa.int64())
+        rev = pc.sum(pc.multiply(price_c, disc_c)).as_py() or 0
+        return pa.table({"rev": pa.array([rev], pa.int64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    if parts is None or "rev" not in parts.column_names:
+        return pa.table({"revenue_e4": pa.array([0], pa.int64()),
+                         "n_rows": pa.array([0], pa.int64())})
+    return pa.table({
+        "revenue_e4": pa.array([pc.sum(parts["rev"]).as_py() or 0], pa.int64()),
+        "n_rows": pa.array([pc.sum(parts["n"]).as_py() or 0], pa.int64()),
+    })
+
+
+def q_normalized_dedup_documents(sf_dir: str) -> pa.Table:
+    """Operator composition: text canonicalization (lowercase + collapse
+    whitespace) THEN exact dedup — the canonical normalize→dedup step of a
+    training-data pipeline, all streaming."""
+    from jsonschema_validator_ray.ops.dedup import exact_dedup_keepers
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(exact_dedup_keepers(ds, "doc_id", "text"))
+    return pa.table({
+        "keeper_id": out["keeper_id"].cast(pa.int64()),
+        "n_copies": out["n_copies"].cast(pa.int64()),
+    }).sort_by("keeper_id")
+
+
 def q_topk_orders(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.aggregates import top_k
 
@@ -788,6 +850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary_lineitem": q_pricing_summary_lineitem,
         "topk_orders": q_topk_orders,
         "shipping_priority": q_shipping_priority,
+        "revenue_forecast": q_revenue_forecast,
+        "normalized_dedup_documents": q_normalized_dedup_documents,
         "running_total_orders": q_running_total_orders,
         "top_words_documents": q_top_words_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -1004,6 +1068,25 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "revenue_forecast": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_e4,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "normalized_dedup_documents": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                             AS norm
+                  FROM documents)
+            GROUP BY norm ORDER BY keeper_id
         """,
         "running_total_orders": """
             SELECT o_custkey, o_orderkey,
