@@ -139,6 +139,55 @@ def q_transcript_verdict(sf_dir: str) -> pa.Table:
     })
 
 
+def q_conv_stats(sf_dir: str) -> pa.Table:
+    """Per-conversation analytics over the transcript corpus (the same table
+    the flagship validates): turn count, tool-call count, total text chars —
+    ONE hash-bucket groupby, vectorized in-group pyarrow aggregation."""
+    import ray.data
+
+    from jsonschema_validator_ray.rayutil import ensure_worker_importable
+    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
+    ensure_worker_importable()
+
+    gen, spec = _ensure_current_corpus(sf_dir)
+    ds = ray.data.read_parquet(
+        gen.files, columns=["conv_id", "tool", "text"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = (np_column_hash(batch["conv_id"]) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+
+    def agg_bucket(group: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": group["conv_id"],
+            "one": pa.array(np.ones(group.num_rows, np.int64)),
+            "tool_call": pc.cast(pc.is_valid(group["tool"]), pa.int64()),
+            "chars": pc.fill_null(pc.utf8_length(group["text"]), 0)
+            .cast(pa.int64()),
+        })
+        g = pa.TableGroupBy(t, "conv_id").aggregate(
+            [("one", "sum"), ("tool_call", "sum"), ("chars", "sum")])
+        return pa.table({
+            "conv_id": g["conv_id"],
+            "n_turns": g["one_sum"].cast(pa.int64()),
+            "n_tool_calls": g["tool_call_sum"].cast(pa.int64()),
+            "sum_chars": g["chars_sum"].cast(pa.int64()),
+        })
+
+    out = _collect(ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("_bucket")
+                   .map_groups(agg_bucket, batch_format="pyarrow"))
+    # rows with null conv_id keep their own SQL GROUP BY group (none in the
+    # corpus, but semantics must match the oracle)
+    return pa.table({
+        "conv_id": out["conv_id"],
+        "n_turns": out["n_turns"].cast(pa.int64()),
+        "n_tool_calls": out["n_tool_calls"].cast(pa.int64()),
+        "sum_chars": out["sum_chars"].cast(pa.int64()),
+    }).sort_by("conv_id")
+
+
 def q_profile_events(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.aggregates import profile_columns
 
@@ -841,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcript_validate": q_transcript_validate,
         "transcript_verdict": q_transcript_verdict,
+        "conv_stats": q_conv_stats,
         "profile_events": q_profile_events,
         "enum_check_events": q_enum_check_events,
         "ref_check_lineitem": q_ref_check_lineitem,
@@ -984,6 +1034,14 @@ def oracle_sql() -> dict[str, str]:
                                 '')})
             SELECT (SELECT count(*) FROM v) = 0 AS passed,
                    (SELECT count(*) FROM tx) AS n_rows
+        """,
+        "conv_stats": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(tool) AS BIGINT) AS n_tool_calls,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM read_parquet('{_TX_GLOB}')
+            GROUP BY conv_id ORDER BY conv_id
         """,
         "profile_events": """
             SELECT count(*) AS n_rows,
