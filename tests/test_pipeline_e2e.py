@@ -255,3 +255,48 @@ run_partitioned({json.dumps(gen.files)}, {json.dumps(out)},
         pq.read_table(os.path.join(out, "violations", f)) for f in parts])
     clean = validate(gen.out_dir, spec=spec, strategy="sort")
     assert rows(got) == rows(clean.violations)
+
+
+def test_strategies_agree_on_random_corpora(ray_session, tmp_path):
+    """All four wide-stage strategies must produce IDENTICAL violation sets
+    on randomized adversarial corpora (null keys, duplicate turn_idx, null
+    ts, shuffled row order) — not just on the structured golden corpus."""
+    import numpy as np
+    from jsonschema_validator_ray.constraints.ir import TRANSCRIPT_SPEC
+
+    rng = np.random.default_rng(77)
+    for case in range(3):
+        n = 400
+        convs = rng.integers(0, 40, n)
+        tid = rng.integers(0, 12, n).astype(object)
+        tid[rng.random(n) < 0.05] = None
+        ts_base = np.datetime64("2024-01-01T00:00:00", "us")
+        ts = (ts_base + rng.integers(0, 10_000, n).astype("timedelta64[s]")) \
+            .astype(object)
+        ts[rng.random(n) < 0.05] = None
+        conv_ids = np.array([f"c{c:04d}" for c in convs], dtype=object)
+        conv_ids[rng.random(n) < 0.03] = None
+        roles = rng.choice(["system", "user", "assistant", "tool", "oops"], n)
+        t = pa.table({
+            "conv_id": pa.array(conv_ids.tolist(), pa.string()),
+            "turn_idx": pa.array([int(x) if x is not None else None
+                                  for x in tid], pa.int32()),
+            "role": pa.array(roles.tolist(), pa.string()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+        })
+        p = str(tmp_path / f"rand{case}.parquet")
+        pq.write_table(t, p)
+        results = {}
+        for strategy in ("sort", "groupby", "hashbucket", "fused"):
+            res = validate(p, spec=TRANSCRIPT_SPEC, strategy=strategy,
+                           sketch=False)
+            v = res.violations
+            results[strategy] = sorted(
+                zip(v["conv_id"].to_pylist(), v["turn_idx"].to_pylist(),
+                    v["constraint_id"].to_pylist(),
+                    v["message"].to_pylist()), key=repr)
+        base = results["sort"]
+        for strategy, got in results.items():
+            assert got == base, (case, strategy)
