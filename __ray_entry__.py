@@ -1088,7 +1088,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, 'required:props/k',
                    'Required property is missing'
-            FROM e WHERE props IS NOT NULL AND raw IS NULL
+            FROM e WHERE props IS NOT NULL AND ltrim(props) LIKE '{%'
+                  AND raw IS NULL
             UNION ALL
             SELECT event_id, 'type:props/k', 'Invalid Type'
             FROM e WHERE raw IS NOT NULL AND kv IS NULL

@@ -291,10 +291,17 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
         if mask is None:
             return None
         if c.parent and c.parent in batch.column_names:
-            # nested constraints pass vacuously where the parent payload is
-            # null (non-object instances, properties_.rs:133)
-            mask = pc.and_(pc.fill_null(mask, False),
-                           pc.is_valid(batch[c.parent]))
+            # nested constraints pass vacuously on NON-OBJECT instances —
+            # null payloads AND non-object JSON like '5' or '[1,2]' — per the
+            # reference's properties keyword (properties_.rs:120-135), which
+            # applies sub-schemas only when the instance is an object
+            col = batch[c.parent]
+            is_obj = pc.is_valid(col)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                is_obj = pc.and_(is_obj, pc.starts_with(
+                    pc.utf8_ltrim_whitespace(col), "{"))
+            mask = pc.and_(pc.fill_null(mask, False), is_obj)
         return mask
 
     def validate_batch(batch: pa.Table) -> pa.Table:

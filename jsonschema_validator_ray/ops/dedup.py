@@ -102,19 +102,10 @@ def _fold_bands(sig_mat: np.ndarray, bands: int) -> np.ndarray:
     return h
 
 
-def _default_concurrency():
-    import ray
-    avail = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    size = max(2, min(avail - 2, 16))
-    return (size, size)
-
-
 def minhash_signatures(ds, id_column: str, text_column: str,
                        n_perms: int = 128, k: int = 5, concurrency=None):
-    """Dataset of (id, signature binary) — one vectorized pass per batch."""
-    if concurrency is None:
-        concurrency = _default_concurrency()
+    """Dataset of (id, signature binary) — one vectorized pass per batch.
+    ``concurrency`` (int) caps concurrent tasks; None lets Ray schedule."""
 
     class SignatureStage:
         def __init__(self):
@@ -132,8 +123,9 @@ def minhash_signatures(ds, id_column: str, text_column: str,
 
     # task-based, not an actor pool: MinHasher init is cheap (two rng
     # arrays), and plain tasks skip pool ramp-up (measured on the row stage)
+    kw = {"concurrency": concurrency} if concurrency is not None else {}
     return ds.map_batches(SignatureStage(), batch_format="pyarrow",
-                          batch_size=256)
+                          batch_size=256, **kw)
 
 
 def _spread_blocks(ds, min_blocks: int):

@@ -96,16 +96,25 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     while len(parts) < 3:                    # width, height, maxval
         while pos < len(payload) and payload[pos:pos + 1].isspace():
             pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
         if payload[pos:pos + 1] == b"#":     # comment line
-            pos = payload.index(b"\n", pos) + 1
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM comment")
+            pos = nl + 1
             continue
         end = pos
-        while not payload[end:end + 1].isspace():
+        while end < len(payload) and not payload[end:end + 1].isspace():
             end += 1
+        if end == pos or end >= len(payload):
+            raise ValueError("truncated PPM header")
         parts.append(int(payload[pos:end]))
         pos = end
     pos += 1                                 # single whitespace before raster
     w, h, _maxval = parts
+    if w <= 0 or h <= 0 or len(payload) - pos < w * h * 3:
+        raise ValueError("truncated PPM raster")
     return np.frombuffer(payload, np.uint8, count=w * h * 3,
                          offset=pos).reshape(h, w, 3)
 
@@ -153,7 +162,10 @@ def decode_image(payload: bytes, width: int | None = None,
         except Exception:
             pass
     if payload.startswith(b"P6"):
-        return decode_ppm(payload)
+        try:
+            return decode_ppm(payload)
+        except ValueError:      # truncated/malformed header → stub fallback
+            pass
     return _decode_image_stub(payload, width, height)
 
 

@@ -49,7 +49,12 @@ def write_partitioned_parquet(ds, out_dir: str) -> dict:
         path = os.path.join(out_dir, f"part-{digest}.parquet")
         skipped = os.path.exists(path)
         if not skipped:
-            tmp = path + ".tmp"
+            # unique tmp name: two blocks with IDENTICAL content in one run
+            # target the same final path — a shared tmp would let concurrent
+            # writers interleave before the rename
+            import uuid
+
+            tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
             pq.write_table(batch, tmp)
             os.replace(tmp, path)       # atomic commit per block
         return pa.table({"path": pa.array([path], pa.string()),
@@ -60,9 +65,17 @@ def write_partitioned_parquet(ds, out_dir: str) -> dict:
         ds.map_batches(write_block, batch_format="pyarrow",
                        zero_copy_batch=True).to_arrow_refs())
         if t.num_rows and "path" in t.column_names]
-    files = sorted({p for t in results for p in t["path"].to_pylist()})
-    n_rows = sum(n for t in results for n in t["n_rows"].to_pylist())
-    n_skipped = sum(1 for t in results for s in t["skipped"].to_pylist() if s)
+    # manifest counts derive from the DEDUPLICATED file set: identical-content
+    # blocks commit one file, so summing per-task n_rows would overcount
+    per_file: dict[str, int] = {}
+    n_skipped = 0
+    for t in results:
+        for p, n, s in zip(t["path"].to_pylist(), t["n_rows"].to_pylist(),
+                           t["skipped"].to_pylist()):
+            per_file[p] = int(n)
+            n_skipped += bool(s)
+    files = sorted(per_file)
+    n_rows = sum(per_file.values())
     manifest = {"files": files, "n_rows": int(n_rows),
                 "n_skipped": int(n_skipped)}
     tmp = os.path.join(out_dir, "_manifest.json.tmp")

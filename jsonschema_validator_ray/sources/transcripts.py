@@ -259,8 +259,9 @@ def _generate_one_shard(args: tuple):
             # injection masks encode dirty-first-wins exactly; conv-level
             # injections keep tid/ts valid, so they never mask a predecessor)
             p = int(pos[i])
-            lo = i - p          # conv rows are contiguous in the shard
-            if p > 0 and bool(np.any(~(null_tid[lo:i] | null_ts[lo:i]))):
+            conv_start = i - p  # conv rows are contiguous in the shard
+            if p > 0 and bool(np.any(~(null_tid[conv_start:i]
+                                       | null_ts[conv_start:i]))):
                 golden.append((cid, p, "mono:turn_idx",
                                "Non-monotonic ts for turn order"))
         for i in np.flatnonzero(bad_tool):

@@ -248,34 +248,6 @@ _FNV_OFFSET = np.uint64(1469598103934665603)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def _np_string_hash(col) -> np.ndarray:
-    """Pure-numpy 64-bit hash of a string/binary Arrow column: FNV fold over
-    the raw buffers. Fixed-width values (e.g. conv ids) take a reshape fast
-    path; ragged values fold the first 16 bytes + length. No Python rows."""
-    b = col.cast(pa.binary()) if not pa.types.is_binary(col.type) else col
-    n = len(b)
-    if n == 0:
-        return np.zeros(0, np.uint64)
-    offs = np.frombuffer(b.buffers()[1], np.int32)[b.offset:b.offset + n + 1] \
-        .astype(np.int64)
-    data = np.frombuffer(b.buffers()[2], np.uint8)
-    lens = np.diff(offs)
-    h = np.full(n, _FNV_OFFSET)
-    width = int(lens[0]) if n else 0
-    if width and (lens == width).all() and offs[-1] - offs[0] == n * width:
-        mat = data[offs[0]:offs[-1]].reshape(n, width).astype(np.uint64)
-        for j in range(width):
-            h = (h ^ mat[:, j]) * _FNV_PRIME
-        return h
-    cap = int(min(lens.max(initial=0), 16))
-    for j in range(cap):
-        valid = lens > j
-        idx = np.minimum(offs[:-1] + j, max(data.size - 1, 0))
-        byte = np.where(valid, data[idx] if data.size else 0, 0)
-        h = np.where(valid, (h ^ byte.astype(np.uint64)) * _FNV_PRIME, h)
-    return (h ^ lens.astype(np.uint64)) * _FNV_PRIME
-
-
 def np_column_hash(col) -> np.ndarray:
     """Vectorized 64-bit hash of an Arrow column. Integers hash in pure
     numpy (multiply-shift); strings use polars' native hash (~3x the numpy

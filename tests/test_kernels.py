@@ -387,3 +387,21 @@ def test_nested_struct_recursive():
     v = make_row_validator(ir)(batch)
     got = sorted(zip(v["conv_id"].to_pylist(), v["constraint_id"].to_pylist()))
     assert got == [("2", "range:props/meta/score")]
+
+
+def test_nested_json_nonobject_payload_vacuous():
+    """Non-object JSON payloads ('5', '[1,2]', '  "s"') pass nested
+    constraints vacuously — the reference's properties keyword applies
+    sub-schemas only to object instances (properties_.rs:120-135)."""
+    from jsonschema_validator_ray.constraints.kernels import make_row_validator
+
+    ir = compile_constraints(_nested_spec())
+    batch = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "props": pa.array(['5', '[1,2]', '"str"', '  {"j": 1}', '{"k": 99}'],
+                          pa.string()),
+    })
+    v = make_row_validator(ir)(batch)
+    got = sorted(zip(v["conv_id"].to_pylist(), v["constraint_id"].to_pylist()))
+    # only the two OBJECT payloads (4: missing k after whitespace, 5: range)
+    assert got == [("4", "required:props/k"), ("5", "range:props/k")]

@@ -1,6 +1,8 @@
 """Unit tests for the training-data operators: dedup finds planted dups,
 similarity search matches exact numpy, text analysis, multimodal plumbing."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -310,3 +312,37 @@ def test_resumable_partitioned_sink(ray_session, tmp_path):
     back = pa.concat_tables([_pq.read_table(f) for f in m3["files"]])
     assert back.num_rows == 5000
     assert sorted(back["k"].to_pylist()) == list(range(5000))
+
+
+def test_decode_ppm_truncated_raises_and_stub_fallback():
+    """Truncated/malformed P6 payloads must raise (never spin) and
+    decode_image must fall back to the deterministic stub."""
+    import pytest
+
+    from jsonschema_validator_ray.ops.multimodal import decode_image, decode_ppm
+
+    for bad in (b"P6", b"P6\n64", b"P6\n64 64\n255\n\x00\x01",
+                b"P6\n# comment with no newline"):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+        img = decode_image(bad, 8, 8)          # stub fallback, deterministic
+        assert img.shape == (8, 8, 3)
+
+
+def test_sink_identical_content_blocks(ray_session, tmp_path):
+    """Two blocks with IDENTICAL content commit ONE file; the manifest row
+    count must agree with what read_parquet sees on disk."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as _pq
+
+    from jsonschema_validator_ray.ops.sink import write_partitioned_parquet
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    ds = ray.data.from_arrow(t).union(ray.data.from_arrow(t))  # 2 equal blocks
+    out = str(tmp_path / "dupsink")
+    m = write_partitioned_parquet(ds, out)
+    assert len(m["files"]) == 1
+    back = pa.concat_tables([_pq.read_table(f) for f in m["files"]])
+    assert m["n_rows"] == back.num_rows == 3
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
