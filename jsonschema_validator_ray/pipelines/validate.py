@@ -92,6 +92,10 @@ def _dataset_from(source: Source, columns: Optional[list] = None,
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     nblocks = max(blocks_per_cpu_floor * cpus,
                   total_bytes // target_block_bytes + 1)
+    # never split below ~2 MB/block: at tiny scale the per-cpu floor would
+    # shatter a 10 MB corpus into 256 tasks of pure scheduling overhead
+    # (measured: the sf0.01 driver gate paid ~20 s/query for 32k rows)
+    nblocks = min(nblocks, max(cpus, total_bytes // (2 * 1024 * 1024) + 1))
     return ray.data.read_parquet(paths, columns=columns,
                                  override_num_blocks=int(nblocks))
 

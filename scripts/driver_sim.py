@@ -1,0 +1,105 @@
+"""Exact local mirror of the grading driver's correctness gate.
+
+Runs in a FRESH process: ray.init() first, then import __ray_entry__ by file
+path (exactly the driver's order — workers never see the repo on PYTHONPATH),
+then every queries() entry vs its oracle_sql() DuckDB result at the given sf,
+with per-query wall time and a per-query try/except so one failure can never
+blank the artifact. Writes /tmp/driver_sim_correctness.json.
+
+Usage: python scripts/driver_sim.py [sf_dir] [--sf0.001]
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import ray  # noqa: E402
+
+ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", 32)),
+         include_dashboard=False, ignore_reinit_error=True)
+
+# driver-style import: by file path, AFTER ray.init
+import importlib.util  # noqa: E402
+
+spec = importlib.util.spec_from_file_location(
+    "__ray_entry__", os.path.join(REPO, "__ray_entry__.py"))
+entrymod = importlib.util.module_from_spec(spec)
+sys.modules["__ray_entry__"] = entrymod
+spec.loader.exec_module(entrymod)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(SF_DIR, t)}.parquet')")
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    for col in a.columns:
+        for x, y in zip(a[col].tolist(), b[col].tolist()):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if abs(x - y) >= 1e-9:
+                    return False
+            elif not (x == y or str(x) == str(y)):
+                return False
+    return True
+
+
+queries = entrymod.queries()
+oracles = entrymod.oracle_sql()
+results = {}
+for name, q in queries.items():
+    rec = {"status": "error", "wall_s": None}
+    t0 = time.time()
+    try:
+        out = q(SF_DIR)
+        rdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+        rec["wall_s"] = round(time.time() - t0, 3)
+        rec["n_rows"] = int(len(rdf))
+        if name in oracles:
+            odf = con.execute(oracles[name]).df()
+            a, b = normalize(rdf), normalize(odf)
+            rec["cols_match"] = list(a.columns) == list(b.columns)
+            rec["rows_match"] = len(a) == len(b)
+            rec["values_match"] = (rec["cols_match"] and rec["rows_match"]
+                                   and values_match(a, b))
+            rec["status"] = "pass" if rec["values_match"] else "MISMATCH"
+        else:
+            rec["status"] = "no_oracle_runs"
+    except Exception as e:  # noqa: BLE001
+        rec["wall_s"] = round(time.time() - t0, 3)
+        rec["error"] = f"{type(e).__name__}: {e}"[:300]
+    results[name] = rec
+    print(f"{name:35s} {rec['status']:15s} {rec['wall_s']}s", flush=True)
+
+summary = {
+    "sf_dir": SF_DIR,
+    "n_queries": len(results),
+    "n_pass": sum(r["status"] == "pass" for r in results.values()),
+    "n_no_oracle": sum(r["status"] == "no_oracle_runs"
+                       for r in results.values()),
+    "n_fail": sum(r["status"] in ("error", "MISMATCH")
+                  for r in results.values()),
+    "total_wall_s": round(sum(r["wall_s"] or 0 for r in results.values()), 1),
+    "queries": results,
+}
+with open("/tmp/driver_sim_correctness.json", "w") as f:
+    json.dump(summary, f, indent=1)
+print(json.dumps({k: v for k, v in summary.items() if k != "queries"}))
+ray.shutdown()
