@@ -7,12 +7,12 @@ Scale shapes (nothing here materializes the corpus on the driver):
   groupby(hash) shuffle of the HASH + id only (never the payload) →
   keeper = min id per group.
 - MinHash LSH: vectorized shingle→minhash signatures per batch →
-  band rows (band, band_hash, id — ~24 bytes each, never the payload) →
+  band rows (band, band_hash, id + a folded 1-byte/perm prefilter sketch) →
   DISTRIBUTED partition-bucket groupby emits candidate pairs →
   distributed pair dedup (groupby) → distributed exact-Jaccard verify via a
-  reduce-side join: shingle sets of candidate docs are co-partitioned with
-  their pairs and compared inside map_groups. Only the candidate PAIR LIST
-  (output-scale, a vanishing fraction at 100 TB) ever touches the driver.
+  reduce-side join: pairs stay a Dataset, vp assignment happens in
+  map_batches, and doc→partition routing is a broadcast semi-join over
+  object-store block refs. NOTHING pair- or corpus-scale touches the driver.
 - SimHash: 64-bit charged-bit signature per doc; 4×16-bit band LSH rows carry
   the 8-byte signature, so candidate verification (Hamming distance) happens
   inside the same distributed band groupby — no separate verify join.
@@ -142,16 +142,22 @@ def _spread_blocks(ds, min_blocks: int):
 
 def minhash_band_rows(sigs_ds, id_column: str, n_perms: int, bands: int,
                       n_buckets: int, carry_signature: bool = True):
-    """Signatures → band rows (pb, band, band_hash, id[, signature]).
+    """Signatures → band rows (pb, band, band_hash, id[, sig8]).
 
-    ``carry_signature=True`` ships the full signature on every band row so
-    the bucket stage can run the signature-estimate PREFILTER before
-    emitting pairs — on low-entropy corpora LSH buckets alone can flag a
-    large fraction of all pairs (measured: 954k candidate pairs from 5k
-    docs), and pruning them before the pair-dedup shuffle is the difference
-    between seconds and minutes. The extra shuffle volume is
-    bands × 8·n_perms bytes per doc; drop ``n_perms`` (64 is plenty for a
-    0.8 threshold) when signature bytes rival payload bytes."""
+    ``carry_signature=True`` ships a FOLDED 1-byte-per-perm sketch (``sig8``,
+    n_perms bytes) on every band row so the bucket stage can run the
+    signature-estimate PREFILTER before emitting pairs — on low-entropy
+    corpora LSH buckets alone can flag a large fraction of all pairs
+    (measured: 954k candidate pairs from 5k docs), and pruning them before
+    the pair-dedup shuffle is the difference between seconds and minutes.
+
+    The byte fold cuts shuffle volume 8x vs carrying the raw 8-byte-per-perm
+    signature (measured: the full-signature carry was ~14 s of a 15 s wall
+    at sf0.1). It only LOOSENS the prefilter: byte equality is implied by
+    value equality and unequal values collide with p=1/256, so the folded
+    estimate ≥ the exact estimate pointwise — no pair the exact prefilter
+    would keep is ever dropped, and exact verification makes the final
+    output identical."""
     def expand(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {
@@ -161,7 +167,7 @@ def minhash_band_rows(sigs_ds, id_column: str, n_perms: int, bands: int,
             id_column: pa.array([], pa.int64()),
         }
         if carry_signature:
-            cols["signature"] = pa.array([], pa.binary())
+            cols["sig8"] = pa.array([], pa.binary())
         if n == 0:
             return pa.table(cols)
         sig_col = batch["signature"]
@@ -185,20 +191,46 @@ def minhash_band_rows(sigs_ds, id_column: str, n_perms: int, bands: int,
             id_column: pa.array(ids, pa.int64()),
         }
         if carry_signature:
-            cols["signature"] = pa.array(
-                [s for s in sig_list for _ in range(bands)], pa.binary())
+            sig8 = ((sig_mat ^ (sig_mat >> np.uint64(29)))
+                    & np.uint64(0xFF)).astype(np.uint8)       # (n, n_perms)
+            sig8_bytes = [sig8[i].tobytes() for i in range(n)]
+            cols["sig8"] = pa.array(
+                [s for s in sig8_bytes for _ in range(bands)], pa.binary())
         return pa.table(cols)
 
     return sigs_ds.map_batches(expand, batch_format="pyarrow",
                                zero_copy_batch=True)
 
 
+def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic pair-hash bucket — the SAME function in every task."""
+    return (((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+            % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _dedup_pairs(pairs_ds):
+    """Distributed pair dedup: groupby the single int ``pb2`` pair-hash
+    bucket + vectorized in-group np.unique. Ray's groupby on the raw
+    (id_a, id_b) composite key measured 5-8x slower at ~1M pairs."""
+    def uniq(group: pa.Table) -> pa.Table:
+        a = group["id_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = group["id_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([a, b], axis=1), axis=0) if len(a) \
+            else np.zeros((0, 2), np.int64)
+        return pa.table({"id_a": pa.array(u[:, 0], pa.int64()),
+                         "id_b": pa.array(u[:, 1], pa.int64())})
+
+    return pairs_ds.groupby("pb2").map_groups(uniq, batch_format="pyarrow")
+
+
 def _emit_bucket_pairs(id_column: str, n_perms: int = 0,
-                       est_threshold: float = 0.0):
+                       est_threshold: float = 0.0,
+                       n_buckets: int = 64):
     """map_groups fn over one partition bucket (pb): vectorized sort + run
     scan over (band, band_hash); same (band, band_hash) run ⇒ candidate
     pairs, vectorized triu pair generation per run. When the group carries
-    signatures, pairs failing the signature-estimate prefilter
+    folded ``sig8`` sketches, pairs failing the signature-estimate prefilter
     (est(J) < est_threshold, σ ≈ 1/√n_perms) are dropped HERE — before any
     pair ever hits the dedup shuffle."""
     def emit(group: pa.Table) -> pa.Table:
@@ -208,11 +240,11 @@ def _emit_bucket_pairs(id_column: str, n_perms: int = 0,
         bh = srt["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
         ids = srt[id_column].combine_chunks().to_numpy(zero_copy_only=False)
         n = len(band)
-        has_sig = n_perms and "signature" in srt.column_names
+        has_sig = n_perms and "sig8" in srt.column_names
         if has_sig:
             sig_mat = np.frombuffer(
-                b"".join(srt["signature"].to_pylist()),
-                np.uint64).reshape(n, n_perms)
+                b"".join(srt["sig8"].to_pylist()),
+                np.uint8).reshape(n, n_perms)
         if n == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
@@ -232,7 +264,7 @@ def _emit_bucket_pairs(id_column: str, n_perms: int = 0,
             r, c = np.triu_indices(uniq.size, k=1)
             if has_sig:
                 sm = sig_mat[s:e][first]
-                step = 65536   # chunk: pairwise compare matrix stays ~64 MB
+                step = 262144  # chunk: uint8 compare matrix stays ~32 MB
                 keep = np.empty(r.size, bool)
                 for i in range(0, r.size, step):
                     est = (sm[r[i:i + step]] ==
@@ -241,8 +273,15 @@ def _emit_bucket_pairs(id_column: str, n_perms: int = 0,
                 r, c = r[keep], c[keep]
             out_a.extend(uniq[r].tolist())
             out_b.extend(uniq[c].tolist())
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64())})
+        a = np.asarray(out_a, np.int64)
+        b = np.asarray(out_b, np.int64)
+        if a.size:     # local dedup before the shuffle (bands often repeat)
+            u = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = u[:, 0], u[:, 1]
+        return pa.table({"pb2": pa.array(_pair_bucket(a, b, n_buckets),
+                                         pa.int64()),
+                         "id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
     return emit
 
 
@@ -265,69 +304,149 @@ def minhash_lsh_candidate_pairs(ds, id_column: str, text_column: str,
                               text_column, n_perms, k, concurrency)
     band_ds = minhash_band_rows(sigs, id_column, n_perms, bands, n_buckets,
                                 carry_signature=bool(est_threshold))
-    from ray.data.aggregate import Count
-
     pairs = band_ds.groupby("pb").map_groups(
         _emit_bucket_pairs(id_column, n_perms if est_threshold else 0,
-                           est_threshold),
+                           est_threshold, n_buckets),
         batch_format="pyarrow")
+    # checkpoint between the two all-to-all shuffles: chaining them in one
+    # streaming execution measured ~2x slower (round-1 finding), and the
+    # emitted pair stream is prefiltered/output-scale — cheap to stage
+    pairs = pairs.materialize()
     # distributed dedup: the same pair can surface from several bands
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="_n")).drop_columns(["_n"])
+    return _dedup_pairs(pairs)
 
 
-def _jaccard_verify_pairs(ds, pairs: list[tuple[int, int]], id_column: str,
+_NEEDS_CACHE: dict = {}
+
+
+def _needs_index(refs) -> tuple:
+    """Worker-side (doc_id-sorted needs arrays, candidate-id set) built ONCE
+    per worker process from the broadcast (doc_id, vp) block refs — ray.get
+    is zero-copy from the local object store, and the built index is cached
+    keyed by the refs so repeated tasks on one worker never rebuild it."""
+    import ray
+
+    key = tuple(r.hex() for r in refs)
+    idx = _NEEDS_CACHE.get(key)
+    if idx is None:
+        tbls = [t for t in ray.get(list(refs))
+                if t.num_rows and "doc_id" in t.column_names]
+        if tbls:
+            t = pa.concat_tables(tbls)
+            d = t["doc_id"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["vp"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((v, d))
+            d, v = d[order], v[order]
+        else:
+            d = v = np.zeros(0, np.int64)
+        idx = (d, v, pa.array(np.unique(d), pa.int64()))
+        _NEEDS_CACHE.clear()            # hold at most one run's index
+        _NEEDS_CACHE[key] = idx
+    return idx
+
+
+def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
                           text_column: str, k: int,
                           verify_threshold: float,
-                          n_verify_parts: int = 0) -> pa.Table:
+                          n_verify_parts: int = 0,
+                          set_hash_fn=None,
+                          sets_precomputed: bool = False) -> pa.Table:
     """Distributed exact-Jaccard verify via a reduce-side join: each pair is
-    assigned a verify partition; candidate docs' shingle sets are computed
-    distributed (one pass over the filtered corpus) and replicated ONLY to
-    the partitions that need them; map_groups compares pairs in-partition.
+    assigned a verify partition vp = hash(a, b) % P INSIDE map_batches (the
+    pair list stays a Dataset — never materialized on the driver); candidate
+    docs' shingle sets are computed distributed (one pass over the filtered
+    corpus) and replicated ONLY to the partitions that need them; map_groups
+    compares pairs in-partition.
 
-    The pair list itself is output-scale (a vanishing fraction of the corpus
-    at 100 TB) — the only driver-side state is the id→partitions map."""
+    Doc→vp routing is a broadcast semi-join: the (doc_id, vp) needs rows are
+    output-scale, so their BLOCK REFS are handed to every corpus task, which
+    reads them zero-copy from the local object store and builds a sorted
+    lookup once per worker (``_needs_index``). Driver-side state is O(refs).
+    Partitioning assumption (documented): candidate pairs ≪ corpus — the
+    standard LSH output-scale regime; the per-node needs table must fit a
+    worker heap (at 10⁹ pairs ≈ 16 GB/node it does not — shard the corpus
+    first or raise the LSH threshold).
+
+    ``set_hash_fn(text) -> np.uint64 array`` lets callers verify other set
+    semantics (e.g. word n-grams for the PPJoin path); default char-k
+    shingles. With ``sets_precomputed=True``, ``ds`` already holds the
+    uint64 set hashes as a binary ``text_column`` (one blob per id) — no
+    recomputation, the blob ships as-is."""
     import ray
-    import ray.data
+    import ray.data as rd  # noqa: F401
 
-    if not pairs:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    if set_hash_fn is None:
+        def set_hash_fn(t):
+            return _shingle_hashes(t, k)
+
     if n_verify_parts <= 0:
         avail = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
-        n_verify_parts = min(len(pairs), 2 * avail)
+        n_verify_parts = 2 * avail
+    P = np.uint64(n_verify_parts)
 
-    needs: dict[int, set] = {}
-    for i, (a, b) in enumerate(pairs):
-        vp = i % n_verify_parts
-        needs.setdefault(int(a), set()).add(vp)
-        needs.setdefault(int(b), set()).add(vp)
-    needs_ref = ray.put({d: sorted(v) for d, v in needs.items()})
-    cand_ids_ref = ray.put(pa.array(sorted(needs), pa.int64()))
+    def add_vp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id_a" not in batch.column_names:
+            return pa.table({
+                "vp": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int8()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "shingles": pa.array([], pa.binary()),
+            })
+        a = batch["id_a"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vp = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))) % P
+        n = len(a)
+        return pa.table({
+            "vp": pa.array(vp.astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "doc_id": pa.array([None] * n, pa.int64()),
+            "shingles": pa.array([None] * n, pa.binary()),
+        })
 
-    pair_tbl = pa.table({
-        "vp": pa.array([i % n_verify_parts for i in range(len(pairs))],
-                       pa.int64()),
-        "kind": pa.array([0] * len(pairs), pa.int8()),
-        "id_a": pa.array([a for a, _ in pairs], pa.int64()),
-        "id_b": pa.array([b for _, b in pairs], pa.int64()),
-        "doc_id": pa.array([None] * len(pairs), pa.int64()),
-        "shingles": pa.array([None] * len(pairs), pa.binary()),
-    })
+    # output-scale: pairs stay in the object store end-to-end
+    pairs_mat = pairs_ds.map_batches(add_vp, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+
+    def needs_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "vp": pa.array([], pa.int64())})
+        d = np.concatenate([
+            batch["id_a"].combine_chunks().to_numpy(zero_copy_only=False),
+            batch["id_b"].combine_chunks().to_numpy(zero_copy_only=False),
+        ]).astype(np.int64)
+        v = np.tile(batch["vp"].combine_chunks()
+                    .to_numpy(zero_copy_only=False).astype(np.int64), 2)
+        u = np.unique(np.stack([d, v], axis=1), axis=0)   # per-block dedup
+        return pa.table({"doc_id": pa.array(u[:, 0], pa.int64()),
+                         "vp": pa.array(u[:, 1], pa.int64())})
+
+    needs_refs = pairs_mat.map_batches(
+        needs_rows, batch_format="pyarrow",
+        zero_copy_batch=True).materialize().to_arrow_refs()
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        cand = ray.get(cand_ids_ref)
-        nd = ray.get(needs_ref)
+        d_sorted, v_sorted, cand = _needs_index(needs_refs)
         sel = batch.filter(pc.is_in(batch[id_column], value_set=cand))
         out_vp: list = []
         out_id: list = []
         out_sh: list = []
         for i, t in zip(sel[id_column].to_pylist(),
                         sel[text_column].to_pylist()):
-            sh = _shingle_hashes(t or "", k).tobytes()
-            for vp in nd.get(int(i), ()):
+            sh = t if sets_precomputed else set_hash_fn(t or "").tobytes()
+            lo = np.searchsorted(d_sorted, int(i), "left")
+            hi = np.searchsorted(d_sorted, int(i), "right")
+            for vp in v_sorted[lo:hi].tolist():
                 out_vp.append(vp)
                 out_id.append(int(i))
                 out_sh.append(sh)
@@ -341,8 +460,7 @@ def _jaccard_verify_pairs(ds, pairs: list[tuple[int, int]], id_column: str,
             "shingles": pa.array(out_sh, pa.binary()),
         })
 
-    import ray.data as rd
-    union_ds = rd.from_arrow(pair_tbl).union(
+    union_ds = pairs_mat.union(
         ds.map_batches(shingle_rows, batch_format="pyarrow",
                        zero_copy_batch=True))
 
@@ -390,11 +508,11 @@ def minhash_near_duplicates(ds, id_column: str, text_column: str,
     → bucket groupby pair emission → pair dedup → reduce-side exact-Jaccard
     verify. Returns (id_a, id_b, jaccard) for verified pairs, id_a < id_b.
 
-    The only driver-side materialization is the candidate PAIR LIST
-    (output-scale). Band rows are |docs| × bands ~24-byte rows; payloads are
+    Nothing corpus- or pair-scale ever reaches the driver: candidate pairs
+    flow into the verify join as a Dataset, and the doc→partition routing is
+    a broadcast semi-join over object-store refs (see _jaccard_verify_pairs).
+    Band rows are |docs| × bands ~(24 + n_perms)-byte rows; payloads are
     re-read once, filtered to candidates, for the verify join."""
-    import ray
-
     # signature-estimate prefilter INSIDE the bucket stage: est(J) has
     # σ ≈ 1/√n_perms, so pairs estimated 3σ below the verify threshold
     # cannot pass exact verification — drop them before the pair shuffle
@@ -403,17 +521,22 @@ def minhash_near_duplicates(ds, id_column: str, text_column: str,
         ds, id_column, text_column, n_perms, bands, k,
         est_threshold=max(verify_threshold - margin, 1e-9),
         concurrency=concurrency)
-    pair_parts = [t for t in ray.get(pairs_ds.to_arrow_refs())
-                  if t.num_rows and "id_a" in t.column_names]
-    pairs: list[tuple[int, int]] = []
-    for t in pair_parts:
-        pairs.extend(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
-    pairs.sort()
-    return _jaccard_verify_pairs(ds, pairs, id_column, text_column, k,
+    return _jaccard_verify_pairs(ds, pairs_ds, id_column, text_column, k,
                                  verify_threshold)
 
 
 # --- SimHash ---------------------------------------------------------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR bit-twiddling; numpy<2 has no
+    ``bitwise_count``)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) \
+        + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
 
 def add_simhash(ds, text_column: str = "text", out: str = "simhash", k: int = 5,
                 concurrency=None):
@@ -478,8 +601,6 @@ def simhash_near_duplicates(ds, id_column: str, text_column: str = "text",
     band_ds = with_sig.select_columns([id_column, "simhash"]) \
         .map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    from itertools import combinations
-
     def emit(group: pa.Table) -> pa.Table:
         srt = group.sort_by([("band", "ascending"), ("band_hash", "ascending"),
                              (id_column, "ascending")])
@@ -504,16 +625,22 @@ def simhash_near_duplicates(ds, id_column: str, text_column: str = "text",
                     if uniq_ids.size < 2:
                         continue
                     usig = sigs[s:e][first]
-                    for (ia, sa), (ib, sb) in combinations(
-                            zip(uniq_ids.tolist(), usig.tolist()), 2):
-                        d = int(bin(sa ^ sb).count("1"))
-                        if d <= max_hamming:
-                            out_a.append(ia)
-                            out_b.append(ib)
-                            out_h.append(d)
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "hamming": pa.array(out_h, pa.int64())})
+                    # fully vectorized pair verification: a hot 16-bit band
+                    # bucket is O(n²) in NUMPY (triu + XOR + SWAR popcount),
+                    # never a Python pair loop (measured ≥10x; see tests)
+                    r, c = np.triu_indices(uniq_ids.size, k=1)
+                    step = 1 << 22          # bound the pair matrix ~100 MB
+                    for i in range(0, r.size, step):
+                        ri, ci = r[i:i + step], c[i:i + step]
+                        d = _popcount64(usig[ri] ^ usig[ci])
+                        keep = d <= max_hamming
+                        out_a.append(uniq_ids[ri[keep]])
+                        out_b.append(uniq_ids[ci[keep]])
+                        out_h.append(d[keep])
+        cat = (lambda ps: np.concatenate(ps) if ps else np.zeros(0, np.int64))
+        return pa.table({"id_a": pa.array(cat(out_a), pa.int64()),
+                         "id_b": pa.array(cat(out_b), pa.int64()),
+                         "hamming": pa.array(cat(out_h), pa.int64())})
 
     verified = band_ds.groupby("pb").map_groups(emit, batch_format="pyarrow")
     deduped = verified.groupby(["id_a", "id_b"]).aggregate(
@@ -717,25 +844,116 @@ def embedding_neardup_ivf(ds, id_column: str, vec_column: str,
         [("id_a", "ascending"), ("id_b", "ascending")])
 
 
-# --- word n-gram Jaccard set-similarity join -------------------------------
+# --- word n-gram Jaccard set-similarity join (PPJoin prefix filter) --------
+
+def _wordgram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct word-n-gram 64-bit hashes of a text (sorted, unique)."""
+    words = (text or "").split(" ")
+    if len(words) < n:
+        return np.zeros(0, np.uint64)
+    grams = sorted({" ".join(words[j:j + n])
+                    for j in range(len(words) - n + 1)})
+    return np.unique(hash64(grams))
+
+
+def ngram_gram_blobs(ds, id_column: str, text_column: str, n: int):
+    """ONE gram-computation pass: per doc, the sorted distinct word-n-gram
+    hashes packed as a binary blob (id, grams, s). Everything downstream —
+    df counting, prefix selection, exact verification — derives from these
+    blobs, never re-parsing text. Compact (~8 B/gram) and staged in the
+    object store (spillable)."""
+    def to_blobs(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        blobs: list = []
+        sizes: list = []
+        for i, t in zip(batch[id_column].to_pylist(),
+                        batch[text_column].to_pylist()):
+            gh = _wordgram_hashes(t, n)
+            if gh.size == 0:
+                continue
+            ids.append(int(i))
+            blobs.append(gh.tobytes())
+            sizes.append(int(gh.size))
+        return pa.table({
+            id_column: pa.array(ids, pa.int64()),
+            "grams": pa.array(blobs, pa.binary()),
+            "s": pa.array(sizes, pa.int64()),
+        })
+
+    return ds.map_batches(to_blobs, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+
+def ngram_hot_grams(grams_ds, hot_df: int, n_buckets: int) -> pa.Table:
+    """Distributed document-frequency pass over staged gram blobs: per-batch
+    partial gram counts → one hash-bucket groupby sum → grams with
+    df ≥ hot_df. The result is SMALL by construction (≤ total gram
+    occurrences / hot_df rows), which is what makes broadcasting it safe;
+    raise ``hot_df`` with corpus size to keep it so."""
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        blobs = batch["grams"].to_pylist()
+        gh = np.frombuffer(b"".join(blobs), np.uint64) if blobs \
+            else np.zeros(0, np.uint64)
+        if not gh.size:
+            return pa.table({"pb": pa.array([], pa.int64()),
+                             "gh": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        t = pa.table({"gh": pa.array(gh.astype(np.int64), pa.int64())})
+        g = pa.TableGroupBy(t, "gh").aggregate([("gh", "count")])
+        ghv = g["gh"].to_numpy().astype(np.uint64)
+        return pa.table({
+            "pb": pa.array((ghv % np.uint64(n_buckets)).astype(np.int64),
+                           pa.int64()),
+            "gh": g["gh"],
+            "df": g["gh_count"].cast(pa.int64()),
+        })
+
+    def sum_bucket(group: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(group.select(["gh", "df"]), "gh") \
+            .aggregate([("df", "sum")])
+        keep = pc.greater_equal(g["df_sum"], hot_df)
+        return pa.table({"gh": g["gh"].filter(keep),
+                         "df": g["df_sum"].filter(keep).cast(pa.int64())})
+
+    import ray
+
+    parts = [t for t in ray.get(
+        grams_ds.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("pb").map_groups(sum_bucket, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows and "gh" in t.column_names]
+    if not parts:
+        return pa.table({"gh": pa.array([], pa.int64()),
+                         "df": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by("gh")
+
 
 def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
                                   n: int = 3, threshold: float = 0.6,
-                                  n_buckets: int = 0) -> pa.Table:
-    """EXACT word-n-gram Jaccard near-dup via a distributed set-similarity
-    join: each doc's DISTINCT word n-grams become (bucket, gram_hash, id,
-    set_size) rows; a partition-bucket groupby emits one co-occurrence row
-    per shared gram per pair (tagged with its PAIR-hash bucket); a second
-    partition-bucket groupby aggregates intersections with an in-group
-    vectorized pyarrow groupby, and ``J = inter / (na + nb - inter)``
-    filters. Exact (SQL-expressible, oracle-checked), fully distributed,
-    and both shuffles sort a single low-cardinality int key — Ray's
-    ``groupby().aggregate()`` over the raw (id_a, id_b) pairs measured 5-8x
-    slower than this shape at 1.3M co-occurrence rows.
+                                  n_buckets: int = 0,
+                                  hot_df: int = 64) -> pa.Table:
+    """EXACT word-n-gram Jaccard near-dup via a PPJoin-style prefix-filtered
+    set-similarity join (Xiao/Wang/Lin/Yu, WWW'08 — public algorithm):
 
-    Scale note: a gram appearing in df docs emits O(df²) pair rows — at
-    100 TB apply PPJoin-style prefix filtering or a df cap first; this
-    operator implements the exact semantics the oracle can check."""
+    1. df pass: grams with document frequency ≥ ``hot_df`` ("hot" grams) are
+       computed distributed and broadcast once (``ray.put``).
+    2. prefix pass: each doc's distinct grams are ordered by the GLOBAL
+       total order (non-hot by hash, hot grams LAST by ascending df rank);
+       only the first ``p = s - ceil(t·s) + 1`` grams — the PPJoin prefix —
+       emit (bucket, gh, id) rows. LOSSLESS: if J(A,B) ≥ t, the smallest
+       common gram in the global order provably lies inside both prefixes,
+       so every qualifying pair survives; a stopword gram shared by a
+       million docs sorts last and emits NOTHING.
+    3. candidate pairs: bucket groupby, run scan per gh, vectorized triu
+       pair emission, distributed pair dedup.
+    4. verify: exact Jaccard on full distinct-gram sets via the distributed
+       reduce-side join (``_jaccard_verify_pairs``), so the output is
+       EXACTLY the SQL oracle's (J ≥ t on distinct word n-grams).
+
+    Emission is bounded by O(df²) only for grams with df < hot_df; hot grams
+    never enter prefixes (for any doc with ≥ 2 grams, the prefix excludes at
+    least the last gram). Replaces the unfiltered co-occurrence join whose
+    one-hot-trigram worst case emitted O(df²) rows at corpus scale."""
     import ray
 
     if n_buckets <= 0:
@@ -743,41 +961,50 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
             if ray.is_initialized() else 4
         n_buckets = 4 * avail
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_column].to_pylist()
-        texts = batch[text_column].to_pylist()
+    grams_ds = ngram_gram_blobs(ds, id_column, text_column, n)
+    hot = ngram_hot_grams(grams_ds, hot_df, n_buckets)
+    hot_gh = hot["gh"].to_numpy().astype(np.uint64)          # sorted by gh
+    # hot level: 1 + rank by (df, gh) — hottest gram sorts ABSOLUTELY last
+    order = np.lexsort((hot_gh, hot["df"].to_numpy()))
+    level = np.empty(len(hot_gh), np.int64)
+    level[order] = 1 + np.arange(len(hot_gh))
+    hot_ref = ray.put((hot_gh, level))
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        h_gh, h_level = ray.get(hot_ref)
         out_pb: list = []
         out_gh: list = []
         out_id: list = []
-        out_n: list = []
-        for i, txt in zip(ids, texts):
-            words = (txt or "").split(" ")
-            if len(words) < n:
-                continue
-            grams = sorted({" ".join(words[j:j + n])
-                            for j in range(len(words) - n + 1)})
-            gh = hash64(grams)
-            out_pb.extend((gh % np.uint64(n_buckets)).astype(np.int64).tolist())
-            out_gh.extend(gh.astype(np.int64).tolist())
-            out_id.extend([int(i)] * len(grams))
-            out_n.extend([len(grams)] * len(grams))
+        for i, blob, s in zip(batch[id_column].to_pylist(),
+                              batch["grams"].to_pylist(),
+                              batch["s"].to_pylist()):
+            gh = np.frombuffer(blob, np.uint64)
+            levels = np.zeros(s, np.int64)
+            if h_gh.size:
+                idx = np.searchsorted(h_gh, gh)
+                ok = (idx < h_gh.size) & (h_gh[np.minimum(idx, h_gh.size - 1)]
+                                          == gh)
+                levels[ok] = h_level[idx[ok]]
+            p = s - int(np.ceil(threshold * s)) + 1
+            pref = np.lexsort((gh, levels))[:p]
+            pg = gh[pref]
+            out_pb.extend((pg % np.uint64(n_buckets)).astype(np.int64)
+                          .tolist())
+            out_gh.extend(pg.astype(np.int64).tolist())
+            out_id.extend([int(i)] * len(pg))
         return pa.table({
             "pb": pa.array(out_pb, pa.int64()),
             "gh": pa.array(out_gh, pa.int64()),
             "id": pa.array(out_id, pa.int64()),
-            "nset": pa.array(out_n, pa.int64()),
         })
 
-    def emit_cooccur(group: pa.Table) -> pa.Table:
+    def emit_pairs(group: pa.Table) -> pa.Table:
         srt = group.sort_by([("gh", "ascending"), ("id", "ascending")])
         gh = srt["gh"].combine_chunks().to_numpy(zero_copy_only=False)
         ids = srt["id"].combine_chunks().to_numpy(zero_copy_only=False)
-        ns = srt["nset"].combine_chunks().to_numpy(zero_copy_only=False)
         m = len(gh)
         parts_a: list = []
         parts_b: list = []
-        parts_na: list = []
-        parts_nb: list = []
         if m:
             new_run = np.empty(m, bool)
             new_run[0] = True
@@ -785,58 +1012,31 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
             starts = np.flatnonzero(new_run)
             ends = np.concatenate([starts[1:], [m]])
             for s, e in zip(starts, ends):
-                cnt = e - s
-                if cnt > 1:
-                    r, c = np.triu_indices(cnt, k=1)   # vectorized pair gen
-                    parts_a.append(ids[s:e][r])        # numpy only — Python
-                    parts_b.append(ids[s:e][c])        # lists would dominate
-                    parts_na.append(ns[s:e][r])
-                    parts_nb.append(ns[s:e][c])
-        cat = (lambda ps: np.concatenate(ps) if ps else np.zeros(0, np.int64))
-        a, b = cat(parts_a), cat(parts_b)
-        na, nb = cat(parts_na), cat(parts_nb)
-        # pair-hash bucket: the aggregation shuffle sorts this single int
-        pb2 = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-               ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))) \
-            % np.uint64(n_buckets)
-        return pa.table({"pb2": pa.array(pb2.astype(np.int64), pa.int64()),
+                if e - s > 1:
+                    uniq = np.unique(ids[s:e])
+                    if uniq.size < 2:
+                        continue
+                    r, c = np.triu_indices(uniq.size, k=1)
+                    parts_a.append(uniq[r])
+                    parts_b.append(uniq[c])
+        a = np.concatenate(parts_a) if parts_a else np.zeros(0, np.int64)
+        b = np.concatenate(parts_b) if parts_b else np.zeros(0, np.int64)
+        if a.size:     # local dedup before the shuffle (grams repeat)
+            u = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = u[:, 0], u[:, 1]
+        return pa.table({"pb2": pa.array(_pair_bucket(a, b, n_buckets),
+                                         pa.int64()),
                          "id_a": pa.array(a, pa.int64()),
-                         "id_b": pa.array(b, pa.int64()),
-                         "na": pa.array(na, pa.int64()),
-                         "nb": pa.array(nb, pa.int64())})
+                         "id_b": pa.array(b, pa.int64())})
 
-    def local_agg(group: pa.Table) -> pa.Table:
-        """All co-occurrences of a pair land in one pb2 bucket: aggregate
-        them with ONE vectorized pyarrow groupby and score in place."""
-        g = pa.TableGroupBy(group.select(["id_a", "id_b", "na", "nb"]),
-                            ["id_a", "id_b"]).aggregate(
-            [("na", "count"), ("na", "max"), ("nb", "max")])
-        inter = g["na_count"].to_numpy().astype(np.float64)
-        na = g["na_max"].to_numpy().astype(np.float64)
-        nb = g["nb_max"].to_numpy().astype(np.float64)
-        j = inter / (na + nb - inter)
-        keep = j >= threshold
-        return pa.table({
-            "id_a": g["id_a"].filter(pa.array(keep)),
-            "id_b": g["id_b"].filter(pa.array(keep)),
-            "jaccard": pa.array(j[keep], pa.float64()),
-        })
+    cand = grams_ds.map_batches(prefix_rows, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("pb").map_groups(emit_pairs, batch_format="pyarrow") \
+        .materialize()           # stage between the two all-to-all shuffles
+    pairs_ds = _dedup_pairs(cand)
 
-    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    cooc = grams.groupby("pb").map_groups(emit_cooccur,
-                                          batch_format="pyarrow")
-    # checkpoint between the two all-to-all sorts: chaining them in one
-    # streaming execution measured 2x slower than staging the (bounded,
-    # object-store-resident) co-occurrence set
-    cooc = cooc.materialize()
-    out = cooc.groupby("pb2").map_groups(local_agg, batch_format="pyarrow")
-
-    parts = [t for t in ray.get(out.to_arrow_refs())
-             if t.num_rows and "id_a" in t.column_names]
-    if not parts:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return pa.concat_tables(parts).sort_by(
-        [("id_a", "ascending"), ("id_b", "ascending")])
+    # verify directly against the staged blobs — grams computed exactly once
+    out = _jaccard_verify_pairs(
+        grams_ds, pairs_ds, id_column, "grams", k=0,
+        verify_threshold=threshold, sets_precomputed=True)
+    return out
