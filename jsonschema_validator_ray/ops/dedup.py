@@ -53,11 +53,17 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 class MinHasher:
-    """n_perms permutation min-hashes via universal hashing (a*x+b mod p)."""
+    """n_perms permutation min-hashes via multiply-add hashing
+    ``(a*x + b) mod 2^64`` (odd ``a``). The wrapping product's HIGH bits are
+    the well-mixed ones (multiply-shift universality) and uint64 ``min`` is
+    decided by exactly those bits, so the min-hash family keeps its
+    uniformity — while skipping numpy's uint64 ``%`` which measured 36x the
+    cost of the multiply itself and dominated the signature stage wall."""
 
     def __init__(self, n_perms: int = 128, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, n_perms, dtype=np.uint64)
+        self.a = rng.integers(1, _MERSENNE, n_perms, dtype=np.uint64) \
+            | np.uint64(1)
         self.b = rng.integers(0, _MERSENNE, n_perms, dtype=np.uint64)
         self.n_perms = n_perms
 
@@ -66,8 +72,7 @@ class MinHasher:
         out = np.full(self.n_perms, np.uint64(0xFFFFFFFFFFFFFFFF))
         step = 512
         for i in range(0, x.size, step):
-            vals = (x[i:i + step, None] * self.a[None, :] + self.b[None, :]) \
-                % _MERSENNE
+            vals = x[i:i + step, None] * self.a[None, :] + self.b[None, :]
             np.minimum(out, vals.min(axis=0), out=out)
         return out
 
@@ -84,8 +89,7 @@ class MinHasher:
         out = np.empty((n, self.n_perms), np.uint64)
         pb = 16   # perm block: keeps the (n_shingles x pb) intermediate ~tens of MB
         for j in range(0, self.n_perms, pb):
-            vals = (x[:, None] * self.a[None, j:j + pb]
-                    + self.b[None, j:j + pb]) % _MERSENNE
+            vals = x[:, None] * self.a[None, j:j + pb] + self.b[None, j:j + pb]
             out[:, j:j + pb] = np.minimum.reduceat(vals, offsets, axis=0)
         return out
 
@@ -122,10 +126,14 @@ def minhash_signatures(ds, id_column: str, text_column: str,
             })
 
     # task-based, not an actor pool: MinHasher init is cheap (two rng
-    # arrays), and plain tasks skip pool ramp-up (measured on the row stage)
+    # arrays), and plain tasks skip pool ramp-up (measured on the row stage).
+    # batch_size=None → one batch per block: an explicit batch_size makes
+    # Ray BUNDLE the _spread_blocks output back into fewer, larger tasks
+    # (measured: 64 spread blocks → ~20 tasks at batch_size=256), starving
+    # the compute-dense signature stage.
     kw = {"concurrency": concurrency} if concurrency is not None else {}
     return ds.map_batches(SignatureStage(), batch_format="pyarrow",
-                          batch_size=256, **kw)
+                          batch_size=None, **kw)
 
 
 def _spread_blocks(ds, min_blocks: int):
@@ -216,10 +224,9 @@ def _dedup_pairs(pairs_ds):
     def uniq(group: pa.Table) -> pa.Table:
         a = group["id_a"].combine_chunks().to_numpy(zero_copy_only=False)
         b = group["id_b"].combine_chunks().to_numpy(zero_copy_only=False)
-        u = np.unique(np.stack([a, b], axis=1), axis=0) if len(a) \
-            else np.zeros((0, 2), np.int64)
-        return pa.table({"id_a": pa.array(u[:, 0], pa.int64()),
-                         "id_b": pa.array(u[:, 1], pa.int64())})
+        ua, ub = _unique_rows2(a.astype(np.int64), b.astype(np.int64))
+        return pa.table({"id_a": pa.array(ua, pa.int64()),
+                         "id_b": pa.array(ub, pa.int64())})
 
     return pairs_ds.groupby("pb2").map_groups(uniq, batch_format="pyarrow")
 
@@ -276,8 +283,7 @@ def _emit_bucket_pairs(id_column: str, n_perms: int = 0,
         a = np.asarray(out_a, np.int64)
         b = np.asarray(out_b, np.int64)
         if a.size:     # local dedup before the shuffle (bands often repeat)
-            u = np.unique(np.stack([a, b], axis=1), axis=0)
-            a, b = u[:, 0], u[:, 1]
+            a, b = _unique_rows2(a, b)
         return pa.table({"pb2": pa.array(_pair_bucket(a, b, n_buckets),
                                          pa.int64()),
                          "id_a": pa.array(a, pa.int64()),
@@ -289,9 +295,11 @@ def minhash_lsh_candidate_pairs(ds, id_column: str, text_column: str,
                                 n_perms: int = 128, bands: int = 32,
                                 k: int = 5, n_buckets: int = 0,
                                 est_threshold: float = 0.0,
-                                concurrency=None):
+                                concurrency=None, dedup: bool = True):
     """Distributed LSH candidate pairs: returns a Dataset of UNIQUE
-    (id_a, id_b) rows. No driver-side materialization anywhere."""
+    (id_a, id_b) rows (``dedup=False`` skips the cross-band dedup groupby
+    and may return the same pair from several bands). No driver-side
+    materialization anywhere."""
     import ray
 
     if n_buckets <= 0:
@@ -312,38 +320,86 @@ def minhash_lsh_candidate_pairs(ds, id_column: str, text_column: str,
     # streaming execution measured ~2x slower (round-1 finding), and the
     # emitted pair stream is prefiltered/output-scale — cheap to stage
     pairs = pairs.materialize()
+    if not dedup:
+        # caller dedups downstream (the verify join groups duplicate pairs
+        # into one vp partition, where np.unique is free) — skipping the
+        # dedicated dedup groupby saves one all-to-all execution
+        return pairs
     # distributed dedup: the same pair can surface from several bands
     return _dedup_pairs(pairs)
 
 
-_NEEDS_CACHE: dict = {}
+def _unique_rows2(a: np.ndarray, b: np.ndarray):
+    """Unique (a, b) rows, lexsorted by (a, b). lexsort + adjacent-diff —
+    ``np.unique(axis=0)`` sorts void records and measured ~100x slower at
+    ~1M rows (it was the hidden cost of every worker's pair-index build)."""
+    if a.size == 0:
+        return a.astype(np.int64), b.astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(a.size, bool)
+    keep[0] = True
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
 
 
-def _needs_index(refs) -> tuple:
-    """Worker-side (doc_id-sorted needs arrays, candidate-id set) built ONCE
-    per worker process from the broadcast (doc_id, vp) block refs — ray.get
-    is zero-copy from the local object store, and the built index is cached
-    keyed by the refs so repeated tasks on one worker never rebuild it."""
+_PAIR_INDEX_CACHE: dict = {}
+
+
+def _pair_index(refs, n_verify_parts: int) -> tuple:
+    """Worker-side pair/routing index built ONCE per worker process from the
+    broadcast candidate-pair block refs — ``ray.get`` is zero-copy from the
+    local object store, and the built index is cached keyed by the refs so
+    repeated tasks on one worker never rebuild it.
+
+    Returns (vp_sorted, a_sorted, b_sorted, doc_sorted, docvp_sorted, cand):
+    the UNIQUE pairs sorted by their verify partition vp = hash(a,b) % P,
+    plus the (doc_id → vp) needs arrays sorted by doc_id, plus the candidate
+    id set. Everything here is output-scale (pairs ≪ corpus — the standard
+    LSH regime; at ~10⁹ pairs/node shard the corpus or raise the threshold)."""
     import ray
 
-    key = tuple(r.hex() for r in refs)
-    idx = _NEEDS_CACHE.get(key)
+    key = (tuple(r.hex() for r in refs), n_verify_parts)
+    idx = _PAIR_INDEX_CACHE.get(key)
     if idx is None:
         tbls = [t for t in ray.get(list(refs))
-                if t.num_rows and "doc_id" in t.column_names]
+                if t.num_rows and "id_a" in t.column_names]
         if tbls:
             t = pa.concat_tables(tbls)
-            d = t["doc_id"].combine_chunks() \
+            a = t["id_a"].combine_chunks() \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
-            v = t["vp"].combine_chunks() \
+            b = t["id_b"].combine_chunks() \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.lexsort((v, d))
-            d, v = d[order], v[order]
+            a, b = _unique_rows2(a, b)
         else:
-            d = v = np.zeros(0, np.int64)
-        idx = (d, v, pa.array(np.unique(d), pa.int64()))
-        _NEEDS_CACHE.clear()            # hold at most one run's index
-        _NEEDS_CACHE[key] = idx
+            a = b = np.zeros(0, np.int64)
+        vp = _pair_bucket(a, b, n_verify_parts)
+        po = np.argsort(vp, kind="stable")
+        vp_s, a_s, b_s = vp[po], a[po], b[po]
+        d_sorted, v_sorted = _unique_rows2(np.concatenate([a, b]),
+                                           np.concatenate([vp, vp]))
+        idx = (vp_s, a_s, b_s, d_sorted, v_sorted,
+               pa.array(np.unique(d_sorted), pa.int64()))
+        _PAIR_INDEX_CACHE.clear()       # hold at most one run's index
+        _PAIR_INDEX_CACHE[key] = idx
+    return idx
+
+
+def _sets_index(refs) -> dict:
+    """Worker-cached id → uint64-set-array dict from broadcast candidate-set
+    block refs (output-scale by construction — only candidate docs' sets)."""
+    import ray
+
+    key = ("sets", tuple(r.hex() for r in refs))
+    idx = _PAIR_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = {}
+        for t in ray.get(list(refs)):
+            if t.num_rows and "doc_id" in t.column_names:
+                for i, s in zip(t["doc_id"].to_pylist(),
+                                t["shingles"].to_pylist()):
+                    idx[int(i)] = np.frombuffer(s, np.uint64)
+        _PAIR_INDEX_CACHE[key] = idx
     return idx
 
 
@@ -352,22 +408,31 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
                           verify_threshold: float,
                           n_verify_parts: int = 0,
                           set_hash_fn=None,
-                          sets_precomputed: bool = False) -> pa.Table:
-    """Distributed exact-Jaccard verify via a reduce-side join: each pair is
-    assigned a verify partition vp = hash(a, b) % P INSIDE map_batches (the
-    pair list stays a Dataset — never materialized on the driver); candidate
-    docs' shingle sets are computed distributed (one pass over the filtered
-    corpus) and replicated ONLY to the partitions that need them; map_groups
-    compares pairs in-partition.
+                          sets_precomputed: bool = False,
+                          broadcast_cap_bytes: int = 1 << 28) -> pa.Table:
+    """Distributed exact-Jaccard verify. Candidate-pair blocks stay in the
+    object store; their REFS are broadcast and every task derives the
+    globally-unique pair list, the partition assignment vp = hash(a,b) % P,
+    and the doc routing from a worker-cached index (``_pair_index``) —
+    duplicate input pairs (one per matching band/gram) are uniqued there, so
+    callers never need a dedicated pair-dedup shuffle. One corpus scan
+    extracts the CANDIDATE docs' set hashes (output-scale). Then:
 
-    Doc→vp routing is a broadcast semi-join: the (doc_id, vp) needs rows are
-    output-scale, so their BLOCK REFS are handed to every corpus task, which
-    reads them zero-copy from the local object store and builds a sorted
-    lookup once per worker (``_needs_index``). Driver-side state is O(refs).
-    Partitioning assumption (documented): candidate pairs ≪ corpus — the
-    standard LSH output-scale regime; the per-node needs table must fit a
-    worker heap (at 10⁹ pairs ≈ 16 GB/node it does not — shard the corpus
-    first or raise the LSH threshold).
+    - broadcast path (candidate sets ≤ ``broadcast_cap_bytes``): the set
+      blocks' refs are broadcast too and verification is an embarrassingly
+      parallel map over vp slices of the unique pair list — ZERO shuffles.
+      This is the measured winner whenever the candidate sets fit a worker
+      heap (the reduce-side join replicates each doc's set to every
+      partition that needs it: ~P× the bytes for pair-dense corpora).
+    - reduce-side path (at scale): candidate sets are replicated ONLY to
+      the vp partitions that need them via groupby(vp); per-partition state
+      is sets/P — the path that still works when candidate sets exceed any
+      single worker's heap.
+
+    Driver-side state is O(block refs) either way. Partitioning assumption
+    (documented): candidate pairs ≪ corpus — the standard LSH output-scale
+    regime; the per-worker pair index must fit a worker heap (at ~10⁹ pairs
+    it does not — shard the corpus first or raise the threshold).
 
     ``set_hash_fn(text) -> np.uint64 array`` lets callers verify other set
     semantics (e.g. word n-grams for the PPJoin path); default char-k
@@ -375,7 +440,7 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
     uint64 set hashes as a binary ``text_column`` (one blob per id) — no
     recomputation, the blob ships as-is."""
     import ray
-    import ray.data as rd  # noqa: F401
+    import ray.data as rd
 
     if set_hash_fn is None:
         def set_hash_fn(t):
@@ -385,95 +450,38 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
         avail = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         n_verify_parts = 2 * avail
-    P = np.uint64(n_verify_parts)
 
-    def add_vp(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "id_a" not in batch.column_names:
-            return pa.table({
-                "vp": pa.array([], pa.int64()),
-                "kind": pa.array([], pa.int8()),
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "shingles": pa.array([], pa.binary()),
-            })
-        a = batch["id_a"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["id_b"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        vp = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-              ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))) % P
-        n = len(a)
-        return pa.table({
-            "vp": pa.array(vp.astype(np.int64), pa.int64()),
-            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
-            "id_a": pa.array(a, pa.int64()),
-            "id_b": pa.array(b, pa.int64()),
-            "doc_id": pa.array([None] * n, pa.int64()),
-            "shingles": pa.array([None] * n, pa.binary()),
-        })
+    pairs_mat = pairs_ds.materialize()
+    pair_refs = pairs_mat.to_arrow_refs()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if pairs_mat.count() == 0:
+        return empty
 
-    # output-scale: pairs stay in the object store end-to-end
-    pairs_mat = pairs_ds.map_batches(add_vp, batch_format="pyarrow",
-                                     zero_copy_batch=True).materialize()
-
-    def needs_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "vp": pa.array([], pa.int64())})
-        d = np.concatenate([
-            batch["id_a"].combine_chunks().to_numpy(zero_copy_only=False),
-            batch["id_b"].combine_chunks().to_numpy(zero_copy_only=False),
-        ]).astype(np.int64)
-        v = np.tile(batch["vp"].combine_chunks()
-                    .to_numpy(zero_copy_only=False).astype(np.int64), 2)
-        u = np.unique(np.stack([d, v], axis=1), axis=0)   # per-block dedup
-        return pa.table({"doc_id": pa.array(u[:, 0], pa.int64()),
-                         "vp": pa.array(u[:, 1], pa.int64())})
-
-    needs_refs = pairs_mat.map_batches(
-        needs_rows, batch_format="pyarrow",
-        zero_copy_batch=True).materialize().to_arrow_refs()
-
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        d_sorted, v_sorted, cand = _needs_index(needs_refs)
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        _, _, _, _, _, cand = _pair_index(pair_refs, n_verify_parts)
         sel = batch.filter(pc.is_in(batch[id_column], value_set=cand))
-        out_vp: list = []
-        out_id: list = []
-        out_sh: list = []
-        for i, t in zip(sel[id_column].to_pylist(),
-                        sel[text_column].to_pylist()):
-            sh = t if sets_precomputed else set_hash_fn(t or "").tobytes()
-            lo = np.searchsorted(d_sorted, int(i), "left")
-            hi = np.searchsorted(d_sorted, int(i), "right")
-            for vp in v_sorted[lo:hi].tolist():
-                out_vp.append(vp)
-                out_id.append(int(i))
-                out_sh.append(sh)
-        m = len(out_vp)
+        if sets_precomputed:
+            blobs = sel[text_column].to_pylist()
+        else:
+            blobs = [set_hash_fn(t or "").tobytes()
+                     for t in sel[text_column].to_pylist()]
         return pa.table({
-            "vp": pa.array(out_vp, pa.int64()),
-            "kind": pa.array([1] * m, pa.int8()),
-            "id_a": pa.array([None] * m, pa.int64()),
-            "id_b": pa.array([None] * m, pa.int64()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "shingles": pa.array(out_sh, pa.binary()),
+            "doc_id": sel[id_column].cast(pa.int64()),
+            "shingles": pa.array(blobs, pa.binary()),
         })
 
-    union_ds = pairs_mat.union(
-        ds.map_batches(shingle_rows, batch_format="pyarrow",
-                       zero_copy_batch=True))
+    # ONE corpus scan → candidate sets only (output-scale), staged in the
+    # object store
+    sets_mat = ds.map_batches(cand_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
 
-    def verify(group: pa.Table) -> pa.Table:
-        docs = group.filter(pc.equal(group["kind"], 1))
-        prs = group.filter(pc.equal(group["kind"], 0))
-        sh = {int(i): np.frombuffer(s, np.uint64)
-              for i, s in zip(docs["doc_id"].to_pylist(),
-                              docs["shingles"].to_pylist())}
+    def verify_pairs_with(sh: dict, a_arr, b_arr):
         out_a: list = []
         out_b: list = []
         out_j: list = []
-        for a, b in zip(prs["id_a"].to_pylist(), prs["id_b"].to_pylist()):
+        for a, b in zip(a_arr.tolist(), b_arr.tolist()):
             sa, sb = sh.get(int(a)), sh.get(int(b))
             if sa is None or sb is None:
                 continue
@@ -488,16 +496,74 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
                          "id_b": pa.array(out_b, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    parts = [t for t in ray.get(
-        union_ds.groupby("vp").map_groups(
-            verify, batch_format="pyarrow").to_arrow_refs())
-        if t.num_rows and "id_a" in t.column_names]
+    if sets_mat.size_bytes() <= broadcast_cap_bytes:
+        # RAW Ray tasks, deliberately: the fan-out unit here is "one vp
+        # slice of a broadcast pair list", a 64-row driver-side work list —
+        # ray.data.range() would bundle those tiny blocks into ONE task
+        # (measured: the whole verify ran serially, 25 s vs 2 s). Each task
+        # verifies a disjoint vp slice; worker-side indexes are cached.
+        set_refs = sets_mat.to_arrow_refs()
+
+        @ray.remote
+        def verify_vp(vp: int) -> pa.Table:
+            vp_s, a_s, b_s, _, _, _ = _pair_index(pair_refs, n_verify_parts)
+            sh = _sets_index(set_refs)
+            lo = np.searchsorted(vp_s, vp, "left")
+            hi = np.searchsorted(vp_s, vp, "right")
+            return verify_pairs_with(sh, a_s[lo:hi], b_s[lo:hi])
+
+        parts = [t for t in ray.get([verify_vp.remote(vp)
+                                     for vp in range(n_verify_parts)])
+                 if t.num_rows]
+        if not parts:
+            return empty
+        return pa.concat_tables(parts).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")])
+    else:
+        def shingle_rows(batch: pa.Table) -> pa.Table:
+            _, _, _, d_sorted, v_sorted, _ = _pair_index(pair_refs,
+                                                         n_verify_parts)
+            out_vp: list = []
+            out_id: list = []
+            out_sh: list = []
+            for i, s in zip(batch["doc_id"].to_pylist(),
+                            batch["shingles"].to_pylist()):
+                lo = np.searchsorted(d_sorted, int(i), "left")
+                hi = np.searchsorted(d_sorted, int(i), "right")
+                for vp in v_sorted[lo:hi].tolist():
+                    out_vp.append(vp)
+                    out_id.append(int(i))
+                    out_sh.append(s)
+            return pa.table({
+                "vp": pa.array(out_vp, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "shingles": pa.array(out_sh, pa.binary()),
+            })
+
+        def verify(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return empty
+            vp_s, a_s, b_s, _, _, _ = _pair_index(pair_refs, n_verify_parts)
+            vp = int(group["vp"][0].as_py())
+            lo = np.searchsorted(vp_s, vp, "left")
+            hi = np.searchsorted(vp_s, vp, "right")
+            sh = {int(i): np.frombuffer(s, np.uint64)
+                  for i, s in zip(group["doc_id"].to_pylist(),
+                                  group["shingles"].to_pylist())}
+            return verify_pairs_with(sh, a_s[lo:hi], b_s[lo:hi])
+
+        out_ds = sets_mat.map_batches(
+            shingle_rows, batch_format="pyarrow",
+            zero_copy_batch=True).groupby("vp").map_groups(
+            verify, batch_format="pyarrow")
+
+    parts = [t for t in ray.get(out_ds.to_arrow_refs())
+             if t.num_rows and "id_a" in t.column_names]
     if not parts:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+        return empty
     return pa.concat_tables(parts).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")])
+
 
 
 def minhash_near_duplicates(ds, id_column: str, text_column: str,
@@ -520,7 +586,7 @@ def minhash_near_duplicates(ds, id_column: str, text_column: str,
     pairs_ds = minhash_lsh_candidate_pairs(
         ds, id_column, text_column, n_perms, bands, k,
         est_threshold=max(verify_threshold - margin, 1e-9),
-        concurrency=concurrency)
+        concurrency=concurrency, dedup=False)
     return _jaccard_verify_pairs(ds, pairs_ds, id_column, text_column, k,
                                  verify_threshold)
 
@@ -1022,8 +1088,7 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
         a = np.concatenate(parts_a) if parts_a else np.zeros(0, np.int64)
         b = np.concatenate(parts_b) if parts_b else np.zeros(0, np.int64)
         if a.size:     # local dedup before the shuffle (grams repeat)
-            u = np.unique(np.stack([a, b], axis=1), axis=0)
-            a, b = u[:, 0], u[:, 1]
+            a, b = _unique_rows2(a, b)
         return pa.table({"pb2": pa.array(_pair_bucket(a, b, n_buckets),
                                          pa.int64()),
                          "id_a": pa.array(a, pa.int64()),
@@ -1033,10 +1098,10 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
                                 zero_copy_batch=True) \
         .groupby("pb").map_groups(emit_pairs, batch_format="pyarrow") \
         .materialize()           # stage between the two all-to-all shuffles
-    pairs_ds = _dedup_pairs(cand)
-
-    # verify directly against the staged blobs — grams computed exactly once
+    # no dedicated pair-dedup groupby: duplicate pairs (one per shared
+    # prefix gram) land in the same vp partition of the verify join, which
+    # np.uniques them in-group for free
     out = _jaccard_verify_pairs(
-        grams_ds, pairs_ds, id_column, "grams", k=0,
+        grams_ds, cand, id_column, "grams", k=0,
         verify_threshold=threshold, sets_precomputed=True)
     return out
