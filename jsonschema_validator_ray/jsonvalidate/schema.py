@@ -34,12 +34,19 @@ from .urijoin import full_uri, split_fragment
 
 
 def _resolve_pointer(doc: Any, fragment: str) -> Any:
-    """Resolve a JSON-Pointer fragment (``""``, ``"/definitions/model"``) in a doc."""
+    """Resolve a JSON-Pointer fragment (``""``, ``"/definitions/model"``) in a doc.
+
+    Tokens are URI-percent-decoded first (RFC 3986 — a ``#/percent%25field``
+    fragment names the ``percent%field`` member; official draft4 suite
+    ``ref.json`` "escaped pointer ref"), then JSON-Pointer-unescaped
+    (RFC 6901 ``~1`` → ``/``, ``~0`` → ``~``, in that order)."""
+    from urllib.parse import unquote
+
     node = doc
     if not fragment or fragment == "/":
         return node
     for token in fragment.lstrip("/").split("/"):
-        token = token.replace("~1", "/").replace("~0", "~")
+        token = unquote(token).replace("~1", "/").replace("~0", "~")
         if isinstance(node, dict):
             node = node[token]
         elif isinstance(node, list):
