@@ -799,23 +799,81 @@ def q_simhash_neardup_documents(sf_dir: str) -> pa.Table:
     return simhash_near_duplicates(ds, "doc_id", "text", max_hamming=8)
 
 
+_LANGID_PLANTED = {
+    # real sample sentences per supported language (+ zh → 'unknown': the
+    # heuristic's four stopword tables are latin-script only by design)
+    "en": "the cat was on the mat and it is that good for this day",
+    "de": "der hund und die katze sind nicht mit dem mann zu hause",
+    "fr": "le chien est dans la maison avec les enfants qui sont petits",
+    "es": "el perro es una mascota que vive en la casa con los abuelos",
+    "zh": "这 是 一个 中文 文本 例子 没有 拉丁 字母",
+}
+_LANGID_EXPECTED = {"en": "en", "de": "de", "fr": "fr", "es": "es",
+                    "zh": "unknown"}
+
+
 def q_langid_documents(sf_dir: str) -> pa.Table:
+    """Language-ID actor stage over the documents table, SELF-ORACLED.
+
+    The corpus's synthetic ``lang`` labels carry no real language signal
+    (every text is the same English-ish word salad regardless of label), so
+    prediction-vs-label accuracy is meaningless here. The gate instead
+    checks (a) per-label doc counts flowing through the langid pipeline —
+    genuinely SQL-derived — and (b) ``planted_ok``: a real sample sentence
+    per language, routed through the SAME distributed stage, classifies as
+    expected (zh → 'unknown', outside the supported stopword tables)."""
+    import ray.data
+
     from jsonschema_validator_ray.ops.text import add_lang_id
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = _collect(add_lang_id(ds))
-    return out.select(["doc_id", "lang", "lang_pred"]).sort_by("doc_id")
+    counts = pa.TableGroupBy(out.select(["lang"]), "lang") \
+        .aggregate([("lang", "count")])
+
+    planted = pa.table({
+        "lang": pa.array(list(_LANGID_PLANTED)),
+        "text": pa.array(list(_LANGID_PLANTED.values())),
+    })
+    pred = _collect(add_lang_id(ray.data.from_arrow(planted)))
+    ok = {lang: _LANGID_EXPECTED[lang] == p
+          for lang, p in zip(pred["lang"].to_pylist(),
+                             pred["lang_pred"].to_pylist())}
+    return pa.table({
+        "lang": counts["lang"],
+        "n_docs": counts["lang_count"].cast(pa.int64()),
+        "planted_ok": pa.array([ok[lg] for lg in counts["lang"].to_pylist()]),
+    }).sort_by("lang")
 
 
 def q_fingerprint_documents(sf_dir: str) -> pa.Table:
+    """Rolling-hash fingerprints over the documents table, SELF-ORACLED:
+    the hash values themselves are not SQL-derivable, so the gate checks
+    the invariant SQL CAN state — identical texts must produce identical
+    fingerprints — over the corpus's real duplicate groups: ``n_docs`` and
+    ``n_dup_pairs`` are genuinely SQL-derived, ``dup_fp_equal`` is the
+    Ray-side verification that every duplicate-text group maps to exactly
+    one fingerprint."""
+    from collections import defaultdict
+
     from jsonschema_validator_ray.ops.text import add_fingerprint
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = _collect(add_fingerprint(ds))
-    return pa.table({"doc_id": out["doc_id"],
-                     "fingerprint": out["fingerprint"].cast(pa.int64(),
-                                                            safe=False)}
-                    ).sort_by("doc_id")
+    groups: dict = defaultdict(set)
+    sizes: dict = defaultdict(int)
+    for t, fp in zip(out["text"].to_pylist(),
+                     out["fingerprint"].to_pylist()):
+        groups[t].add(fp)
+        sizes[t] += 1
+    n_dup_pairs = sum(c * (c - 1) // 2 for c in sizes.values() if c > 1)
+    dup_fp_equal = all(len(groups[t]) == 1
+                       for t, c in sizes.items() if c > 1)
+    return pa.table({
+        "n_docs": pa.array([out.num_rows], pa.int64()),
+        "n_dup_pairs": pa.array([n_dup_pairs], pa.int64()),
+        "dup_fp_equal": pa.array([dup_fp_equal]),
+    })
 
 
 def q_ivf_search_embeddings(sf_dir: str) -> pa.Table:
@@ -854,35 +912,83 @@ def q_embedding_neardup_ivf(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal_image_features(sf_dir: str) -> pa.Table:
+    """Image decode → resize → mean-pool over an actor pool, SELF-ORACLED:
+    ``dec_width``/``dec_height`` come from the decoded PPM header (the SQL
+    oracle re-derives them from the generator's deterministic size formula),
+    and ``feature_exact`` is elementwise equality of the Ray-computed
+    rgb_mean against a driver-side recompute from the regenerated payloads —
+    a real round-trip check surfaced through the gate."""
     import ray.data
 
     from jsonschema_validator_ray.ops.multimodal import (
-        extract_image_features, synthetic_media_table)
+        ImageFeatureStage, decode_ppm, extract_image_features,
+        synthetic_media_table)
 
-    ds = ray.data.from_arrow(synthetic_media_table(96))
-    out = _collect(extract_image_features(ds))
-    return out.sort_by("media_id")
+    media = synthetic_media_table(96)
+    ds = ray.data.from_arrow(media)
+    out = _collect(extract_image_features(ds)).sort_by("media_id")
+
+    # ground truth: regenerate + decode locally with the same math
+    stage = ImageFeatureStage(target=32)
+    truth = {}
+    for mid, mtype, payload in zip(media["media_id"].to_pylist(),
+                                   media["media_type"].to_pylist(),
+                                   media["payload"].to_pylist()):
+        if mtype == "image":
+            img = decode_ppm(payload)
+            truth[mid] = stage._resize_nn(img).reshape(-1, 3) \
+                .mean(axis=0).astype("float32")
+    exact = [bool((truth[mid] == pa.array(f).to_numpy(
+                zero_copy_only=False)).all())
+             for mid, f in zip(out["media_id"].to_pylist(),
+                               out["rgb_mean"].to_pylist())]
+    return pa.table({
+        "media_id": out["media_id"],
+        "width": out["dec_width"],
+        "height": out["dec_height"],
+        "feature_exact": pa.array(exact),
+    })
 
 
 def q_multimodal_audio_frames(sf_dir: str) -> pa.Table:
     """Audio frame-sampling over real PCM WAV payloads (stdlib decode),
-    actor-pool stage with small batches for binary columns."""
+    actor-pool stage with small batches for binary columns. SELF-ORACLED:
+    ``n_frames`` is re-derived by the SQL oracle from the generator's
+    deterministic sample count, and ``rms_exact`` compares the Ray-computed
+    RMS against a driver-side decode-and-recompute of the same payloads."""
+    import numpy as np
     import ray.data
 
     from jsonschema_validator_ray.ops.multimodal import (
-        sample_audio_frames, synthetic_media_table)
+        decode_wav, sample_audio_frames, synthetic_media_table)
 
-    ds = ray.data.from_arrow(synthetic_media_table(96))
-    out = _collect(sample_audio_frames(ds))
+    media = synthetic_media_table(96)
+    ds = ray.data.from_arrow(media)
+    out = _collect(sample_audio_frames(ds)).sort_by("media_id")
+
+    truth = {}
+    for mid, mtype, payload in zip(media["media_id"].to_pylist(),
+                                   media["media_type"].to_pylist(),
+                                   media["payload"].to_pylist()):
+        if mtype == "audio":
+            samples, _sr = decode_wav(payload)
+            truth[mid] = float(np.sqrt(np.mean(samples ** 2)))
+    exact = [truth[mid] == rms
+             for mid, rms in zip(out["media_id"].to_pylist(),
+                                 out["rms"].to_pylist())]
     return pa.table({
         "media_id": out["media_id"],
         "n_frames": out["n_frames"],
-        "rms": pc.round(out["rms"], ndigits=6),
-    }).sort_by("media_id")
+        "rms_exact": pa.array(exact),
+    })
 
 
 def q_drift_events_type(sf_dir: str) -> pa.Table:
-    """Chi-square drift of event_type frequencies vs the uniform reference."""
+    """Chi-square drift of event_type frequencies vs the uniform reference.
+
+    The chi² STATISTIC is SQL-expressible and oracle-checked; the p-value
+    (regularized incomplete gamma) is not — it is asserted against
+    published chi-square table values in tests/test_sketches.py instead."""
     from jsonschema_validator_ray.ops.aggregates import value_counts
     from jsonschema_validator_ray.state.drift import chi_square_test
 
@@ -890,11 +996,11 @@ def q_drift_events_type(sf_dir: str) -> pa.Table:
     vc = value_counts(ds, "event_type")
     observed = dict(zip(vc["event_type"].to_pylist(), vc["n"].to_pylist()))
     stat, pval = chi_square_test(observed, {t: 0.2 for t in EVENT_TYPES})
+    n_cats = len(set(observed) | set(EVENT_TYPES))
     return pa.table({
         "constraint_id": pa.array(["drift:event_type"]),
         "statistic": pa.array([round(stat, 6)], pa.float64()),
-        "p_value": pa.array([round(pval, 6)], pa.float64()),
-        "passed": pa.array([pval >= 1e-4]),
+        "n_categories": pa.array([n_cats], pa.int64()),
     })
 
 
@@ -1209,6 +1315,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        # SELF-ORACLES (documented): the SQL re-derives every deterministic
+        # column (decoded dims / frame counts from the generator's size
+        # formulas) and asserts the round-trip flags the Ray side computes
+        # by comparing decoded output against regenerated ground truth —
+        # a decode or feature regression fails the gate.
+        "langid_documents": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS planted_ok
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "fingerprint_documents": """
+            SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+                       AS n_docs,
+                   CAST(COALESCE((SELECT sum(c * (c - 1) / 2)
+                                  FROM (SELECT count(*) AS c FROM documents
+                                        GROUP BY text) WHERE c > 1), 0)
+                        AS BIGINT) AS n_dup_pairs,
+                   TRUE AS dup_fp_equal
+        """,
+        "multimodal_image_features": """
+            SELECT range AS media_id,
+                   64 + 32 * (range % 4) AS width,
+                   64 + 32 * ((range + 1) % 4) AS height,
+                   TRUE AS feature_exact
+            FROM range(0, 96, 3) ORDER BY media_id
+        """,
+        "multimodal_audio_frames": """
+            SELECT range AS media_id, CAST(2 AS BIGINT) AS n_frames,
+                   TRUE AS rms_exact
+            FROM range(1, 96, 3) ORDER BY media_id
+        """,
+        "drift_events_type": """
+            WITH ref(event_type) AS (VALUES ('click'), ('error'),
+                                            ('purchase'), ('signup'),
+                                            ('view')),
+            obs AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n
+                    FROM events GROUP BY event_type),
+            tot AS (SELECT sum(n) AS total FROM obs),
+            cats AS (SELECT COALESCE(o.n, 0) AS n,
+                            r.event_type IS NOT NULL AS in_ref
+                     FROM ref r FULL OUTER JOIN obs o
+                          ON r.event_type = o.event_type)
+            SELECT 'drift:event_type' AS constraint_id,
+                   round(sum(pow(n - (CASE WHEN in_ref THEN 0.2 ELSE 1e-9
+                                      END) * total, 2)
+                             / ((CASE WHEN in_ref THEN 0.2 ELSE 1e-9
+                                 END) * total)), 6) AS statistic,
+                   CAST(count(*) AS BIGINT) AS n_categories
+            FROM cats, tot
+        """,
         "simsearch_top5": """
             SELECT b.vec_id,
                    round(list_cosine_similarity(
@@ -1273,6 +1429,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        # SELF-ORACLE (documented): the IVF path is approximate by design,
+        # but with the deterministic hash-sampled k-means seed and 3-probe
+        # assignment its recall is 1.0 on these corpora (cross-checked in
+        # tests/test_ops.py), so its output must EQUAL the exact all-pairs
+        # join — the same SQL verifies both, and any recall regression
+        # fails this gate instead of hiding behind "no oracle".
+        "embedding_neardup_ivf": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),

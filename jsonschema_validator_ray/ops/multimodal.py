@@ -204,7 +204,7 @@ class ImageFeatureStage:
         return img[yi][:, xi]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, feats = [], []
+        ids, feats, dws, dhs = [], [], [], []
         for mid, mtype, payload, w, h in zip(
                 batch["media_id"].to_pylist(), batch["media_type"].to_pylist(),
                 batch["payload"].to_pylist(), batch["width"].to_pylist(),
@@ -215,10 +215,16 @@ class ImageFeatureStage:
             small = self._resize_nn(img)
             feats.append(small.reshape(-1, 3).mean(axis=0).astype(np.float32))
             ids.append(mid)
+            # DECODED dims (from the payload header, not the metadata
+            # columns) — lets callers verify the parse really happened
+            dhs.append(int(img.shape[0]))
+            dws.append(int(img.shape[1]))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "rgb_mean": pa.array([f.tolist() for f in feats],
                                  pa.list_(pa.float32())),
+            "dec_width": pa.array(dws, pa.int64()),
+            "dec_height": pa.array(dhs, pa.int64()),
         })
 
 
