@@ -983,6 +983,46 @@ def q_multimodal_audio_frames(sf_dir: str) -> pa.Table:
     })
 
 
+def q_multimodal_video_frames(sf_dir: str) -> pa.Table:
+    """Video frame-sampling over REAL y4m (YUV4MPEG2 C444) payloads — pure
+    numpy decode, actor pool, small batches. SELF-ORACLED like the
+    image/audio queries: decoded dims and frame counts are re-derived by
+    the SQL oracle from the generator's deterministic formulas
+    (n_frames = 4 + (i // 3) % 3, sampled at stride 2), and ``luma_exact``
+    compares the Ray-computed per-frame luma means against a driver-side
+    decode-and-recompute of the regenerated payloads."""
+    import numpy as np
+    import ray.data
+
+    from jsonschema_validator_ray.ops.multimodal import (
+        decode_y4m, sample_video_frames, synthetic_media_table)
+
+    media = synthetic_media_table(96)
+    ds = ray.data.from_arrow(media)
+    out = _collect(sample_video_frames(ds, stride=2)).sort_by("media_id")
+
+    truth = {}
+    for mid, mtype, payload in zip(media["media_id"].to_pylist(),
+                                   media["media_type"].to_pylist(),
+                                   media["payload"].to_pylist()):
+        if mtype == "video":
+            frames = decode_y4m(payload)[::2]
+            truth[mid] = frames[..., 0].reshape(frames.shape[0], -1) \
+                .mean(axis=1).astype(np.float32)
+    exact = [bool((truth[mid] == pa.array(v).to_numpy(
+                zero_copy_only=False)).all())
+             for mid, v in zip(out["media_id"].to_pylist(),
+                               out["luma_mean"].to_pylist())]
+    return pa.table({
+        "media_id": out["media_id"],
+        "n_frames": out["n_frames"],
+        "n_sampled": out["n_sampled"],
+        "width": out["dec_width"],
+        "height": out["dec_height"],
+        "luma_exact": pa.array(exact),
+    })
+
+
 def q_drift_events_type(sf_dir: str) -> pa.Table:
     """Chi-square drift of event_type frequencies vs the uniform reference.
 
@@ -1044,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "drift_events_type": q_drift_events_type,
     }
 
@@ -1345,6 +1386,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT range AS media_id, CAST(2 AS BIGINT) AS n_frames,
                    TRUE AS rms_exact
             FROM range(1, 96, 3) ORDER BY media_id
+        """,
+        "multimodal_video_frames": """
+            SELECT range AS media_id,
+                   4 + (range // 3) % 3 AS n_frames,
+                   CAST(ceil((4 + (range // 3) % 3) / 2.0) AS BIGINT)
+                       AS n_sampled,
+                   64 + 32 * (range % 4) AS width,
+                   64 + 32 * ((range + 1) % 4) AS height,
+                   TRUE AS luma_exact
+            FROM range(2, 96, 3) ORDER BY media_id
         """,
         "drift_events_type": """
             WITH ref(event_type) AS (VALUES ('click'), ('error'),

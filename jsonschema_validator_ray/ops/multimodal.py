@@ -5,12 +5,13 @@ Decode resolution order (probed once per actor, never per batch):
 
 1. Optional libraries (PIL for images, soundfile for audio) when importable.
 2. REAL pure-python/numpy decoders for public uncompressed formats that need
-   no external library: PPM ``P6`` images and PCM WAV audio (stdlib ``wave``).
-   The synthetic test corpus emits exactly these formats, so the real decode
-   path is exercised in this container.
+   no external library: PPM ``P6`` images, PCM WAV audio (stdlib ``wave``)
+   and YUV4MPEG2 ``C444`` video (y4m). The synthetic test corpus emits
+   exactly these formats, so the real decode paths are exercised in this
+   container.
 3. A clearly-marked deterministic STUB for anything else (e.g. JPEG without
-   PIL, video) — the Ray-side plumbing (schemas, small-batch sizing, actor
-   signature, output layout) is real regardless.
+   PIL, compressed MP4-style video) — the Ray-side plumbing (schemas,
+   small-batch sizing, actor signature, output layout) is real regardless.
 """
 
 from __future__ import annotations
@@ -61,8 +62,10 @@ def _encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def synthetic_media_table(n: int = 64, seed: int = 3) -> pa.Table:
     """Deterministic media rows for tests: images are REAL PPM payloads,
-    audio rows are REAL PCM WAV payloads (so the genuine decoders run in
-    this container); video stays an opaque blob (stub decode)."""
+    audio rows are REAL PCM WAV payloads, video rows are REAL YUV4MPEG2
+    (y4m, C444) payloads — so all three genuine decoders run in this
+    container; only compressed formats (JPEG/MP4) fall back to the
+    labeled stubs."""
     rng = np.random.default_rng(seed)
     types = ["image", "audio", "video"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
@@ -79,7 +82,9 @@ def synthetic_media_table(n: int = 64, seed: int = 3) -> pa.Table:
             samples = rng.normal(0, 0.2, 16000 // 4).astype(np.float32)
             rows["payload"].append(_encode_wav(samples, 16000))
         else:
-            rows["payload"].append(rng.bytes(256 + (i % 7) * 128))
+            frames = rng.integers(0, 256, size=(4 + (i // 3) % 3, h, w, 3),
+                                  dtype=np.uint8)
+            rows["payload"].append(_encode_y4m(frames))
         rows["width"].append(w)
         rows["height"].append(h)
         rows["sample_rate"].append(16000 if t == "audio" else None)
@@ -140,6 +145,61 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, sr
 
 
+def _encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """REAL encode of (n, h, w, 3) uint8 YCbCr frames as YUV4MPEG2 ``C444``
+    (uncompressed planar, one Y/Cb/Cr plane per frame) — the same
+    no-external-library approach as the PPM path, so the genuine video
+    decode runs in this container."""
+    n, h, w, _ = frames.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        # planar: all Y, then all Cb, then all Cr
+        out.append(frames[i].transpose(2, 0, 1).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """REAL decode of a YUV4MPEG2 ``C444`` payload — pure numpy, no deps.
+    Returns (n_frames, h, w, 3) uint8 YCbCr. Raises ValueError on anything
+    truncated, malformed, or in an unsupported colorspace (caller falls
+    back to the labeled stub)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated y4m header")
+    w = h = None
+    cspace = "C420jpeg"                       # y4m default when absent
+    for tok in payload[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cspace = tok[1:].decode("ascii", "replace")
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("missing y4m dimensions")
+    if cspace != "444":
+        raise ValueError(f"unsupported y4m colorspace C{cspace}")
+    frame_bytes = w * h * 3
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("malformed y4m frame marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or len(payload) - (fnl + 1) < frame_bytes:
+            raise ValueError("truncated y4m frame")
+        plane = np.frombuffer(payload, np.uint8, count=frame_bytes,
+                              offset=fnl + 1).reshape(3, h, w)
+        frames.append(plane.transpose(1, 2, 0))
+        pos = fnl + 1 + frame_bytes
+    if not frames:
+        raise ValueError("y4m payload has no frames")
+    return np.stack(frames)
+
+
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB — deterministic fake decode for formats with no available
     decoder (e.g. JPEG without PIL). Derives a (h, w, 3) uint8 array from a
@@ -185,6 +245,28 @@ def decode_audio(payload: bytes,
     # STUB: derive a waveform from the payload bytes
     x = np.frombuffer(payload, np.uint8).astype(np.float32) / 255.0
     return x, sample_rate or 16000
+
+
+def _decode_video_stub(payload: bytes, width: int, height: int,
+                       n_frames: int = 4) -> np.ndarray:
+    """STUB — deterministic fake decode for compressed video formats with no
+    available decoder in this container (labeled, like the JPEG stub)."""
+    digest = hashlib.blake2b(payload, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(digest, "little"))
+    return rng.integers(0, 256, size=(n_frames, height or 64, width or 64, 3),
+                        dtype=np.uint8)
+
+
+def decode_video(payload: bytes, width: int | None = None,
+                 height: int | None = None) -> np.ndarray:
+    """Decode a video payload: y4m decoder → labeled stub. Returns
+    (n_frames, h, w, 3) uint8."""
+    if payload.startswith(b"YUV4MPEG2"):
+        try:
+            return decode_y4m(payload)
+        except ValueError:      # truncated/malformed → stub fallback
+            pass
+    return _decode_video_stub(payload, width, height)
 
 
 class ImageFeatureStage:
@@ -255,6 +337,54 @@ class AudioFrameSampleStage:
             "n_frames": pa.array(n_frames, pa.int64()),
             "rms": pa.array(rms, pa.float64()),
         })
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: decode a video payload (y4m → labeled stub) and
+    sample every ``stride``-th frame; emits decoded dims + per-sampled-frame
+    mean luma. Small batches — video payloads are the largest binary
+    column."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nf, ns, dws, dhs, luma = [], [], [], [], [], []
+        for mid, mtype, payload, w, h in zip(
+                batch["media_id"].to_pylist(), batch["media_type"].to_pylist(),
+                batch["payload"].to_pylist(), batch["width"].to_pylist(),
+                batch["height"].to_pylist()):
+            if mtype != "video":
+                continue
+            frames = decode_video(payload, w, h)
+            sampled = frames[::self.stride]
+            ids.append(mid)
+            nf.append(int(frames.shape[0]))
+            ns.append(int(sampled.shape[0]))
+            dhs.append(int(frames.shape[1]))
+            dws.append(int(frames.shape[2]))
+            # plane 0 is Y (luma) in the y4m planar layout
+            luma.append(sampled[..., 0].reshape(ns[-1], -1)
+                        .mean(axis=1).astype(np.float32))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "n_sampled": pa.array(ns, pa.int64()),
+            "dec_width": pa.array(dws, pa.int64()),
+            "dec_height": pa.array(dhs, pa.int64()),
+            "luma_mean": pa.array([v.tolist() for v in luma],
+                                  pa.list_(pa.float32())),
+        })
+
+
+def sample_video_frames(ds, stride: int = 2, concurrency=(1, 4),
+                        batch_size: int = 16):
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    return ds.map_batches(VideoFrameSampleStage,
+                          fn_constructor_kwargs={"stride": stride},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
 
 
 def extract_image_features(ds, target: int = 32, concurrency=(1, 4),
