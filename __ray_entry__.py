@@ -40,9 +40,18 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _collect(ds) -> pa.Table:
+    """Materialize a (result-sized) Dataset to one pa.Table, driver-side.
+
+    ``materialize()`` first: ``to_arrow_refs()`` on a LAZY dataset runs the
+    plan AND then a limit-1 schema probe — which re-executes the whole
+    pipeline when an all-to-all (sort/groupby shuffle) blocks limit
+    pushdown, doubling every shuffle query's wall. Materializing runs the
+    plan exactly once (blocks stay in the object store, not driver heap).
+    Only for oracle-contract results; production sinks use ``ops/sink.py``.
+    """
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs())]
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs())]
     tables = [t for t in tables if t.num_rows] or tables[:1]
     return pa.concat_tables(tables, promote_options="default")
 
@@ -911,6 +920,142 @@ def q_embedding_neardup_ivf(sf_dir: str) -> pa.Table:
                      "cos": pc.round(t["cos"], ndigits=4)})
 
 
+def q_asof_join_events_orders(sf_dir: str) -> pa.Table:
+    """Backward AS-OF join: each event matched to the SAME user's latest
+    order at-or-before the event timestamp (``ops.join.asof_join`` — one
+    hash-bucket shuffle, vectorized searchsorted match in-bucket), then the
+    order stats AT the matched date via ``ops.join.range_agg_join`` with a
+    degenerate ``[asof, asof+1us)`` interval. The output (matched date +
+    aggregates at that date) is tie-insensitive, so it compares exactly
+    against DuckDB's native ASOF JOIN. Money in integer cents."""
+    from jsonschema_validator_ray.ops.join import asof_join, range_agg_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    matched = asof_join(events, orders.select_columns(
+        ["o_custkey", "o_orderdate"]), on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate")
+
+    def add_end(batch: pa.Table) -> pa.Table:
+        a = batch["asof_ts"].cast(pa.int64())
+        return batch.append_column(
+            "asof_end", pc.add(a, pa.scalar(1, pa.int64())))
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderdate": batch["o_orderdate"],
+            "price_cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], 100.0)), pa.int64())})
+
+    out = range_agg_join(
+        matched.map_batches(add_end, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        orders.map_batches(cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        on="user_id", point_on="o_custkey", start="asof_ts",
+        end="asof_end", point_ts="o_orderdate", value="price_cents",
+        # static schema: a schema probe here would re-run the asof shuffle
+        range_schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("asof_ts", pa.timestamp("us")),
+            ("asof_end", pa.int64())]))
+    t = _collect(out)
+    return pa.table({
+        "event_id": t["event_id"],
+        "user_id": t["user_id"],
+        "asof_date": t["asof_ts"],
+        "n_at_asof": t["n_points"],
+        "sum_price_cents": t["sum_value"],
+    }).sort_by("event_id")
+
+
+def q_order_window_events(sf_dir: str) -> pa.Table:
+    """Range (interval) aggregate join: per order, the count and value-sum
+    of the SAME user's events inside ``[o_orderdate, o_orderdate+7d)`` —
+    ``ops.join.range_agg_join``: one shuffle, per-bucket lexsort +
+    prefix-sum + two searchsorted's per interval, so only |orders| rows
+    leave the shuffle however dense the events. LEFT semantics (orders
+    with no events report 0)."""
+    from jsonschema_validator_ray.ops.join import range_agg_join
+
+    week_us = 7 * 86400 * 10**6
+
+    def mk_ranges(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].cast(pa.int64())
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "w_start": d,
+            "w_end": pc.add(d, pa.scalar(week_us, pa.int64()))})
+
+    def mk_points(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"],
+            "value_cents": pc.cast(pc.round(pc.multiply(
+                batch["value"], 100.0)), pa.int64())})
+
+    ranges = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(mk_ranges, batch_format="pyarrow", zero_copy_batch=True)
+    points = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .map_batches(mk_points, batch_format="pyarrow", zero_copy_batch=True)
+    t = _collect(range_agg_join(ranges, points, on="o_custkey",
+                                point_on="user_id", start="w_start",
+                                end="w_end", point_ts="ts",
+                                value="value_cents"))
+    return pa.table({
+        "o_orderkey": t["o_orderkey"],
+        "n_events": t["n_points"],
+        "sum_value_cents": t["sum_value"],
+    }).sort_by("o_orderkey")
+
+
+def q_value_quantiles_by_event_type(sf_dir: str) -> pa.Table:
+    """EXACT grouped quantiles (q25/q50/q90 of event value per event_type)
+    via ``ops.aggregates.grouped_quantiles`` — hash-bucket groupby, one
+    sort + segmented ``np.quantile`` per bucket; linear interpolation
+    matches SQL ``quantile_cont`` bit-for-bit (rounded to 6 digits for the
+    value-hash)."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    t = _collect(grouped_quantiles(ds, "event_type", "value",
+                                   [0.25, 0.5, 0.9]))
+    return pa.table({
+        "event_type": t["event_type"],
+        "n": t["n"],
+        "q25": pc.round(t["q25"], ndigits=6),
+        "q50": pc.round(t["q50"], ndigits=6),
+        "q90": pc.round(t["q90"], ndigits=6),
+    }).sort_by("event_type")
+
+
+def q_top3_orders_per_customer(sf_dir: str) -> pa.Table:
+    """Per-group top-k window (``row_number() OVER (PARTITION BY o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey) <= 3``) via
+    ``ops.aggregates.grouped_top_k`` — one bucket shuffle, numpy lexsort +
+    segmented rank per bucket, only 3 rows per customer leave the stage.
+    Price in integer cents (exact in this corpus)."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_top_k
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "price_cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], 100.0)), pa.int64())})
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    t = _collect(grouped_top_k(ds, "o_custkey", "price_cents", 3,
+                               descending=True, tiebreak="o_orderkey"))
+    return t.select(["o_custkey", "o_orderkey", "price_cents", "rk"]) \
+        .sort_by([("o_custkey", "ascending"), ("rk", "ascending")])
+
+
 def q_multimodal_image_features(sf_dir: str) -> pa.Table:
     """Image decode → resize → mean-pool over an actor pool, SELF-ORACLED:
     ``dec_width``/``dec_height`` come from the decoded PPM header (the SQL
@@ -1082,6 +1227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_search_embeddings": q_ivf_search_embeddings,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
+        "asof_join_events_orders": q_asof_join_events_orders,
+        "order_window_events": q_order_window_events,
+        "value_quantiles_by_event_type": q_value_quantiles_by_event_type,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
         "multimodal_video_frames": q_multimodal_video_frames,
@@ -1374,6 +1523,49 @@ def oracle_sql() -> dict[str, str]:
                                         GROUP BY text) WHERE c > 1), 0)
                         AS BIGINT) AS n_dup_pairs,
                    TRUE AS dup_fp_equal
+        """,
+        "asof_join_events_orders": """
+            WITH m AS (
+                SELECT e.event_id, e.user_id, o.o_orderdate AS asof_date
+                FROM events e ASOF JOIN orders o
+                  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+            SELECT m.event_id, m.user_id, m.asof_date,
+                   CAST(count(*) AS BIGINT) AS n_at_asof,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM m JOIN orders o
+              ON o.o_custkey = m.user_id AND o.o_orderdate = m.asof_date
+            GROUP BY m.event_id, m.user_id, m.asof_date
+            ORDER BY m.event_id
+        """,
+        "order_window_events": """
+            SELECT o.o_orderkey,
+                   CAST(count(e.ts) AS BIGINT) AS n_events,
+                   CAST(COALESCE(sum(CAST(round(e.value * 100) AS BIGINT)),
+                                 0) AS BIGINT) AS sum_value_cents
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+        """,
+        "value_quantiles_by_event_type": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.25), 6) AS q25,
+                   round(quantile_cont(value, 0.50), 6) AS q50,
+                   round(quantile_cont(value, 0.90), 6) AS q90
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders)
+            WHERE rk <= 3 ORDER BY o_custkey, rk
         """,
         "multimodal_image_features": """
             SELECT range AS media_id,

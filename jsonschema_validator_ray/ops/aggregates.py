@@ -144,6 +144,117 @@ def top_k(ds, key: str, k: int, *, descending: bool = True,
     return parts.sort_by(order).slice(0, k)
 
 
+def _hash_buckets(n_buckets: int) -> int:
+    import ray
+    if n_buckets > 0:
+        return n_buckets
+    avail = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    return 4 * avail
+
+
+def _add_bucket_fn(key: str, n_buckets: int):
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..stages.groupcheck import np_column_hash
+
+        h = (np_column_hash(batch[key]) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+    return add_bucket
+
+
+def grouped_quantiles(ds, key: str, value: str, qs: Sequence[float],
+                      n_buckets: int = 0):
+    """EXACT grouped quantiles (linear interpolation, = SQL
+    ``quantile_cont``): per distinct ``key``, the quantiles of ``value`` at
+    each q in ``qs`` plus the group row count.
+
+    One hash-bucket groupby co-locates each key's rows; inside a bucket one
+    sort segments the rows by key and ``np.quantile`` runs per segment —
+    the per-bucket loop is over DISTINCT KEYS, never rows, so it stays
+    cheap for the enum-sized key domains exact quantiles are meant for.
+    (Unbounded key domains at scale should prefer the mergeable t-digest in
+    ``state/tdigest.py`` — exact quantiles fundamentally need each group's
+    full value set in one place.) Returns a Dataset of
+    ``(key, n, q_<pct>...)`` rows.
+    """
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    qs = list(qs)
+    n_buckets = _hash_buckets(n_buckets)
+    qnames = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    def bucket_quantiles(group: pa.Table) -> pa.Table:
+        empty = {key: pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())} \
+            | {qn: pa.array([], pa.float64()) for qn in qnames}
+        if group.num_rows == 0:
+            return pa.table(empty)
+        srt = group.sort_by([(key, "ascending")])
+        k_arr = srt[key].combine_chunks() \
+            if isinstance(srt[key], pa.ChunkedArray) else srt[key]
+        v = srt[value].to_numpy(zero_copy_only=False)
+        n = srt.num_rows
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = pc.equal(k_arr.slice(1), k_arr.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(~same)
+        ends = np.append(starts[1:], n)
+        rows = {key: k_arr.take(pa.array(starts, pa.int64())),
+                "n": pa.array(ends - starts, pa.int64())}
+        qmat = np.stack([np.quantile(v[s:e], qs)
+                         for s, e in zip(starts, ends)])
+        for j, qn in enumerate(qnames):
+            rows[qn] = pa.array(qmat[:, j], pa.float64())
+        return pa.table(rows)
+
+    return ds.map_batches(_add_bucket_fn(key, n_buckets),
+                          batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_quantiles,
+                                       batch_format="pyarrow")
+
+
+def grouped_top_k(ds, key: str, order_col: str, k: int, *,
+                  descending: bool = True, tiebreak: str | None = None,
+                  n_buckets: int = 0):
+    """Per-group top-k (the ``row_number() OVER (PARTITION BY key ORDER BY
+    order_col) <= k`` window): keeps each key's k best rows with a 1-based
+    ``rk`` rank column appended. Deterministic under ties when ``tiebreak``
+    (ascending) is given.
+
+    One hash-bucket groupby, then one numpy lexsort per bucket + a
+    segmented ``arange`` for ranks — no per-row Python. Only k rows per key
+    leave the shuffle stage. Returns a Dataset with ``ds``'s columns + rk.
+    """
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        if group.num_rows == 0:
+            return body.append_column("rk", pa.array([], pa.int64()))
+        kv = group[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ov = group[order_col].to_numpy(zero_copy_only=False)
+        sort_keys = [-ov if descending else ov, kv]
+        if tiebreak is not None:
+            sort_keys.insert(0, group[tiebreak]
+                             .to_numpy(zero_copy_only=False))
+        order = np.lexsort(sort_keys)          # last key is primary
+        ks = kv[order]
+        starts = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1))
+        counts = np.diff(np.append(starts, ks.size))
+        rk = np.arange(ks.size) - np.repeat(starts, counts) + 1
+        keep = rk <= k
+        out = body.take(pa.array(order[keep], pa.int64()))
+        return out.append_column("rk", pa.array(rk[keep], pa.int64()))
+
+    return ds.map_batches(_add_bucket_fn(key, n_buckets),
+                          batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_topk, batch_format="pyarrow")
+
+
 def sessionize_counts(ds, user_col: str, ts_col: str, order_col: str,
                       gap_us: int = 30 * 60 * 1_000_000) -> pa.Table:
     """Gap-based sessionization (the batch form of a session window): per

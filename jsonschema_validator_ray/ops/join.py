@@ -83,3 +83,212 @@ def reduce_side_hash_join(left_ds, right_ds, key: str, *,
 
     return tagged.groupby("_jb").map_groups(join_bucket,
                                             batch_format="pyarrow")
+
+
+def _default_buckets(n_buckets: int) -> int:
+    import ray
+    if n_buckets > 0:
+        return n_buckets
+    avail = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    return 4 * avail
+
+
+def asof_join(left_ds, right_ds, *, on: str, right_on: str,
+              left_ts: str, right_ts: str, n_buckets: int = 0,
+              left_schema: pa.Schema | None = None,
+              right_ts_type: pa.DataType | None = None):
+    """Distributed backward as-of join: for each left row, find the LATEST
+    right timestamp at-or-before the left timestamp within the same key.
+
+    Emits every left column plus ``asof_ts`` (the matched right timestamp —
+    tie-insensitive: when several right rows share the winning timestamp the
+    output is identical whichever wins, so results are deterministic and
+    SQL-oracle-comparable). Inner semantics: left rows with no right row
+    at-or-before their timestamp are dropped.
+
+    Shape: both sides are tagged with ``hash(key) % n_buckets``, shuffled
+    with ONE groupby, and matched inside each bucket fully vectorized — the
+    right side is lexsorted by (key, ts) and each left row resolved with a
+    single ``np.searchsorted`` over a dense (key_rank, ts_rank) compound,
+    so a hot bucket never degenerates to a Python loop.
+
+    Partitioning assumption (same as ``reduce_side_hash_join``): all rows of
+    one key land in one bucket group, which must fit in a worker's heap;
+    the compound is bounded by rows² < 2**63 per bucket.
+    """
+    from ..stages.groupcheck import np_column_hash
+
+    n_buckets = _default_buckets(n_buckets)
+    # Dataset.schema() executes the plan up to a limit-1 probe — pass the
+    # schemas explicitly when an upstream shuffle would make that a full
+    # second execution
+    l_schema = left_schema if left_schema is not None else left_ds.schema()
+    if right_ts_type is not None:
+        ts_type = right_ts_type
+    else:
+        r_schema = right_ds.schema()
+        ts_type = r_schema.types[list(r_schema.names).index(right_ts)]
+    assert not {"_jb", "_side", "_k", "_ts"} & set(l_schema.names)
+    union_schema = pa.schema(
+        [("_jb", pa.int64()), ("_side", pa.int8())]
+        + list(zip(l_schema.names, l_schema.types))
+        + [("_k", pa.int64()), ("_ts", pa.int64())])
+    payload_schema = pa.schema([(f.name, f.type) for f in union_schema
+                                if f.name not in ("_jb", "_side")])
+
+    def tag(side: int, key_col: str, ts_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].cast(pa.int64())
+            t = batch[ts_col].cast(pa.int64())
+            batch = batch.append_column("_k", k).append_column("_ts", t)
+            jb = (np_column_hash(k) % np.uint64(n_buckets)).astype(np.int64)
+            out = _pad_to(batch, payload_schema)
+            out = out.add_column(0, "_side", pa.array(
+                np.full(batch.num_rows, side, np.int8), pa.int8()))
+            return out.add_column(0, "_jb", pa.array(jb, pa.int64()))
+        return fn
+
+    tagged = left_ds.map_batches(tag(0, on, left_ts), batch_format="pyarrow",
+                                 zero_copy_batch=True).union(
+        right_ds.map_batches(tag(1, right_on, right_ts),
+                             batch_format="pyarrow", zero_copy_batch=True))
+
+    def match_bucket(group: pa.Table) -> pa.Table:
+        is_l = pc.equal(group["_side"], 0)
+        lt = group.filter(is_l)
+        rt = group.filter(pc.invert(is_l))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table(
+                {n: pa.nulls(0, t)
+                 for n, t in zip(l_schema.names, l_schema.types)}
+                | {"asof_ts": pa.nulls(0, ts_type)})
+        lk = lt["_k"].to_numpy()
+        lts = lt["_ts"].to_numpy()
+        rk = rt["_k"].to_numpy()
+        rts = rt["_ts"].to_numpy()
+        order = np.lexsort((rts, rk))
+        rk, rts = rk[order], rts[order]
+        uniq = np.unique(rts)
+        band = np.int64(uniq.size + 1)
+        dkeys = np.unique(np.concatenate([rk, lk]))
+        dk_r = np.searchsorted(dkeys, rk)
+        dk_l = np.searchsorted(dkeys, lk)
+        comp_r = dk_r * band + np.searchsorted(uniq, rts)
+        # rank of the largest right-ts <= left-ts; rank -1 lands below the
+        # key's band and the dense-key check below rejects it
+        comp_l = dk_l * band + np.searchsorted(uniq, lts, side="right") - 1
+        idx = np.searchsorted(comp_r, comp_l, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        valid = (idx >= 0) & (dk_r[safe] == dk_l)
+        out = lt.select(list(l_schema.names)).filter(pa.array(valid))
+        asof = pa.array(rts[safe[valid]], pa.int64()).cast(ts_type)
+        return out.append_column("asof_ts", asof)
+
+    return tagged.groupby("_jb").map_groups(match_bucket,
+                                            batch_format="pyarrow")
+
+
+def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
+                   start: str, end: str, point_ts: str,
+                   value: str | None = None, n_buckets: int = 0,
+                   range_schema: pa.Schema | None = None):
+    """Distributed range (interval) aggregate join: for each range row
+    ``[start, end)`` count the points of the same key whose timestamp falls
+    inside the interval, plus (optionally) the sum of an int64 ``value``
+    column over those points.
+
+    Emits every range-side column plus ``n_points`` and (if ``value``)
+    ``sum_value`` — LEFT semantics: ranges with no points report 0. The
+    aggregate form sidesteps the row explosion of a materialized pair
+    output: only |ranges| rows leave the shuffle however dense the points.
+
+    Shape: one hash-bucket groupby co-locates each key's ranges and points;
+    inside a bucket the points are lexsorted by (key, ts) once, a prefix-sum
+    built over the value column, and every interval resolved with two
+    ``np.searchsorted`` calls over a dense (key_rank, ts_rank) compound —
+    O((P+R) log P) per bucket, no Python loop. Partitioning assumption:
+    all rows of one key fit in one bucket group (see ``asof_join``).
+    """
+    from ..stages.groupcheck import np_column_hash
+
+    n_buckets = _default_buckets(n_buckets)
+    # see asof_join: pass range_schema to skip a full-pipeline schema probe
+    r_schema = range_schema if range_schema is not None \
+        else range_ds.schema()
+    assert not {"_jb", "_side", "_k", "_t0", "_t1", "_pv"} & set(r_schema.names)
+    payload_schema = pa.schema(
+        list(zip(r_schema.names, r_schema.types))
+        + [("_k", pa.int64()), ("_t0", pa.int64()), ("_t1", pa.int64()),
+           ("_pv", pa.int64())])
+
+    def tag_ranges(batch: pa.Table) -> pa.Table:
+        k = batch[on].cast(pa.int64())
+        batch = batch.append_column("_k", k) \
+            .append_column("_t0", batch[start].cast(pa.int64())) \
+            .append_column("_t1", batch[end].cast(pa.int64()))
+        jb = (np_column_hash(k) % np.uint64(n_buckets)).astype(np.int64)
+        out = _pad_to(batch, payload_schema)
+        out = out.add_column(0, "_side", pa.array(
+            np.zeros(batch.num_rows, np.int8), pa.int8()))
+        return out.add_column(0, "_jb", pa.array(jb, pa.int64()))
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        k = batch[point_on].cast(pa.int64())
+        pv = batch[value].cast(pa.int64()) if value is not None \
+            else pa.nulls(batch.num_rows, pa.int64())
+        pts = pa.table({"_k": k, "_t0": batch[point_ts].cast(pa.int64()),
+                        "_pv": pv})
+        jb = (np_column_hash(k) % np.uint64(n_buckets)).astype(np.int64)
+        out = _pad_to(pts, payload_schema)
+        out = out.add_column(0, "_side", pa.array(
+            np.ones(pts.num_rows, np.int8), pa.int8()))
+        return out.add_column(0, "_jb", pa.array(jb, pa.int64()))
+
+    tagged = range_ds.map_batches(tag_ranges, batch_format="pyarrow",
+                                  zero_copy_batch=True).union(
+        point_ds.map_batches(tag_points, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    agg_names = ["n_points"] + (["sum_value"] if value is not None else [])
+
+    def agg_bucket(group: pa.Table) -> pa.Table:
+        is_r = pc.equal(group["_side"], 0)
+        rt = group.filter(is_r)
+        if rt.num_rows == 0:
+            return pa.table({n: pa.nulls(0, t)
+                             for n, t in zip(r_schema.names, r_schema.types)}
+                            | {n: pa.nulls(0, pa.int64())
+                               for n in agg_names})
+        pt = group.filter(pc.invert(is_r))
+        out = rt.select(list(r_schema.names))
+        if pt.num_rows == 0:
+            zeros = pa.array(np.zeros(rt.num_rows, np.int64), pa.int64())
+            for n in agg_names:
+                out = out.append_column(n, zeros)
+            return out
+        pk = pt["_k"].to_numpy()
+        pts_arr = pt["_t0"].to_numpy()
+        order = np.lexsort((pts_arr, pk))
+        pk, pts_arr = pk[order], pts_arr[order]
+        rk = rt["_k"].to_numpy()
+        t0 = rt["_t0"].to_numpy()
+        t1 = rt["_t1"].to_numpy()
+        uniq = np.unique(pts_arr)
+        band = np.int64(uniq.size + 1)
+        dkeys = np.unique(np.concatenate([pk, rk]))
+        comp_p = np.searchsorted(dkeys, pk) * band \
+            + np.searchsorted(uniq, pts_arr)
+        dk_r = np.searchsorted(dkeys, rk)
+        lo = np.searchsorted(comp_p, dk_r * band + np.searchsorted(uniq, t0))
+        hi = np.searchsorted(comp_p, dk_r * band + np.searchsorted(uniq, t1))
+        out = out.append_column("n_points", pa.array(hi - lo, pa.int64()))
+        if value is not None:
+            pv = pt["_pv"].to_numpy(zero_copy_only=False)[order]
+            cum = np.concatenate([[0], np.cumsum(pv)])
+            out = out.append_column("sum_value",
+                                    pa.array(cum[hi] - cum[lo], pa.int64()))
+        return out
+
+    return tagged.groupby("_jb").map_groups(agg_bucket,
+                                            batch_format="pyarrow")

@@ -297,6 +297,125 @@ def test_real_y4m_decode_roundtrip():
         assert vid.ndim == 4 and vid.shape[-1] == 3
 
 
+def test_asof_join_matches_naive(ray_session):
+    """Distributed backward as-of join == a naive per-row python scan,
+    including no-match drops, exact-timestamp matches, and right-side ties
+    (tie-insensitive asof_ts output)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.join import asof_join
+
+    rng = np.random.default_rng(33)
+    n_l, n_r = 400, 250
+    lk = rng.integers(0, 12, n_l)
+    lts = rng.integers(0, 1000, n_l)
+    rk = rng.integers(0, 14, n_r)          # some right keys never queried
+    rts = rng.integers(0, 1000, n_r) // 10 * 10   # force ties + exact hits
+    left = pa.table({"lid": pa.array(range(n_l), pa.int64()),
+                     "k": pa.array(lk, pa.int64()),
+                     "t": pa.array(lts, pa.int64())})
+    right = pa.table({"rk": pa.array(rk, pa.int64()),
+                      "rt": pa.array(rts, pa.int64())})
+    got = pa.concat_tables([t for t in ray.get(
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  on="k", right_on="rk", left_ts="t",
+                  right_ts="rt").to_arrow_refs()) if t.num_rows])
+    got = {lid: ts for lid, ts in zip(got["lid"].to_pylist(),
+                                      got["asof_ts"].to_pylist())}
+    for lid, (k, t) in enumerate(zip(lk, lts)):
+        cand = rts[(rk == k) & (rts <= t)]
+        if cand.size:
+            assert got[lid] == cand.max(), lid
+        else:
+            assert lid not in got
+
+
+def test_range_agg_join_matches_naive(ray_session):
+    """Interval count+sum == a naive python scan; zero-point ranges report
+    0 (LEFT semantics); end bound is exclusive."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.join import range_agg_join
+
+    rng = np.random.default_rng(34)
+    n_r, n_p = 300, 600
+    rk = rng.integers(0, 10, n_r)
+    t0 = rng.integers(0, 900, n_r)
+    t1 = t0 + rng.integers(0, 200, n_r)
+    pk = rng.integers(0, 12, n_p)
+    pts = rng.integers(0, 1000, n_p)
+    pv = rng.integers(-50, 50, n_p)
+    ranges = pa.table({"rid": pa.array(range(n_r), pa.int64()),
+                       "k": pa.array(rk, pa.int64()),
+                       "a": pa.array(t0, pa.int64()),
+                       "b": pa.array(t1, pa.int64())})
+    points = pa.table({"pk": pa.array(pk, pa.int64()),
+                       "pt": pa.array(pts, pa.int64()),
+                       "pv": pa.array(pv, pa.int64())})
+    got = pa.concat_tables([t for t in ray.get(
+        range_agg_join(ray.data.from_arrow(ranges),
+                       ray.data.from_arrow(points), on="k", point_on="pk",
+                       start="a", end="b", point_ts="pt",
+                       value="pv").to_arrow_refs()) if t.num_rows])
+    assert got.num_rows == n_r
+    got = got.sort_by("rid")
+    for rid, k, a, b in zip(range(n_r), rk, t0, t1):
+        m = (pk == k) & (pts >= a) & (pts < b)
+        assert got["n_points"][rid].as_py() == int(m.sum()), rid
+        assert got["sum_value"][rid].as_py() == int(pv[m].sum()), rid
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_quantiles
+
+    rng = np.random.default_rng(35)
+    k = rng.integers(0, 7, 2000)
+    v = rng.normal(0, 10, 2000)
+    t = pa.table({"g": pa.array(k, pa.int64()), "x": pa.array(v)})
+    got = pa.concat_tables([b for b in ray.get(
+        grouped_quantiles(ray.data.from_arrow(t), "g", "x",
+                          [0.1, 0.5, 0.99]).to_arrow_refs())
+        if b.num_rows]).sort_by("g")
+    assert got["g"].to_pylist() == sorted(set(k.tolist()))
+    for i, g in enumerate(got["g"].to_pylist()):
+        vals = v[k == g]
+        assert got["n"][i].as_py() == vals.size
+        for q, col in ((0.1, "q10"), (0.5, "q50"), (0.99, "q99")):
+            assert abs(got[col][i].as_py() - np.quantile(vals, q)) < 1e-12
+
+
+def test_grouped_top_k_matches_naive(ray_session):
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_top_k
+
+    rng = np.random.default_rng(36)
+    k = rng.integers(0, 9, 500)
+    v = rng.integers(0, 40, 500)        # dense values force ties
+    tb = np.arange(500)
+    t = pa.table({"g": pa.array(k, pa.int64()),
+                  "x": pa.array(v, pa.int64()),
+                  "id": pa.array(tb, pa.int64())})
+    got = pa.concat_tables([b for b in ray.get(
+        grouped_top_k(ray.data.from_arrow(t), "g", "x", 3,
+                      descending=True, tiebreak="id").to_arrow_refs())
+        if b.num_rows]).sort_by([("g", "ascending"), ("rk", "ascending")])
+    expect = []
+    for g in sorted(set(k.tolist())):
+        rows = sorted([(int(-v[i]), int(tb[i])) for i in range(500)
+                       if k[i] == g])[:3]
+        expect += [(g, tbv, -neg, r + 1)
+                   for r, (neg, tbv) in enumerate(rows)]
+    assert list(zip(got["g"].to_pylist(), got["id"].to_pylist(),
+                    got["x"].to_pylist(), got["rk"].to_pylist())) == expect
+
+
 def test_reduce_side_hash_join_matches_pyarrow(ray_session):
     import ray
     import ray.data
