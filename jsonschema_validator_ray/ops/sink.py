@@ -61,9 +61,12 @@ def write_partitioned_parquet(ds, out_dir: str) -> dict:
                          "n_rows": pa.array([batch.num_rows], pa.int64()),
                          "skipped": pa.array([skipped], pa.bool_())})
 
+    # materialize(): to_arrow_refs on a lazy plan appends a limit-1 schema
+    # probe that would re-run write_block on one block (a harmless but
+    # wasted skip-write thanks to content addressing)
     results = [t for t in ray.get(
         ds.map_batches(write_block, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs())
+                       zero_copy_batch=True).materialize().to_arrow_refs())
         if t.num_rows and "path" in t.column_names]
     # manifest counts derive from the DEDUPLICATED file set: identical-content
     # blocks commit one file, so summing per-task n_rows would overcount

@@ -101,9 +101,17 @@ def _dataset_from(source: Source, columns: Optional[list] = None,
 
 
 def _collect(ds) -> pa.Table:
-    """Materialize a SMALL dataset driver-side as one Arrow table."""
+    """Materialize a SMALL dataset driver-side as one Arrow table.
+
+    ``materialize()`` first: ``to_arrow_refs()`` on a lazy dataset runs the
+    plan and then a limit-1 schema probe; when the plan contains an
+    all-to-all (the wide-stage groupby shuffle) the probe cannot push the
+    limit down and re-executes the entire shuffle, doubling the stage wall.
+    """
     import ray
 
+    if os.environ.get("GRAFT_COLLECT_MATERIALIZE", "1") != "0":
+        ds = ds.materialize()
     tables = ray.get(ds.to_arrow_refs())
     tables = [t for t in tables if t.num_rows] or tables[:1]
     return pa.concat_tables(tables, promote_options="default") if tables \
