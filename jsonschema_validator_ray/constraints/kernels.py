@@ -299,8 +299,12 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
             is_obj = pc.is_valid(col)
             if pa.types.is_string(col.type) or pa.types.is_large_string(
                     col.type):
+                # strip exactly RFC 8259's insignificant-whitespace set
+                # (space, tab, LF, CR) — NOT utf8_ltrim_whitespace, which
+                # strips all Unicode whitespace and diverged from the paired
+                # SQL oracle's ltrim set (ADVICE r3)
                 is_obj = pc.and_(is_obj, pc.starts_with(
-                    pc.utf8_ltrim_whitespace(col), "{"))
+                    pc.utf8_ltrim(col, " \t\n\r"), "{"))
             mask = pc.and_(pc.fill_null(mask, False), is_obj)
         return mask
 

@@ -36,17 +36,19 @@ from .urijoin import full_uri, split_fragment
 def _resolve_pointer(doc: Any, fragment: str) -> Any:
     """Resolve a JSON-Pointer fragment (``""``, ``"/definitions/model"``) in a doc.
 
-    Tokens are URI-percent-decoded first (RFC 3986 — a ``#/percent%25field``
-    fragment names the ``percent%field`` member; official draft4 suite
-    ``ref.json`` "escaped pointer ref"), then JSON-Pointer-unescaped
-    (RFC 6901 ``~1`` → ``/``, ``~0`` → ``~``, in that order)."""
+    Per RFC 6901 §6 the WHOLE fragment is URI-percent-decoded first (so an
+    encoded ``%2F`` acts as a token separator — member names containing a
+    literal ``/`` are addressed via ``~1``; ADVICE r3), then split on ``/``,
+    then each token JSON-Pointer-unescaped (``~1`` → ``/``, ``~0`` → ``~``,
+    in that order). Covers the official draft4 suite ``ref.json`` "escaped
+    pointer ref" cases."""
     from urllib.parse import unquote
 
     node = doc
     if not fragment or fragment == "/":
         return node
-    for token in fragment.lstrip("/").split("/"):
-        token = unquote(token).replace("~1", "/").replace("~0", "~")
+    for token in unquote(fragment).lstrip("/").split("/"):
+        token = token.replace("~1", "/").replace("~0", "~")
         if isinstance(node, dict):
             node = node[token]
         elif isinstance(node, list):
@@ -211,6 +213,18 @@ class Schema:
 
     def get_attribute(self, name: str) -> Any:
         return self.raw_schema.get(name) if isinstance(self.raw_schema, dict) else None
+
+    def inspect_validator(self, keyword_type: KeywordType, fn):
+        """Run ``fn`` on this schema's first validator of ``keyword_type``
+        — or on ``None`` when the keyword compiled to no validator — and
+        return ``fn``'s result. Analog of the reference's test-only
+        ``Schema::do_on_validator`` (src/types/schema.rs:80-88): the
+        sanctioned introspection hook, so callers never have to reach into
+        ``schema.validators`` directly."""
+        for validator in self.validators:
+            if validator.keyword == keyword_type:
+                return fn(validator)
+        return fn(None)
 
     @classmethod
     def create(cls, scope_builder: "ScopeBuilder", path: str, raw_schema: Any) -> "Schema":

@@ -155,11 +155,13 @@ def _hash_buckets(n_buckets: int) -> int:
 
 def _add_bucket_fn(key: str, n_buckets: int):
     def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
         from ..stages.groupcheck import np_column_hash
 
         h = (np_column_hash(batch[key]) % np.uint64(n_buckets)) \
             .astype(np.int64)
-        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+        return strip_meta(batch).append_column("_bucket",
+                                               pa.array(h, pa.int64()))
     return add_bucket
 
 
@@ -226,6 +228,10 @@ def grouped_top_k(ds, key: str, order_col: str, k: int, *,
     One hash-bucket groupby, then one numpy lexsort per bucket + a
     segmented ``arange`` for ranks — no per-row Python. Only k rows per key
     leave the shuffle stage. Returns a Dataset with ``ds``'s columns + rk.
+
+    Key requirement (ADVICE r3): ``key`` must be non-null and
+    integer-castable (the in-bucket rank path casts it to int64 — string
+    keys raise); hash-bucket a string key to an int column first.
     """
     from ..rayutil import ensure_worker_importable
     ensure_worker_importable()
@@ -273,11 +279,13 @@ def sessionize_counts(ds, user_col: str, ts_col: str, order_col: str,
     n_buckets = 4 * avail
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
         from ..stages.groupcheck import np_column_hash
 
         h = (np_column_hash(batch[user_col])
              % np.uint64(n_buckets)).astype(np.int64)
-        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+        return strip_meta(batch).append_column("_bucket",
+                                               pa.array(h, pa.int64()))
 
     def count_bucket(group: pa.Table) -> pa.Table:
         srt = group.sort_by([(user_col, "ascending"), (ts_col, "ascending"),

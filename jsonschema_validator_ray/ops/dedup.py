@@ -344,6 +344,11 @@ def _unique_rows2(a: np.ndarray, b: np.ndarray):
 
 
 _PAIR_INDEX_CACHE: dict = {}
+# Separate cache for the sets index: pair and sets lookups interleave within
+# one verify run, and sharing one cleared-on-miss dict made them evict each
+# other mid-run (deterministic rebuilds, but repeated ~100MB work). Each cache
+# holds at most ONE entry keyed by its own refs.
+_SETS_INDEX_CACHE: dict = {}
 
 
 def _pair_index(refs, n_verify_parts: int) -> tuple:
@@ -385,22 +390,138 @@ def _pair_index(refs, n_verify_parts: int) -> tuple:
     return idx
 
 
-def _sets_index(refs) -> dict:
-    """Worker-cached id → uint64-set-array dict from broadcast candidate-set
-    block refs (output-scale by construction — only candidate docs' sets)."""
+def _blob_pool(col) -> tuple:
+    """(uint64 pool, int64 lens) from a binary column of packed-uint64 blobs
+    — decodes straight off the Arrow offsets/data buffers (one memcpy for
+    alignment), never materializing per-row Python bytes objects."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    bufs = col.buffers()
+    voff = np.frombuffer(bufs[1], np.int32)[col.offset:
+                                            col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)[voff[0]:voff[-1]]
+    pool = np.frombuffer(data.tobytes(), np.uint64)
+    lens = (voff[1:] - voff[:-1]) // 8
+    return pool, lens
+
+
+def _build_sets_pool(doc_ids: np.ndarray, pool: np.ndarray,
+                     lens: np.ndarray) -> tuple:
+    """Pooled, rank-encoded candidate-set index
+    ``(docs_sorted, off, lens_sorted, rank, G)``.
+
+    ``rank`` maps each gram occurrence to its position in the global sorted
+    distinct-gram catalog (size ``G``); per-doc segments stay ascending
+    (sets are stored sorted), which is what lets ``_verify_pairs_pool``
+    build GLOBALLY sorted composite keys ``pair_idx * G + rank`` and resolve
+    every pair's intersection with ONE searchsorted pass — no per-pair
+    Python loop (the verify stage's former inner loop, VERDICT r3 #3)."""
+    doc_ids = np.asarray(doc_ids, np.int64)
+    lens = np.asarray(lens, np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    docs_sorted = doc_ids[order]
+    lens_sorted = lens[order]
+    src_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    dst_off = np.concatenate([[0], np.cumsum(lens_sorted)]).astype(np.int64)
+    total = int(dst_off[-1])
+    gidx = np.repeat(src_off[:-1][order] - dst_off[:-1],
+                     lens_sorted) + np.arange(total, dtype=np.int64)
+    pool_sorted = pool[gidx]
+    catalog = np.unique(pool_sorted)
+    rank = np.searchsorted(catalog, pool_sorted).astype(np.int64)
+    return docs_sorted, dst_off, lens_sorted, rank, int(catalog.size)
+
+
+def _sets_index(refs) -> tuple:
+    """Worker-cached pooled set index (see ``_build_sets_pool``) from
+    broadcast candidate-set block refs (output-scale by construction — only
+    candidate docs' sets)."""
     import ray
 
-    key = ("sets", tuple(r.hex() for r in refs))
-    idx = _PAIR_INDEX_CACHE.get(key)
+    key = tuple(r.hex() for r in refs)
+    idx = _SETS_INDEX_CACHE.get(key)
     if idx is None:
-        idx = {}
+        ids_parts, pools, lens_parts = [], [], []
         for t in ray.get(list(refs)):
             if t.num_rows and "doc_id" in t.column_names:
-                for i, s in zip(t["doc_id"].to_pylist(),
-                                t["shingles"].to_pylist()):
-                    idx[int(i)] = np.frombuffer(s, np.uint64)
-        _PAIR_INDEX_CACHE[key] = idx
+                ids_parts.append(
+                    t["doc_id"].combine_chunks()
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+                p, l = _blob_pool(t["shingles"])
+                pools.append(p)
+                lens_parts.append(l)
+        if ids_parts:
+            idx = _build_sets_pool(np.concatenate(ids_parts),
+                                   np.concatenate(pools),
+                                   np.concatenate(lens_parts))
+        else:
+            idx = (np.zeros(0, np.int64), np.zeros(1, np.int64),
+                   np.zeros(0, np.int64), np.zeros(0, np.int64), 0)
+        _SETS_INDEX_CACHE.clear()       # hold at most one run's index
+        _SETS_INDEX_CACHE[key] = idx
     return idx
+
+
+def _verify_pairs_pool(index: tuple, a_arr: np.ndarray, b_arr: np.ndarray,
+                       verify_threshold: float,
+                       chunk_elems: int = 1 << 22) -> tuple:
+    """Vectorized exact-Jaccard verification of (a, b) id pairs against a
+    pooled set index: pairs are chunked so the gathered key arrays stay
+    ~tens of MB, and each chunk's intersection counts resolve with one
+    ``searchsorted`` + ``bincount`` — no per-pair work. Returns kept
+    (a, b, jaccard) numpy arrays."""
+    docs, off, lens, rank, G = index
+    a = np.asarray(a_arr, np.int64)
+    b = np.asarray(b_arr, np.int64)
+    if a.size == 0 or docs.size == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.float64))
+    ia = np.minimum(np.searchsorted(docs, a), docs.size - 1)
+    ib = np.minimum(np.searchsorted(docs, b), docs.size - 1)
+    ok = (docs[ia] == a) & (docs[ib] == b)
+    a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+    if a.size == 0:
+        return (a, b, np.zeros(0, np.float64))
+    la, lb = lens[ia], lens[ib]
+    # chunk bound: gathered elements per chunk ≤ chunk_elems AND the
+    # composite keys pair_idx * G + rank stay well inside int64
+    max_pairs = max(int((1 << 62) // max(G, 1)), 1)
+    cw = np.cumsum(la + lb)
+    out_a, out_b, out_j = [], [], []
+    pos = 0
+    while pos < a.size:
+        base = cw[pos - 1] if pos else 0
+        hi = int(np.searchsorted(cw, base + chunk_elems, "left")) + 1
+        hi = min(max(hi, pos + 1), a.size, pos + max_pairs)
+        sl = slice(pos, hi)
+        nc = hi - pos
+        pid = np.arange(nc, dtype=np.int64) * G
+
+        def keys(idoc, l):
+            dst = np.concatenate([[0], np.cumsum(l)]).astype(np.int64)
+            gi = np.repeat(off[idoc] - dst[:-1], l) \
+                + np.arange(int(dst[-1]), dtype=np.int64)
+            return np.repeat(pid, l) + rank[gi]
+
+        ka = keys(ia[sl], la[sl])
+        kb = keys(ib[sl], lb[sl])
+        pos_b = np.minimum(np.searchsorted(kb, ka), max(kb.size - 1, 0))
+        found = kb.size and (kb[pos_b] == ka)
+        pairrep = np.repeat(np.arange(nc), la[sl])
+        inter = np.bincount(pairrep[found], minlength=nc) if kb.size \
+            else np.zeros(nc, np.int64)
+        union = la[sl] + lb[sl] - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = j >= verify_threshold
+        out_a.append(a[sl][keep])
+        out_b.append(b[sl][keep])
+        out_j.append(j[keep])
+        pos = hi
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_j))
 
 
 def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
@@ -409,7 +530,8 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
                           n_verify_parts: int = 0,
                           set_hash_fn=None,
                           sets_precomputed: bool = False,
-                          broadcast_cap_bytes: int = 1 << 28) -> pa.Table:
+                          broadcast_cap_bytes: int = 1 << 28,
+                          pair_cap_bytes: int = 1 << 28) -> pa.Table:
     """Distributed exact-Jaccard verify. Candidate-pair blocks stay in the
     object store; their REFS are broadcast and every task derives the
     globally-unique pair list, the partition assignment vp = hash(a,b) % P,
@@ -429,10 +551,12 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
       is sets/P — the path that still works when candidate sets exceed any
       single worker's heap.
 
-    Driver-side state is O(block refs) either way. Partitioning assumption
-    (documented): candidate pairs ≪ corpus — the standard LSH output-scale
-    regime; the per-worker pair index must fit a worker heap (at ~10⁹ pairs
-    it does not — shard the corpus first or raise the threshold).
+    Driver-side state is O(block refs) either way. When the pair stream
+    itself exceeds ``pair_cap_bytes``, a third, fully SHARDED route kicks in
+    (``_jaccard_verify_sharded``): pairs shuffle by vp, doc→vp routing is a
+    hash-bucket join, and NO worker ever derives the whole pair index — per
+    worker state is pairs/P + the sets that partition needs, so the ~10⁹-pair
+    regime that outgrows a broadcast still completes with bounded RSS.
 
     ``set_hash_fn(text) -> np.uint64 array`` lets callers verify other set
     semantics (e.g. word n-grams for the PPJoin path); default char-k
@@ -477,24 +601,22 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
     sets_mat = ds.map_batches(cand_rows, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
 
-    def verify_pairs_with(sh: dict, a_arr, b_arr):
-        out_a: list = []
-        out_b: list = []
-        out_j: list = []
-        for a, b in zip(a_arr.tolist(), b_arr.tolist()):
-            sa, sb = sh.get(int(a)), sh.get(int(b))
-            if sa is None or sb is None:
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 1.0
-            if j >= verify_threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_j.append(j)
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+    def verify_table(index, a_arr, b_arr) -> pa.Table:
+        va, vb, vj = _verify_pairs_pool(index, a_arr, b_arr,
+                                        verify_threshold)
+        return pa.table({"id_a": pa.array(va, pa.int64()),
+                         "id_b": pa.array(vb, pa.int64()),
+                         "jaccard": pa.array(vj, pa.float64())})
+
+    if pairs_mat.size_bytes() > pair_cap_bytes:
+        # SHARDED path (at scale): NO worker ever derives the full pair
+        # index. Pairs shuffle by vp; doc→vp routing resolves via a
+        # hash-bucket join of routing rows against candidate sets; each vp
+        # group verifies with only ITS pair slice + the sets it needs.
+        # Costs two extra all-to-alls — the price of bounded per-worker RSS
+        # once candidate pairs outgrow a broadcast (VERDICT r3 #5).
+        return _jaccard_verify_sharded(sets_mat, pairs_mat, n_verify_parts,
+                                       verify_threshold, empty)
 
     if sets_mat.size_bytes() <= broadcast_cap_bytes:
         # RAW Ray tasks, deliberately: the fan-out unit here is "one vp
@@ -507,10 +629,10 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
         @ray.remote
         def verify_vp(vp: int) -> pa.Table:
             vp_s, a_s, b_s, _, _, _ = _pair_index(pair_refs, n_verify_parts)
-            sh = _sets_index(set_refs)
+            index = _sets_index(set_refs)
             lo = np.searchsorted(vp_s, vp, "left")
             hi = np.searchsorted(vp_s, vp, "right")
-            return verify_pairs_with(sh, a_s[lo:hi], b_s[lo:hi])
+            return verify_table(index, a_s[lo:hi], b_s[lo:hi])
 
         parts = [t for t in ray.get([verify_vp.remote(vp)
                                      for vp in range(n_verify_parts)])
@@ -547,10 +669,11 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
             vp = int(group["vp"][0].as_py())
             lo = np.searchsorted(vp_s, vp, "left")
             hi = np.searchsorted(vp_s, vp, "right")
-            sh = {int(i): np.frombuffer(s, np.uint64)
-                  for i, s in zip(group["doc_id"].to_pylist(),
-                                  group["shingles"].to_pylist())}
-            return verify_pairs_with(sh, a_s[lo:hi], b_s[lo:hi])
+            ids = group["doc_id"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            pool, lens = _blob_pool(group["shingles"])
+            index = _build_sets_pool(ids, pool, lens)
+            return verify_table(index, a_s[lo:hi], b_s[lo:hi])
 
         out_ds = sets_mat.map_batches(
             shingle_rows, batch_format="pyarrow",
@@ -564,6 +687,151 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
     return pa.concat_tables(parts).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")])
 
+
+def _doc_bucket(d: np.ndarray, n: int) -> np.ndarray:
+    """Deterministic doc-hash bucket — the SAME function in every task."""
+    return ((d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(n)).astype(np.int64)
+
+
+def _jaccard_verify_sharded(sets_mat, pairs_mat, n_verify_parts: int,
+                            verify_threshold: float,
+                            empty: pa.Table) -> pa.Table:
+    """Fully sharded exact-Jaccard verify — no broadcast pair index anywhere.
+
+    pairs ──map──> (vp, id_a, id_b)      sets ──map──> (db, doc_id, blob)
+      │               └─map──> routing rows (db, doc_id, vp)   │
+      │                        └──── groupby(db) join ─────────┘
+      │                          emits (vp, doc_id, blob) per vp that needs it
+      └────────────── union → groupby(vp) → in-group verify ───┘
+
+    Per-worker state is one vp's pair slice plus the sets that vp needs —
+    both ~output-scale/P — so candidate-pair streams that outgrow any single
+    worker's heap (the broadcast paths' documented limit) still verify with
+    bounded RSS. Costs two extra all-to-alls; the broadcast paths stay the
+    fast route below ``pair_cap_bytes``. Duplicate input pairs (one per
+    matching band/gram) collapse in the vp group via ``_unique_rows2``."""
+    import ray
+
+    P = n_verify_parts
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        a, b = _unique_rows2(a, b)
+        return pa.table({
+            "vp": pa.array(_pair_bucket(a, b, P), pa.int64()),
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "doc_id": pa.nulls(a.size, pa.int64()),
+            "shingles": pa.nulls(a.size, pa.binary()),
+        })
+
+    def route_rows(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vp = _pair_bucket(a, b, P)
+        d = np.concatenate([a, b])
+        v = np.concatenate([vp, vp])
+        d, v = _unique_rows2(d, v)
+        return pa.table({
+            "db": pa.array(_doc_bucket(d, P), pa.int64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "vp": pa.array(v, pa.int64()),
+            "shingles": pa.nulls(d.size, pa.binary()),
+        })
+
+    def set_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch["shingles"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        return pa.table({
+            "db": pa.array(_doc_bucket(d, P), pa.int64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "vp": pa.nulls(d.size, pa.int64()),
+            "shingles": sh,
+        })
+
+    def replicate(group: pa.Table) -> pa.Table:
+        out_empty = pa.table({"vp": pa.array([], pa.int64()),
+                              "id_a": pa.array([], pa.int64()),
+                              "id_b": pa.array([], pa.int64()),
+                              "doc_id": pa.array([], pa.int64()),
+                              "shingles": pa.array([], pa.binary())})
+        need = pc.is_null(group["shingles"])
+        route = group.filter(need)
+        sets = group.filter(pc.invert(need))
+        if route.num_rows == 0 or sets.num_rows == 0:
+            return out_empty
+        rdoc = route["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rvp = route["vp"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rdoc, rvp = _unique_rows2(rdoc, rvp)   # cross-batch (doc, vp) dupes
+        sdoc = sets["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(rdoc, sdoc, "left")
+        hi = np.searchsorted(rdoc, sdoc, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return out_empty
+        dst = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+        gi = np.repeat(lo - dst[:-1], cnt) + np.arange(total, dtype=np.int64)
+        srow = np.repeat(np.arange(sdoc.size), cnt)
+        return pa.table({
+            "vp": pa.array(rvp[gi], pa.int64()),
+            "id_a": pa.nulls(total, pa.int64()),
+            "id_b": pa.nulls(total, pa.int64()),
+            "doc_id": pa.array(sdoc[srow], pa.int64()),
+            "shingles": sets["shingles"].combine_chunks()
+            .take(pa.array(srow, pa.int64())),
+        })
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        is_pair = pc.is_valid(group["id_a"])
+        prs = group.filter(is_pair)
+        sts = group.filter(pc.invert(is_pair))
+        if prs.num_rows == 0:
+            return empty
+        a = prs["id_a"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        b = prs["id_b"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        a, b = _unique_rows2(a, b)             # global pair dedup lands here
+        ids = sts["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        pool, lens = _blob_pool(sts["shingles"])
+        index = _build_sets_pool(ids, pool, lens)
+        va, vb, vj = _verify_pairs_pool(index, a, b, verify_threshold)
+        return pa.table({"id_a": pa.array(va, pa.int64()),
+                         "id_b": pa.array(vb, pa.int64()),
+                         "jaccard": pa.array(vj, pa.float64())})
+
+    pairs_vp = pairs_mat.map_batches(pair_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    routing = pairs_mat.map_batches(route_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    setsdb = sets_mat.map_batches(set_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    # materialize between the two all-to-alls (chained shuffles in one
+    # streaming execution measured ~2x slower — round-1 finding)
+    placed = routing.union(setsdb).groupby("db") \
+        .map_groups(replicate, batch_format="pyarrow").materialize()
+    out_ds = pairs_vp.union(placed).groupby("vp") \
+        .map_groups(verify_group, batch_format="pyarrow")
+    parts = [t for t in ray.get(out_ds.to_arrow_refs())
+             if t.num_rows and "id_a" in t.column_names]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])
 
 
 def minhash_near_duplicates(ds, id_column: str, text_column: str,
@@ -912,14 +1180,28 @@ def embedding_neardup_ivf(ds, id_column: str, vec_column: str,
 
 # --- word n-gram Jaccard set-similarity join (PPJoin prefix filter) --------
 
+def _fold_wordgrams(wh: np.ndarray, n: int) -> np.ndarray:
+    """FNV-fold n consecutive word hashes into one 64-bit gram hash for
+    every window start (positions 0 .. len(wh)-n). Vectorized across ALL
+    words of a batch at once; the caller masks windows that straddle
+    document boundaries."""
+    m = wh.size - n + 1
+    if m <= 0:
+        return np.zeros(0, np.uint64)
+    h = np.full(m, _FNV_OFFSET)
+    for j in range(n):
+        h = (h ^ wh[j:j + m]) * _FNV_PRIME
+    return h
+
+
 def _wordgram_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct word-n-gram 64-bit hashes of a text (sorted, unique)."""
+    """Distinct word-n-gram 64-bit hashes of one text (sorted, unique) —
+    single-doc reference implementation of the batch path in
+    ``ngram_gram_blobs`` (identical hash values by construction)."""
     words = (text or "").split(" ")
     if len(words) < n:
         return np.zeros(0, np.uint64)
-    grams = sorted({" ".join(words[j:j + n])
-                    for j in range(len(words) - n + 1)})
-    return np.unique(hash64(grams))
+    return np.unique(_fold_wordgrams(hash64(words), n))
 
 
 def ngram_gram_blobs(ds, id_column: str, text_column: str, n: int):
@@ -927,23 +1209,66 @@ def ngram_gram_blobs(ds, id_column: str, text_column: str, n: int):
     hashes packed as a binary blob (id, grams, s). Everything downstream —
     df counting, prefix selection, exact verification — derives from these
     blobs, never re-parsing text. Compact (~8 B/gram) and staged in the
-    object store (spillable)."""
+    object store (spillable).
+
+    Fully batch-vectorized (VERDICT r3 #4): ONE Arrow split over the whole
+    batch, ONE polars hash of the flattened word array, ONE global FNV window
+    fold, ONE lexsort for per-doc dedup — the only per-doc Python left is
+    O(#docs) blob slicing done by Arrow's binary-array constructor. Gram
+    hashes are n-word folds of per-word hashes (not hashes of the joined
+    gram string); all downstream consumers compare hashes only, and distinct
+    grams collide with p≈2⁻⁶⁴ — the same collision budget the previous
+    string-hash carried."""
     def to_blobs(batch: pa.Table) -> pa.Table:
-        ids: list = []
-        blobs: list = []
-        sizes: list = []
-        for i, t in zip(batch[id_column].to_pylist(),
-                        batch[text_column].to_pylist()):
-            gh = _wordgram_hashes(t, n)
-            if gh.size == 0:
-                continue
-            ids.append(int(i))
-            blobs.append(gh.tobytes())
-            sizes.append(int(gh.size))
+        out_empty = pa.table({
+            id_column: pa.array([], pa.int64()),
+            "grams": pa.array([], pa.binary()),
+            "s": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return out_empty
+        col = batch[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(col, ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        word_counts = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        wh = hash64(flat) if len(flat) else np.zeros(0, np.uint64)
+        # windows that stay inside one doc: doc_of_word[i] == doc_of_word[i+n-1]
+        doc_of_word = np.repeat(np.arange(word_counts.size), word_counts)
+        gram_all = _fold_wordgrams(wh, n)
+        if gram_all.size == 0:
+            return out_empty
+        valid = doc_of_word[:gram_all.size] == doc_of_word[n - 1:]
+        grams = gram_all[valid]
+        gdoc = doc_of_word[:gram_all.size][valid]
+        if grams.size == 0:
+            return out_empty
+        # per-doc distinct + sort: one lexsort over (doc, gram), adjacent dedup
+        order = np.lexsort((grams, gdoc))
+        grams, gdoc = grams[order], gdoc[order]
+        keep = np.empty(grams.size, bool)
+        keep[0] = True
+        keep[1:] = (gdoc[1:] != gdoc[:-1]) | (grams[1:] != grams[:-1])
+        grams, gdoc = grams[keep], gdoc[keep]
+        sizes = np.bincount(gdoc, minlength=word_counts.size)
+        docs_kept = np.flatnonzero(sizes)
+        sizes_kept = sizes[docs_kept]
+        byte_off = np.concatenate(
+            [[0], np.cumsum(sizes_kept * 8)]).astype(np.int32)
+        blob_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), docs_kept.size,
+            [None, pa.py_buffer(byte_off.tobytes()),
+             pa.py_buffer(grams.astype(np.uint64).tobytes())])
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            id_column: pa.array(ids, pa.int64()),
-            "grams": pa.array(blobs, pa.binary()),
-            "s": pa.array(sizes, pa.int64()),
+            id_column: pa.array(ids[docs_kept], pa.int64()),
+            "grams": blob_arr,
+            "s": pa.array(sizes_kept.astype(np.int64), pa.int64()),
         })
 
     return ds.map_batches(to_blobs, batch_format="pyarrow",
@@ -957,9 +1282,7 @@ def ngram_hot_grams(grams_ds, hot_df: int, n_buckets: int) -> pa.Table:
     occurrences / hot_df rows), which is what makes broadcasting it safe;
     raise ``hot_df`` with corpus size to keep it so."""
     def partial_counts(batch: pa.Table) -> pa.Table:
-        blobs = batch["grams"].to_pylist()
-        gh = np.frombuffer(b"".join(blobs), np.uint64) if blobs \
-            else np.zeros(0, np.uint64)
+        gh, _ = _blob_pool(batch["grams"])
         if not gh.size:
             return pa.table({"pb": pa.array([], pa.int64()),
                              "gh": pa.array([], pa.int64()),
@@ -1037,31 +1360,37 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
     hot_ref = ray.put((hot_gh, level))
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
+        """PPJoin prefix selection, flattened across the batch (VERDICT r3
+        #4): one hot-gram searchsorted, one lexsort by (doc, level, gram),
+        one within-doc rank compare — zero per-doc Python."""
         h_gh, h_level = ray.get(hot_ref)
-        out_pb: list = []
-        out_gh: list = []
-        out_id: list = []
-        for i, blob, s in zip(batch[id_column].to_pylist(),
-                              batch["grams"].to_pylist(),
-                              batch["s"].to_pylist()):
-            gh = np.frombuffer(blob, np.uint64)
-            levels = np.zeros(s, np.int64)
-            if h_gh.size:
-                idx = np.searchsorted(h_gh, gh)
-                ok = (idx < h_gh.size) & (h_gh[np.minimum(idx, h_gh.size - 1)]
-                                          == gh)
-                levels[ok] = h_level[idx[ok]]
-            p = s - int(np.ceil(threshold * s)) + 1
-            pref = np.lexsort((gh, levels))[:p]
-            pg = gh[pref]
-            out_pb.extend((pg % np.uint64(n_buckets)).astype(np.int64)
-                          .tolist())
-            out_gh.extend(pg.astype(np.int64).tolist())
-            out_id.extend([int(i)] * len(pg))
+        if batch.num_rows == 0:
+            return pa.table({"pb": pa.array([], pa.int64()),
+                             "gh": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64())})
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        gh, lens = _blob_pool(batch["grams"])
+        doc_rep = np.repeat(np.arange(lens.size), lens)
+        levels = np.zeros(gh.size, np.int64)
+        if h_gh.size:
+            idx = np.minimum(np.searchsorted(h_gh, gh), h_gh.size - 1)
+            ok = h_gh[idx] == gh
+            levels[ok] = h_level[idx[ok]]
+        # prefix size p = s - ceil(t*s) + 1 per doc
+        p = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+        order = np.lexsort((gh, levels, doc_rep))
+        seg_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        rank = np.arange(gh.size, dtype=np.int64) \
+            - np.repeat(seg_start, lens)
+        keep = rank < np.repeat(p, lens)        # rank within sorted doc seg
+        pg = gh[order][keep]
+        pid = ids[doc_rep[keep]]                # doc_rep[order] == doc_rep
         return pa.table({
-            "pb": pa.array(out_pb, pa.int64()),
-            "gh": pa.array(out_gh, pa.int64()),
-            "id": pa.array(out_id, pa.int64()),
+            "pb": pa.array((pg % np.uint64(n_buckets)).astype(np.int64),
+                           pa.int64()),
+            "gh": pa.array(pg.astype(np.int64), pa.int64()),
+            "id": pa.array(pid, pa.int64()),
         })
 
     def emit_pairs(group: pa.Table) -> pa.Table:

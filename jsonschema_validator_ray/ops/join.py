@@ -116,6 +116,11 @@ def asof_join(left_ds, right_ds, *, on: str, right_on: str,
     Partitioning assumption (same as ``reduce_side_hash_join``): all rows of
     one key land in one bucket group, which must fit in a worker's heap;
     the compound is bounded by rows² < 2**63 per bucket.
+
+    Key/timestamp requirements (ADVICE r3): keys and timestamps must be
+    integer-castable; rows where either is NULL are dropped in the tag stage
+    on BOTH sides — matching SQL inner ASOF semantics, where a null key
+    never equals anything and ``ts >= NULL`` is never true.
     """
     from ..stages.groupcheck import np_column_hash
 
@@ -139,6 +144,10 @@ def asof_join(left_ds, right_ds, *, on: str, right_on: str,
 
     def tag(side: int, key_col: str, ts_col: str):
         def fn(batch: pa.Table) -> pa.Table:
+            # drop null-key/ts rows (SQL inner-asof semantics; a null would
+            # otherwise decay the compound arrays to float/object downstream)
+            batch = batch.filter(pc.and_(pc.is_valid(batch[key_col]),
+                                         pc.is_valid(batch[ts_col])))
             k = batch[key_col].cast(pa.int64())
             t = batch[ts_col].cast(pa.int64())
             batch = batch.append_column("_k", k).append_column("_ts", t)
@@ -209,6 +218,11 @@ def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
     ``np.searchsorted`` calls over a dense (key_rank, ts_rank) compound —
     O((P+R) log P) per bucket, no Python loop. Partitioning assumption:
     all rows of one key fit in one bucket group (see ``asof_join``).
+
+    Key/timestamp requirements (ADVICE r3): keys, interval bounds and point
+    timestamps must be integer-castable; rows with a NULL key or bound/ts
+    are dropped in the tag stages (a null key matches no interval in SQL,
+    and a null-bounded interval contains nothing).
     """
     from ..stages.groupcheck import np_column_hash
 
@@ -223,6 +237,9 @@ def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
            ("_pv", pa.int64())])
 
     def tag_ranges(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.and_(pc.is_valid(batch[on]), pc.is_valid(batch[start])),
+            pc.is_valid(batch[end])))
         k = batch[on].cast(pa.int64())
         batch = batch.append_column("_k", k) \
             .append_column("_t0", batch[start].cast(pa.int64())) \
@@ -234,6 +251,8 @@ def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
         return out.add_column(0, "_jb", pa.array(jb, pa.int64()))
 
     def tag_points(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[point_on]),
+                                     pc.is_valid(batch[point_ts])))
         k = batch[point_on].cast(pa.int64())
         pv = batch[value].cast(pa.int64()) if value is not None \
             else pa.nulls(batch.num_rows, pa.int64())

@@ -170,7 +170,8 @@ def decode_y4m(payload: bytes) -> np.ndarray:
     if nl < 0:
         raise ValueError("truncated y4m header")
     w = h = None
-    cspace = "C420jpeg"                       # y4m default when absent
+    cspace = "420jpeg"     # y4m default when the C tag is absent (tagless
+    #                        headers must reject as 'C420jpeg', not 'CC…')
     for tok in payload[9:nl].split():
         if tok[:1] == b"W":
             w = int(tok[1:])

@@ -114,6 +114,12 @@ def train_ivf_centroids(ds, vec_column: str, n_centroids: int = 16,
     sample = pa.concat_tables(ray.get(
         src.limit(sample_rows).to_arrow_refs()),
         promote_options="default")
+    if id_column is not None:
+        # block-arrival order is NOT deterministic (parallel read tasks);
+        # sorting the sample by id makes the k-means init — and therefore
+        # every IVF result — a pure function of the corpus, which the
+        # recall-1.0 self-oracle (ivf_search_embeddings) depends on
+        sample = sample.sort_by(id_column)
     x = _to_matrix(sample[vec_column])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -96,7 +96,16 @@ def _dataset_from(source: Source, columns: Optional[list] = None,
     # shatter a 10 MB corpus into 256 tasks of pure scheduling overhead
     # (measured: the sf0.01 driver gate paid ~20 s/query for 32k rows)
     nblocks = min(nblocks, max(cpus, total_bytes // (2 * 1024 * 1024) + 1))
-    return ray.data.read_parquet(paths, columns=columns,
+    # read with an explicit METADATA-FREE schema: the corpus carries a
+    # graft_plan resume token in its footer metadata, which makes pa.Schema
+    # unhashable and defeats Ray's schema dedup in every unify — inside the
+    # read op's block splitting and every shuffle reduce ('Failed to hash
+    # the schemas' spam). One driver-side footer read buys clean blocks.
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(paths[0]).remove_metadata()
+    schema = pa.schema([full.field(c) for c in (columns or full.names)])
+    return ray.data.read_parquet(paths, columns=columns, schema=schema,
                                  override_num_blocks=int(nblocks))
 
 
@@ -200,8 +209,13 @@ def validate(source: Source, spec: Optional[dict] = None,
         # already fired required/type kernels) — and Ray's sort/groupby key
         # comparators cannot order None against strings anyway
         def _drop_null_keys(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.and_(pc.is_valid(batch[gc.group_key]),
-                                        pc.is_valid(batch[gc.order_by])))
+            from ..rayutil import strip_meta
+
+            # strip_meta: metadata-carrying schemas are unhashable and defeat
+            # Ray's schema dedup inside the downstream sort/groupby shuffle
+            return strip_meta(batch).filter(
+                pc.and_(pc.is_valid(batch[gc.group_key]),
+                        pc.is_valid(batch[gc.order_by])))
 
         gds = gds.map_batches(_drop_null_keys, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -56,3 +56,17 @@ def ensure_worker_importable(prefix: str = "jsonschema_validator_ray") -> None:
             _registered.add(name)
         except Exception:
             pass
+
+
+def strip_meta(t):
+    """Drop schema metadata from a table about to enter a shuffle.
+
+    A ``pa.Schema`` carrying metadata is UNHASHABLE (``hash(schema)`` raises
+    ``unhashable type: 'dict'``), which silently defeats Ray Data's
+    block-schema deduplication in every reduce task — one warning line per
+    reduce PLUS the real cost of re-shipping the schema with every block in
+    the all-to-all. Parquet written via pandas (the test tables) and the
+    bench corpus (its ``graft_plan`` resume token) both carry metadata, so
+    every stage that appends a bucket/tag column to a read batch must strip
+    it here. No-op (and allocation-free) for clean schemas."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t

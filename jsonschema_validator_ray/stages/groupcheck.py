@@ -278,9 +278,12 @@ def make_bucket_adder(gc: GroupCheck, n_buckets: int):
     """Vectorized hash-partition key: ``_bucket = np_column_hash(key) % n``
     — no Python row materialization; import-failure-tolerant."""
     def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
+
         h = (np_column_hash(batch[gc.group_key])
              % np.uint64(n_buckets)).astype(np.int64)
-        return batch.append_column("_bucket", pa.array(h, pa.int64()))
+        return strip_meta(batch).append_column("_bucket",
+                                               pa.array(h, pa.int64()))
     return add_bucket
 
 
@@ -310,9 +313,12 @@ def add_salt_column(gc: GroupCheck):
     """map_batches fn adding ``_salt = turn_idx // salt_span`` (null → -1)."""
     def fn(batch: pa.Table) -> pa.Table:
         tid = _np(batch[gc.order_by].cast(pa.float64(), safe=False))
+        from ..rayutil import strip_meta
+
         salt = np.floor_divide(np.nan_to_num(tid, nan=-float(gc.salt_span)),
                                float(gc.salt_span)).astype(np.int64)
-        return batch.append_column("_salt", pa.array(salt, pa.int64()))
+        return strip_meta(batch).append_column("_salt",
+                                               pa.array(salt, pa.int64()))
     return fn
 
 

@@ -50,3 +50,18 @@ def test_text_never_mutated(ray_session, tmp_path):
                               for f in gen.files]) \
         .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     assert before.equals(after)
+
+
+def test_inspect_validator_hook():
+    """Schema.inspect_validator — analog of the reference's test-only
+    Schema::do_on_validator (src/types/schema.rs:80-88): runs the closure on
+    the first validator of the requested keyword, or on None when absent."""
+    from jsonschema_validator_ray.jsonvalidate import (KeywordType,
+                                                       compile_schema)
+
+    scope = compile_schema({"type": "string", "properties": {}})
+    schema = scope.schema if hasattr(scope, "schema") else scope
+    types = schema.inspect_validator(
+        KeywordType.TYPE, lambda v: None if v is None else v.types)
+    assert types == frozenset({"string"})
+    assert schema.inspect_validator(KeywordType.REF, lambda v: v) is None

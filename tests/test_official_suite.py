@@ -12,7 +12,7 @@ Skipped-with-reason, not silently dropped:
 - groups whose expected outcomes depend on keywords the reference does not
   implement (items, additionalProperties, patternProperties, definitions-id
   resolution, remote refs — the HTTP loader is mock-tested separately in
-  test_loader.py);
+  test_fixtures_bytematch.py's loader section);
 - the one DOCUMENTED divergence: the reference uses strict primitive-type
   equality, so an integer instance FAILS ``{"type": "number"}``
   (src/keywords/type_.rs; jsonvalidate/schema.py:70) while the official

@@ -610,3 +610,101 @@ def test_ngram_jaccard_hot_gram_bounded(ray_session):
     assert (0, 500) in pairs
     # docs share ONLY the hot gram + boundary grams: no spurious mass pairing
     assert len(pairs) < 50
+
+
+def test_jaccard_verify_sharded_matches_broadcast(ray_session):
+    """The fully sharded verify route (taken when candidate pairs outgrow
+    pair_cap_bytes) returns EXACTLY the broadcast route's pairs — same ids,
+    same jaccard values."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import _jaccard_verify_pairs
+
+    n_docs, n_hot = 400, 200
+    texts = [f"shared body of tokens {i % 5} tail {i} extra {i % 3}" * 2
+             for i in range(n_docs)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts)}))
+    r, c = np.triu_indices(n_hot, k=1)
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array(r, pa.int64()), "id_b": pa.array(c, pa.int64())}))
+    kw = dict(id_column="doc_id", text_column="text", k=5,
+              verify_threshold=0.5)
+    base = _jaccard_verify_pairs(docs, pairs, **kw)
+    shard = _jaccard_verify_pairs(docs, pairs, **kw, pair_cap_bytes=1)
+    assert base.num_rows == shard.num_rows >= 1
+    assert base.to_pydict() == shard.to_pydict()
+
+
+def test_jaccard_verify_sharded_ten_million_pairs(ray_session):
+    """VERDICT r3 #5 'done' bar: >=1e7 synthetic candidate pairs complete
+    through the SHARDED route, where no worker ever derives the full pair
+    index — per-vp state is pairs/P + that vp's sets (bounded by
+    construction; the pair stream here is ~150MB which previously every
+    worker would have indexed in full)."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import _jaccard_verify_pairs
+
+    n_docs = 4600                  # 4600*4599/2 = 10,577,700 pairs
+    # tiny two-token texts: every doc shares gram set with its mod-2 class
+    texts = [f"alpha beta gamma {i % 2}" for i in range(n_docs)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts)}))
+
+    def gen_pairs(batch):
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        parts_a, parts_b = [], []
+        for v in lo:
+            a = np.full(n_docs - int(v) - 1, int(v), np.int64)
+            b = np.arange(int(v) + 1, n_docs, dtype=np.int64)
+            parts_a.append(a)
+            parts_b.append(b)
+        return pa.table({
+            "id_a": pa.array(np.concatenate(parts_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(parts_b), pa.int64())})
+
+    pairs = ray.data.range(n_docs - 1).map_batches(
+        lambda b: pa.table({"lo": pa.array(b["id"], pa.int64())}),
+        batch_format="numpy").map_batches(
+        gen_pairs, batch_format="pyarrow")
+    out = _jaccard_verify_pairs(docs, pairs, "doc_id", "text", k=3,
+                                verify_threshold=0.9, pair_cap_bytes=1 << 20)
+    # mod-2 classes: all within-class pairs are exact dups (J=1.0)
+    expect = 2 * ((n_docs // 2) * (n_docs // 2 - 1) // 2)
+    assert out.num_rows == expect
+    import pyarrow.compute as _pc
+    assert _pc.min(out["jaccard"]).as_py() == 1.0
+
+
+def test_shuffle_feeders_strip_unhashable_metadata():
+    """pa.Schema carrying metadata is UNHASHABLE, which defeats Ray's
+    block-schema dedup in every reduce task ('Failed to hash the schemas'
+    warnings, BENCH_r03 tail). Every stage that tags read batches with a
+    shuffle key must emit metadata-free (hence hashable) schemas."""
+    import pytest as _pytest
+
+    from jsonschema_validator_ray.constraints.ir import GroupCheck
+    from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
+    from jsonschema_validator_ray.rayutil import strip_meta
+    from jsonschema_validator_ray.stages.groupcheck import (add_salt_column,
+                                                            make_bucket_adder)
+
+    tbl = pa.table({
+        "conv_id": pa.array([1, 2, 3], pa.int64()),
+        "turn_idx": pa.array([0, 1, 2], pa.int64()),
+    }).replace_schema_metadata({b"pandas": b"{}"})
+    with _pytest.raises(TypeError):
+        hash(tbl.schema)                      # the root cause, pinned
+
+    gc = GroupCheck(group_key="conv_id", order_by="turn_idx")
+    for fn in (make_bucket_adder(gc, 8), add_salt_column(gc),
+               _add_bucket_fn("conv_id", 8)):
+        out = fn(tbl)
+        assert out.schema.metadata is None
+        hash(out.schema)                      # hashable again
+    # no-op (and no copy) on already-clean tables
+    clean = tbl.replace_schema_metadata(None)
+    assert strip_meta(clean) is clean
