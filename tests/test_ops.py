@@ -708,3 +708,107 @@ def test_shuffle_feeders_strip_unhashable_metadata():
     # no-op (and no copy) on already-clean tables
     clean = tbl.replace_schema_metadata(None)
     assert strip_meta(clean) is clean
+
+
+def test_verify_pairs_pool_vectorized_speedup():
+    """The pooled verify resolves 1e5 pairs with NO per-pair Python and
+    identical (id_a, id_b, jaccard) output, >=3x the CPU of the per-pair
+    intersect loop it replaced at this profile. Measured regimes (this
+    host): small sets (~40 grams) ~3.8x via the bitset/popcount path; large
+    sets (~450 grams, G=50k) the bitset path ~2x the composite-key path and
+    ~matches the loop's raw numpy CPU while removing its Python-object
+    overhead — the loop's per-pair intersect1d is already amortized there,
+    so the win saturates (recorded in BASELINE.md round 4)."""
+    import time
+
+    from jsonschema_validator_ray.ops.dedup import (_build_sets_pool,
+                                                    _verify_pairs_pool)
+
+    rng = np.random.default_rng(3)
+    n_docs, n_pairs = 2000, 100_000
+    sets = {i: np.unique(rng.integers(0, 4000, size=rng.integers(20, 60),
+                                      dtype=np.uint64))
+            for i in range(n_docs)}
+    doc_ids = np.arange(n_docs, dtype=np.int64)
+    pool = np.concatenate([sets[i] for i in range(n_docs)])
+    lens = np.array([sets[i].size for i in range(n_docs)], np.int64)
+    index = _build_sets_pool(doc_ids, pool, lens)
+    a = rng.integers(0, n_docs, n_pairs).astype(np.int64)
+    b = rng.integers(0, n_docs, n_pairs).astype(np.int64)
+
+    def fast():
+        return _verify_pairs_pool(index, a, b, 0.2)
+
+    def fast_composite():
+        # force the large-catalog composite-key path
+        return _verify_pairs_pool(index, a, b, 0.2, bitset_cap_words=0)
+
+    sh = dict(sets)
+
+    def slow():
+        # VERBATIM port of the replaced verify_pairs_with inner loop
+        # (ops/dedup.py history): per-pair dict .get with int() conversion,
+        # None checks, intersect1d, list appends
+        out_a, out_b, out_j = [], [], []
+        for x, y in zip(a.tolist(), b.tolist()):
+            sa, sb = sh.get(int(x)), sh.get(int(y))
+            if sa is None or sb is None:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+            if j >= 0.2:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_j.append(j)
+        return np.asarray(out_a), np.asarray(out_b), np.asarray(out_j)
+
+    fa, fb, fj = fast()                        # warmup + correctness
+    sa_, sb_, sj_ = slow()
+    assert fa.size == sa_.size
+    assert (fa == sa_).all() and (fb == sb_).all()
+    assert np.allclose(fj, sj_)
+    ca, cb, cj = fast_composite()              # both regimes agree exactly
+    assert (ca == sa_).all() and (cb == sb_).all() and np.allclose(cj, sj_)
+
+    def cpu_best(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.process_time()
+            fn()
+            best = min(best, time.process_time() - t0)
+        return best
+
+    t_fast, t_slow = cpu_best(fast), cpu_best(slow, n=1)
+    assert t_slow / max(t_fast, 1e-9) >= 3, (t_slow, t_fast)
+
+
+def test_wordgram_batch_matches_single_doc(ray_session):
+    """The batch-vectorized gram-blob stage produces EXACTLY the per-doc
+    reference implementation's hash sets (same fold, same dedup)."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import (_blob_pool,
+                                                    _wordgram_hashes,
+                                                    ngram_gram_blobs)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "one two", "", None, "a b c a b c a b c",
+             "x  y   z  x  y", "solo"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = pa.concat_tables(
+        __import__("ray").get(ngram_gram_blobs(ds, "doc_id", "text", 3)
+                              .to_arrow_refs()))
+    got = {}
+    pool, lens = _blob_pool(out["grams"])
+    off = np.concatenate([[0], np.cumsum(lens)])
+    for i, d in enumerate(out["doc_id"].to_pylist()):
+        got[d] = pool[off[i]:off[i + 1]]
+    for i, t in enumerate(texts):
+        ref = _wordgram_hashes(t or "", 3)
+        if ref.size == 0:
+            assert i not in got
+        else:
+            assert (got[i] == ref).all(), i
