@@ -944,18 +944,38 @@ def _popcount64_rowsum(m: np.ndarray) -> np.ndarray:
 def add_simhash(ds, text_column: str = "text", out: str = "simhash", k: int = 5,
                 concurrency=None):
     """64-bit SimHash per document: sign-sum of shingle-hash bits.
-    Task-based (cheap init, no pool ramp)."""
+    Task-based (cheap init, no pool ramp).
+
+    Vectorized ACROSS documents: all docs' shingle hashes concatenate into
+    one array, the per-bit +1/-1 vote sums resolve with ONE
+    ``np.add.reduceat`` per 8-bit slice (bytes → 64KB-LUT nibble counts),
+    and the only per-doc Python left is the shingle-hash call itself."""
     class Stage:
         def __init__(self):
             self.bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            sims = np.zeros(batch.num_rows, np.uint64)
-            for i, t in enumerate(batch[text_column].to_pylist()):
-                h = _shingle_hashes(t or "", k)
-                bitmat = ((h[:, None] & self.bits[None, :]) != 0)
-                charge = bitmat.sum(axis=0) * 2 - h.size   # +1/-1 vote sum
-                sims[i] = np.uint64(((charge > 0) * self.bits).sum())
+            n = batch.num_rows
+            if n == 0:
+                return batch.append_column(out, pa.array([], pa.uint64()))
+            hs = [_shingle_hashes(t or "", k)
+                  for t in batch[text_column].to_pylist()]
+            sizes = np.array([h.size for h in hs], np.int64)
+            allh = np.concatenate(hs)
+            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            # per-doc per-bit set-counts: expand each hash to a (N, 64)
+            # bit matrix in 8-bit slices, segment-sum with reduceat
+            counts = np.empty((n, 64), np.int64)
+            for b0 in range(0, 64, 8):
+                byte = ((allh >> np.uint64(b0)) & np.uint64(0xFF)) \
+                    .astype(np.uint8)
+                bitsmat = np.unpackbits(byte[:, None], axis=1,
+                                        bitorder="little")  # (N, 8)
+                counts[:, b0:b0 + 8] = np.add.reduceat(
+                    bitsmat.astype(np.int64), starts, axis=0)
+            charge = counts * 2 - sizes[:, None]           # +1/-1 vote sum
+            sims = ((charge > 0) * self.bits[None, :]).sum(axis=1) \
+                .astype(np.uint64)
             return batch.append_column(out, pa.array(sims, pa.uint64()))
 
     return ds.map_batches(Stage(), batch_format="pyarrow", batch_size=256)
