@@ -722,6 +722,27 @@ def q_ngram_jaccard_neardup(sf_dir: str) -> pa.Table:
                      "jaccard": pc.round(t["jaccard"], ndigits=4)})
 
 
+def q_neardup_components_documents(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTERING — the step a 100-TB dedup pipeline runs after
+    pair generation: exact word-trigram Jaccard pairs (the oracle-checked
+    ngram path) → distributed min-label connected components → one
+    (doc_id, component, keep) decision row per graph node, keeper = min id
+    of the component. Oracle: the same pair SQL + a recursive transitive
+    closure (exact at gate scale)."""
+    from jsonschema_validator_ray.ops.dedup import (
+        connected_components, ngram_jaccard_near_duplicates)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_near_duplicates(ds, "doc_id", "text", n=3,
+                                          threshold=0.5)
+    cc = connected_components(pairs)
+    return pa.table({
+        "doc_id": cc["node"],
+        "component": cc["component"],
+        "keep": pc.equal(cc["node"], cc["component"]),
+    })
+
+
 def q_viewers_without_purchase(sf_dir: str) -> pa.Table:
     """Set-op family (EXCEPT): users with ≥1 'view' event and NO 'purchase'
     event — one distributed groupby with boolean-max partials."""
@@ -1296,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events": q_sample_events,
         "viewers_without_purchase": q_viewers_without_purchase,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+        "neardup_components_documents": q_neardup_components_documents,
         "hll_distinct_events": q_hll_distinct_events,
         "minhash_neardup_documents": q_minhash_neardup_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1764,6 +1786,37 @@ def oracle_sql() -> dict[str, str]:
                        JOIN cnt cb ON cb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "neardup_components_documents": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+            tri AS (SELECT DISTINCT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                               AS t
+                    FROM w WHERE len(ws) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                      FROM tri a JOIN tri b
+                        ON a.t = b.t AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            p AS (SELECT id_a, id_b
+                  FROM inter JOIN cnt ca ON ca.doc_id = id_a
+                             JOIN cnt cb ON cb.doc_id = id_b
+                  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(node, m) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT reach.node, edges.v
+                FROM reach JOIN edges ON edges.u = reach.m),
+            comp AS (SELECT node, least(node, min(m)) AS component
+                     FROM reach GROUP BY node)
+            SELECT node AS doc_id, component, node = component AS keep
+            FROM comp ORDER BY doc_id
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

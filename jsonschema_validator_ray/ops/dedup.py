@@ -1081,6 +1081,94 @@ def simhash_near_duplicates(ds, id_column: str, text_column: str = "text",
                      "hamming": out["hamming"].cast(pa.int64())})
 
 
+# --- near-dup clustering (connected components) ----------------------------
+
+def connected_components(pairs: pa.Table, id_a: str = "id_a",
+                         id_b: str = "id_b", *, n_buckets: int = 0,
+                         max_rounds: int = 30) -> pa.Table:
+    """Distributed connected components over an undirected edge list —
+    the step that turns near-dup PAIRS into dedup DECISIONS (cluster id +
+    keeper) in a training-data pipeline.
+
+    Algorithm: min-label propagation (the label-propagation member of the
+    public MapReduce-CC family — Kiveris et al. "Connected Components in
+    MapReduce and Beyond", SOCC'14, survey the variants): every node starts
+    labeled with itself; each round, labels flow across edges and every
+    node keeps the MIN label seen. Converges in O(diameter) rounds —
+    near-dup graphs are unions of near-cliques, so practically 2-4 rounds;
+    ``max_rounds`` bounds pathological chains (a 10⁶-node path needs the
+    doubling variant, not this one — documented trade, not a silent cap).
+    Each round is one parallel wave of per-bucket join+min tasks over the
+    EDGE list, which is output-scale (pairs ≪ corpus); nothing corpus-sized
+    is touched and convergence is an exact fixpoint check.
+
+    Input: a pa.Table of unique pairs. Returns (node, component) sorted by
+    node, component = min node id of the component. Driver-side state is
+    one label table of the GRAPH's nodes (output-scale, the same regime as
+    every pair table here); the per-round join/min runs vectorized."""
+    import ray
+
+    if n_buckets <= 0:
+        avail = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        n_buckets = 2 * avail
+
+    a = pairs[id_a].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    b = pairs[id_b].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if a.size == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    # both directions, deduped — the static edge set ships to the object
+    # store ONCE (bucketed by source) and every round joins the same refs
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    u, v = _unique_rows2(u, v)
+    nodes = np.unique(u)
+    labels = nodes.copy()
+
+    edge_refs = []
+    order = np.argsort(_doc_bucket(u, n_buckets), kind="stable")
+    ub, vb = u[order], v[order]
+    eb = _doc_bucket(ub, n_buckets)
+    bounds = np.searchsorted(eb, np.arange(n_buckets + 1))
+    for i in range(n_buckets):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo < hi:
+            edge_refs.append((i, ray.put((ub[lo:hi], vb[lo:hi]))))
+
+    @ray.remote
+    def propagate(edges_ref_pair, nodes_ref, labels_ref):
+        """One bucket's round: label-lookup for its edges' sources, emit
+        (dst, candidate label) minima — vectorized searchsorted + reduceat."""
+        eu, ev = edges_ref_pair
+        nds = ray.get(nodes_ref) if isinstance(
+            nodes_ref, ray.ObjectRef) else nodes_ref
+        lbl = ray.get(labels_ref) if isinstance(
+            labels_ref, ray.ObjectRef) else labels_ref
+        src_lbl = lbl[np.searchsorted(nds, eu)]
+        o = np.argsort(ev, kind="stable")
+        dv, sl = ev[o], src_lbl[o]
+        starts = np.flatnonzero(np.concatenate([[True], dv[1:] != dv[:-1]]))
+        return dv[starts], np.minimum.reduceat(sl, starts)
+
+    for _ in range(max_rounds):
+        nodes_ref = ray.put(nodes)
+        labels_ref = ray.put(labels)
+        parts = ray.get([propagate.remote(ref, nodes_ref, labels_ref)
+                         for _, ref in edge_refs])
+        new_labels = labels.copy()
+        for dv, ml in parts:
+            idx = np.searchsorted(nodes, dv)
+            np.minimum.at(new_labels, idx, ml)
+        if (new_labels == labels).all():
+            break
+        labels = new_labels
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "component": pa.array(labels, pa.int64())})
+
+
 # --- exact dedup -----------------------------------------------------------
 
 def exact_dedup_keepers(ds, id_column: str, text_column: str):
