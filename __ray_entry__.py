@@ -743,6 +743,53 @@ def q_neardup_components_documents(sf_dir: str) -> pa.Table:
     })
 
 
+def q_decontaminate_documents(sf_dir: str) -> pa.Table:
+    """Benchmark DECONTAMINATION: docs 0-4 stand in for an eval benchmark;
+    every other doc is flagged when it shares ≥5 distinct word trigrams with
+    the benchmark's trigram set (broadcast once, streamed membership count —
+    no shuffle). The standard training-data leakage guard, SQL-exact."""
+    from jsonschema_validator_ray.ops.dedup import (_wordgram_hashes,
+                                                    ngram_contamination)
+
+    bench_tbl = _collect(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], 5)),
+            batch_format="pyarrow", zero_copy_batch=True))
+    bench = np.unique(np.concatenate(
+        [_wordgram_hashes(t or "", 3)
+         for t in bench_tbl["text"].to_pylist()] or
+        [np.zeros(0, np.uint64)]))
+
+    def train_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["doc_id"], 5))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        train_only, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(ngram_contamination(ds, "doc_id", "text", bench,
+                                       n=3, threshold=5))
+    return pa.table({
+        "doc_id": out["doc_id"].cast(pa.int64()),
+        "n_grams": out["n_grams"].cast(pa.int64()),
+        "n_overlap": out["n_overlap"].cast(pa.int64()),
+        "contaminated": out["contaminated"],
+    }).sort_by("doc_id")
+
+
+def q_stratified_sample_documents(sf_dir: str) -> pa.Table:
+    """Per-group deterministic sampling (per-source caps in a training-data
+    pipeline): each lang keeps its 20 docs with the smallest Knuth-hashed
+    doc_id — ONE hash-bucket groupby, SQL-reproducible ranking."""
+    from jsonschema_validator_ray.ops.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = _collect(stratified_sample(ds, "lang", "doc_id", k=20, seed=7))
+    return pa.table({
+        "lang": out["lang"],
+        "doc_id": out["doc_id"].cast(pa.int64()),
+        "rk": out["rk"].cast(pa.int64()),
+    }).sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+
+
 def q_viewers_without_purchase(sf_dir: str) -> pa.Table:
     """Set-op family (EXCEPT): users with ≥1 'view' event and NO 'purchase'
     event — one distributed groupby with boolean-max partials."""
@@ -1318,6 +1365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewers_without_purchase": q_viewers_without_purchase,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "neardup_components_documents": q_neardup_components_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
         "hll_distinct_events": q_hll_distinct_events,
         "minhash_neardup_documents": q_minhash_neardup_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1817,6 +1866,38 @@ def oracle_sql() -> dict[str, str]:
                      FROM reach GROUP BY node)
             SELECT node AS doc_id, component, node = component AS keep
             FROM comp ORDER BY doc_id
+        """,
+        "decontaminate_documents": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            tri AS (SELECT DISTINCT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                               AS t
+                    FROM w WHERE len(ws) >= 3),
+            bench AS (SELECT DISTINCT t FROM tri WHERE doc_id < 5),
+            ov AS (SELECT tri.doc_id, count(*) AS n_overlap
+                   FROM tri JOIN bench USING (t)
+                   WHERE tri.doc_id >= 5 GROUP BY 1),
+            docs AS (SELECT doc_id, count(*) AS n_grams FROM tri
+                     WHERE doc_id >= 5 GROUP BY 1)
+            SELECT d.doc_id, d.n_grams,
+                   COALESCE(o.n_overlap, 0) AS n_overlap,
+                   COALESCE(o.n_overlap, 0) >= 5 AS contaminated
+            FROM docs d LEFT JOIN ov o ON o.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "stratified_sample_documents": """
+            SELECT lang, doc_id, rk FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761
+                                     + 7 * 2654435769) % 4294967296,
+                                    doc_id) AS rk
+                FROM documents)
+            WHERE rk <= 20 ORDER BY lang, doc_id
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

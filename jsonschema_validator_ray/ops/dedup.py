@@ -1081,6 +1081,52 @@ def simhash_near_duplicates(ds, id_column: str, text_column: str = "text",
                      "hamming": out["hamming"].cast(pa.int64())})
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+def ngram_contamination(ds, id_column: str, text_column: str,
+                        bench_grams: np.ndarray, n: int = 3,
+                        threshold: int = 5):
+    """Benchmark DECONTAMINATION — flag training documents sharing word
+    n-grams with an evaluation/benchmark set, the standard leakage guard in
+    a training-data pipeline.
+
+    The benchmark's distinct gram hashes (sorted uint64, typically ≪ corpus)
+    are broadcast ONCE via ``ray.put``; each batch re-uses the vectorized
+    gram pipeline (``ngram_gram_blobs``'s kernel) and counts membership with
+    one ``searchsorted`` + segment ``bincount`` — no shuffle, fully
+    streaming. Returns a Dataset of (id, n_grams, n_overlap, contaminated)
+    for every doc with ≥ 1 gram; ``contaminated`` = n_overlap ≥ threshold
+    (distinct-gram count, matching the SQL ``count(DISTINCT gram)`` join)."""
+    import ray
+
+    bench_sorted = np.unique(np.asarray(bench_grams, np.uint64))
+    bench_ref = ray.put(bench_sorted)
+    grams_ds = ngram_gram_blobs(ds, id_column, text_column, n)
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        pool, lens = _blob_pool(batch["grams"])
+        if bench.size and pool.size:
+            pos = np.minimum(np.searchsorted(bench, pool), bench.size - 1)
+            hit = bench[pos] == pool
+        else:
+            hit = np.zeros(pool.size, bool)
+        doc_rep = np.repeat(np.arange(lens.size), lens)
+        n_over = np.bincount(doc_rep[hit], minlength=lens.size) \
+            .astype(np.int64)
+        return pa.table({
+            id_column: pa.array(ids, pa.int64()),
+            "n_grams": pa.array(lens, pa.int64()),
+            "n_overlap": pa.array(n_over, pa.int64()),
+            "contaminated": pa.array(n_over >= threshold, pa.bool_()),
+        })
+
+    return grams_ds.map_batches(overlap, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 # --- near-dup clustering (connected components) ----------------------------
 
 def connected_components(pairs: pa.Table, id_a: str = "id_a",

@@ -67,3 +67,57 @@ def random_sample(ds, fraction: float, seed: int = 42,
             h < np.uint64(int(fraction * float(1 << 32)))))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(ds, group_column: str, key_column: str, k: int,
+                      seed: int = 42, n_buckets: int = 0):
+    """Per-group deterministic sample — per-source caps / balanced subsets
+    in a training-data pipeline: each group keeps its ``k`` rows with the
+    smallest Knuth-hashed key (ties by key), so the selection is stable
+    across runs and block splits and reproducible in plain SQL
+    (``row_number() OVER (PARTITION BY g ORDER BY knuth(key), key) <= k``).
+
+    ONE hash-bucket groupby (whole groups per bucket — string group keys
+    fine), in-group vectorized rank: np.unique group codes + lexsort +
+    segmented arange. Only k rows per group leave the shuffle. Returns a
+    Dataset of the kept rows + ``rk`` (1-based rank within group)."""
+    import ray
+
+    from ..stages.groupcheck import np_column_hash
+
+    if n_buckets <= 0:
+        avail = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        n_buckets = 4 * avail
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
+
+        h = (np_column_hash(batch[group_column]) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return strip_meta(batch).append_column(
+            "_bucket", pa.array(h, pa.int64()))
+
+    def bucket_sample(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        if body.num_rows == 0:
+            return body.append_column("rk", pa.array([], pa.int64()))
+        g = body[group_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        key = body[key_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (key * KNUTH + np.uint64(seed) * SEED_MIX) % _MOD
+        _, codes = np.unique(g, return_inverse=True)
+        order = np.lexsort((key, h, codes))
+        cs = codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+        seg = np.repeat(starts, np.diff(np.concatenate([starts,
+                                                        [cs.size]])))
+        rk = np.arange(cs.size, dtype=np.int64) - seg + 1
+        keep = order[rk <= k]
+        out = body.take(pa.array(keep, pa.int64()))
+        return out.append_column("rk", pa.array(rk[rk <= k], pa.int64()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_sample, batch_format="pyarrow")

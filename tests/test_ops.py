@@ -850,3 +850,60 @@ def test_connected_components_long_chain(ray_session):
     out = connected_components(pairs, max_rounds=n)
     assert set(out["component"].to_pylist()) == {0}
     assert out.num_rows == n
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """Per-group deterministic sample: exactly k rows per group (or all of a
+    smaller group), identical across runs, ranks contiguous from 1."""
+    import ray
+
+    from jsonschema_validator_ray.ops.sampling import stratified_sample
+
+    tbl = pa.table({
+        "g": pa.array(["a"] * 50 + ["b"] * 7 + ["c"] * 30),
+        "id": pa.array(range(87), pa.int64()),
+    })
+    import ray.data
+    runs = []
+    for _ in range(2):
+        out = pa.concat_tables(ray.get(
+            stratified_sample(ray.data.from_arrow(tbl), "g", "id", k=10,
+                              seed=3).to_arrow_refs()))
+        runs.append(out.sort_by([("g", "ascending"), ("id", "ascending")]))
+    assert runs[0].equals(runs[1])
+    counts = dict(zip(*np.unique(np.asarray(runs[0]["g"]), return_counts=True)))
+    assert counts == {"a": 10, "b": 7, "c": 10}
+    for g in ("a", "b", "c"):
+        rks = sorted(runs[0].filter(
+            pa.compute.equal(runs[0]["g"], g))["rk"].to_pylist())
+        assert rks == list(range(1, len(rks) + 1))
+
+
+def test_ngram_contamination_planted(ray_session):
+    """Docs sharing >= threshold trigrams with the benchmark set are
+    flagged; clean docs are not; counts are exact distinct-gram overlaps."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import (_wordgram_hashes,
+                                                    ngram_contamination)
+
+    bench_text = "the quick brown fox jumps over the lazy dog every day"
+    bench = _wordgram_hashes(bench_text, 3)
+    texts = {
+        10: bench_text + " and more words beyond it",   # heavy overlap
+        11: "completely different content with no shared trigrams at all",
+        12: "the quick brown fox appears here",          # 2 shared trigrams
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()))}))
+    out = pa.concat_tables(ray.get(
+        ngram_contamination(ds, "doc_id", "text", bench, n=3, threshold=3)
+        .to_arrow_refs())).sort_by("doc_id")
+    got = {d: (o, c) for d, o, c in zip(out["doc_id"].to_pylist(),
+                                        out["n_overlap"].to_pylist(),
+                                        out["contaminated"].to_pylist())}
+    assert got[10][0] >= 8 and got[10][1] is True
+    assert got[11] == (0, False)
+    assert got[12][0] == 2 and got[12][1] is False
