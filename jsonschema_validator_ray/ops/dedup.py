@@ -1498,12 +1498,29 @@ def ngram_gram_blobs(ds, id_column: str, text_column: str, n: int):
                           zero_copy_batch=True).materialize()
 
 
-def ngram_hot_grams(grams_ds, hot_df: int, n_buckets: int) -> pa.Table:
+def ngram_hot_grams(grams_ds, hot_df: int, n_buckets: int,
+                    sample_fraction: float = 1.0) -> pa.Table:
     """Distributed document-frequency pass over staged gram blobs: per-batch
     partial gram counts → one hash-bucket groupby sum → grams with
     df ≥ hot_df. The result is SMALL by construction (≤ total gram
     occurrences / hot_df rows), which is what makes broadcasting it safe;
-    raise ``hot_df`` with corpus size to keep it so."""
+    raise ``hot_df`` with corpus size to keep it so.
+
+    ``sample_fraction`` < 1 runs the df count over a deterministic doc-hash
+    sample with a conservatively halved threshold (hot iff sampled df ≥
+    hot_df·fraction/2). SAFE both ways for the PPJoin prefix filter:
+    over-flagging only moves grams later in the (arbitrary but consistent)
+    global prefix order — losslessness holds for ANY total order — while
+    under-flagging merely risks extra candidate emission, never a missed
+    pair. A df-64 gram is seen ≥ ~fraction·64/2 times in the sample w.h.p.,
+    so genuinely hot grams still flag; the pass cost drops ∝ fraction."""
+    if sample_fraction < 1.0:
+        from .sampling import hash_sample
+
+        grams_ds = hash_sample(grams_ds, grams_ds.schema().names[0],
+                               sample_fraction, seed=11)
+        hot_df = max(1, int(hot_df * sample_fraction / 2))
+
     def partial_counts(batch: pa.Table) -> pa.Table:
         gh, _ = _blob_pool(batch["grams"])
         if not gh.size:
@@ -1543,7 +1560,8 @@ def ngram_hot_grams(grams_ds, hot_df: int, n_buckets: int) -> pa.Table:
 def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
                                   n: int = 3, threshold: float = 0.6,
                                   n_buckets: int = 0,
-                                  hot_df: int = 64) -> pa.Table:
+                                  hot_df: int = 64,
+                                  hot_sample_fraction: float = 0.25) -> pa.Table:
     """EXACT word-n-gram Jaccard near-dup via a PPJoin-style prefix-filtered
     set-similarity join (Xiao/Wang/Lin/Yu, WWW'08 — public algorithm):
 
@@ -1574,7 +1592,8 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
         n_buckets = 4 * avail
 
     grams_ds = ngram_gram_blobs(ds, id_column, text_column, n)
-    hot = ngram_hot_grams(grams_ds, hot_df, n_buckets)
+    hot = ngram_hot_grams(grams_ds, hot_df, n_buckets,
+                          sample_fraction=hot_sample_fraction)
     hot_gh = hot["gh"].to_numpy().astype(np.uint64)          # sorted by gh
     # hot level: 1 + rank by (df, gh) — hottest gram sorts ABSOLUTELY last
     order = np.lexsort((hot_gh, hot["df"].to_numpy()))
