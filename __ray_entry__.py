@@ -790,6 +790,52 @@ def q_stratified_sample_documents(sf_dir: str) -> pa.Table:
     }).sort_by([("lang", "ascending"), ("doc_id", "ascending")])
 
 
+def q_events_rollup(sf_dir: str) -> pa.Table:
+    """Multi-level rollup (SQL GROUPING SETS): counts + exact integer-cent
+    value sums per (event_type, day), per event_type, and grand total — ONE
+    distributed partial-aggregate pass (per-batch pyarrow groupby over the
+    finest level), super-levels derived EXACTLY from the finest level's
+    merged result (classic rollup-from-cube shape; no second scan)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": pc.floor_temporal(batch["ts"], unit="day"),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "vc": vc,
+        })
+        return pa.TableGroupBy(t, ["event_type", "day"]).aggregate(
+            [("one", "sum"), ("vc", "sum")])
+
+    parts = _collect(_read(sf_dir, "events", ["event_type", "ts", "value"])
+                     .map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    fine = pa.TableGroupBy(parts, ["event_type", "day"]).aggregate(
+        [("one_sum", "sum"), ("vc_sum", "sum")])
+    ft, fd = fine["event_type"], fine["day"]
+    fn_, fv = (fine["one_sum_sum"].cast(pa.int64()),
+               fine["vc_sum_sum"].cast(pa.int64()))
+    lvl1 = pa.table({"event_type": ft, "day": fd, "n": fn_,
+                     "value_cents": fv})
+    by_type = pa.TableGroupBy(
+        pa.table({"event_type": ft, "n": fn_, "vc": fv}),
+        "event_type").aggregate([("n", "sum"), ("vc", "sum")])
+    lvl2 = pa.table({
+        "event_type": by_type["event_type"],
+        "day": pa.nulls(by_type.num_rows, fd.type),
+        "n": by_type["n_sum"].cast(pa.int64()),
+        "value_cents": by_type["vc_sum"].cast(pa.int64()),
+    })
+    lvl3 = pa.table({
+        "event_type": pa.nulls(1, pa.string()),
+        "day": pa.nulls(1, fd.type),
+        "n": pa.array([pc.sum(fn_).as_py() or 0], pa.int64()),
+        "value_cents": pa.array([pc.sum(fv).as_py()], pa.int64()),
+    })
+    return pa.concat_tables([lvl1, lvl2, lvl3]).sort_by(
+        [("event_type", "ascending"), ("day", "ascending")])
+
+
 def q_viewers_without_purchase(sf_dir: str) -> pa.Table:
     """Set-op family (EXCEPT): users with ≥1 'view' event and NO 'purchase'
     event — one distributed groupby with boolean-max partials."""
@@ -1367,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components_documents": q_neardup_components_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "events_rollup": q_events_rollup,
         "hll_distinct_events": q_hll_distinct_events,
         "minhash_neardup_documents": q_minhash_neardup_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1898,6 +1945,16 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rk
                 FROM documents)
             WHERE rk <= 20 ORDER BY lang, doc_id
+        """,
+        "events_rollup": """
+            WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+                              CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events)
+            SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS value_cents
+            FROM e
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+            ORDER BY event_type NULLS LAST, day NULLS LAST
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
