@@ -907,3 +907,56 @@ def test_ngram_contamination_planted(ray_session):
     assert got[10][0] >= 8 and got[10][1] is True
     assert got[11] == (0, False)
     assert got[12][0] == 2 and got[12][1] is False
+
+
+def test_verify_pairs_pool_property():
+    """Property test: for random set systems and random pair lists, BOTH
+    verify regimes (bitset and composite-key) return exactly the pairs and
+    jaccard values of a brute-force reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jsonschema_validator_ray.ops.dedup import (_build_sets_pool,
+                                                    _verify_pairs_pool)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def run(data):
+        n_docs = data.draw(st.integers(2, 12))
+        univ = data.draw(st.integers(4, 200))
+        sets = {}
+        for i in range(n_docs):
+            members = data.draw(st.sets(st.integers(0, univ - 1),
+                                        min_size=1, max_size=30))
+            sets[i] = np.array(sorted(members), np.uint64)
+        pool = np.concatenate([sets[i] for i in range(n_docs)])
+        lens = np.array([sets[i].size for i in range(n_docs)], np.int64)
+        index = _build_sets_pool(np.arange(n_docs, dtype=np.int64),
+                                 pool, lens)
+        n_pairs = data.draw(st.integers(1, 40))
+        a = np.array(data.draw(st.lists(st.integers(0, n_docs + 2),
+                                        min_size=n_pairs, max_size=n_pairs)),
+                     np.int64)   # ids past n_docs-1 are missing docs
+        b = np.array(data.draw(st.lists(st.integers(0, n_docs + 2),
+                                        min_size=n_pairs, max_size=n_pairs)),
+                     np.int64)
+        thr = data.draw(st.floats(0.0, 1.0))
+        ref = []
+        for x, y in zip(a.tolist(), b.tolist()):
+            if x >= n_docs or y >= n_docs:
+                continue
+            sx, sy = set(sets[x].tolist()), set(sets[y].tolist())
+            inter = len(sx & sy)
+            union = len(sx | sy)
+            j = inter / union if union else 1.0
+            if j >= thr:
+                ref.append((x, y, j))
+        for cap in (1 << 24, 0):
+            va, vb, vj = _verify_pairs_pool(index, a, b, thr,
+                                            bitset_cap_words=cap)
+            got = list(zip(va.tolist(), vb.tolist(), vj.tolist()))
+            assert len(got) == len(ref)
+            for (gx, gy, gj), (rx, ry, rj) in zip(got, ref):
+                assert (gx, gy) == (rx, ry) and abs(gj - rj) < 1e-12
+
+    run()
