@@ -435,22 +435,25 @@ def _build_sets_pool(doc_ids: np.ndarray, pool: np.ndarray,
     return docs_sorted, dst_off, lens_sorted, rank, int(catalog.size)
 
 
-def _sets_index(refs) -> tuple:
+def _sets_index(refs, id_col: str = "doc_id",
+                blob_col: str = "shingles") -> tuple:
     """Worker-cached pooled set index (see ``_build_sets_pool``) from
-    broadcast candidate-set block refs (output-scale by construction — only
-    candidate docs' sets)."""
+    broadcast set block refs — either the candidate-filtered scan output
+    (columns doc_id/shingles) or, when the whole precomputed blob table
+    fits the broadcast cap, the gram table itself (caller passes its column
+    names and one full corpus re-scan is skipped)."""
     import ray
 
-    key = tuple(r.hex() for r in refs)
+    key = (tuple(r.hex() for r in refs), id_col, blob_col)
     idx = _SETS_INDEX_CACHE.get(key)
     if idx is None:
         ids_parts, pools, lens_parts = [], [], []
         for t in ray.get(list(refs)):
-            if t.num_rows and "doc_id" in t.column_names:
+            if t.num_rows and id_col in t.column_names:
                 ids_parts.append(
-                    t["doc_id"].combine_chunks()
+                    t[id_col].combine_chunks()
                     .to_numpy(zero_copy_only=False).astype(np.int64))
-                p, l = _blob_pool(t["shingles"])
+                p, l = _blob_pool(t[blob_col])
                 pools.append(p)
                 lens_parts.append(l)
         if ids_parts:
@@ -635,6 +638,45 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
     if pairs_mat.count() == 0:
         return empty
 
+    def verify_table(index, a_arr, b_arr) -> pa.Table:
+        va, vb, vj = _verify_pairs_pool(index, a_arr, b_arr,
+                                        verify_threshold)
+        return pa.table({"id_a": pa.array(va, pa.int64()),
+                         "id_b": pa.array(vb, pa.int64()),
+                         "jaccard": pa.array(vj, pa.float64())})
+
+    def broadcast_verify(set_refs, id_col: str, blob_col: str) -> pa.Table:
+        # RAW Ray tasks, deliberately: the fan-out unit here is "one vp
+        # slice of a broadcast pair list", a 64-row driver-side work list —
+        # ray.data.range() would bundle those tiny blocks into ONE task
+        # (measured: the whole verify ran serially, 25 s vs 2 s). Each task
+        # verifies a disjoint vp slice; worker-side indexes are cached.
+        @ray.remote
+        def verify_vp(vp: int) -> pa.Table:
+            vp_s, a_s, b_s, _, _, _ = _pair_index(pair_refs, n_verify_parts)
+            index = _sets_index(set_refs, id_col, blob_col)
+            lo = np.searchsorted(vp_s, vp, "left")
+            hi = np.searchsorted(vp_s, vp, "right")
+            return verify_table(index, a_s[lo:hi], b_s[lo:hi])
+
+        parts = [t for t in ray.get([verify_vp.remote(vp)
+                                     for vp in range(n_verify_parts)])
+                 if t.num_rows]
+        if not parts:
+            return empty
+        return pa.concat_tables(parts).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending")])
+
+    pairs_small = pairs_mat.size_bytes() <= pair_cap_bytes
+    if pairs_small and sets_precomputed and isinstance(
+            ds, rd.dataset.MaterializedDataset) \
+            and 0 <= ds.size_bytes() <= broadcast_cap_bytes:
+        # FAST PATH: the whole precomputed blob table already sits
+        # materialized in the object store AND fits the broadcast cap —
+        # skip the candidate-filter scan entirely (one full execution
+        # saved; the index builder reads the blob columns by name).
+        return broadcast_verify(ds.to_arrow_refs(), id_column, text_column)
+
     def cand_rows(batch: pa.Table) -> pa.Table:
         _, _, _, _, _, cand = _pair_index(pair_refs, n_verify_parts)
         sel = batch.filter(pc.is_in(batch[id_column], value_set=cand))
@@ -653,14 +695,7 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
     sets_mat = ds.map_batches(cand_rows, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
 
-    def verify_table(index, a_arr, b_arr) -> pa.Table:
-        va, vb, vj = _verify_pairs_pool(index, a_arr, b_arr,
-                                        verify_threshold)
-        return pa.table({"id_a": pa.array(va, pa.int64()),
-                         "id_b": pa.array(vb, pa.int64()),
-                         "jaccard": pa.array(vj, pa.float64())})
-
-    if pairs_mat.size_bytes() > pair_cap_bytes:
+    if not pairs_small:
         # SHARDED path (at scale): NO worker ever derives the full pair
         # index. Pairs shuffle by vp; doc→vp routing resolves via a
         # hash-bucket join of routing rows against candidate sets; each vp
@@ -671,28 +706,8 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
                                        verify_threshold, empty)
 
     if sets_mat.size_bytes() <= broadcast_cap_bytes:
-        # RAW Ray tasks, deliberately: the fan-out unit here is "one vp
-        # slice of a broadcast pair list", a 64-row driver-side work list —
-        # ray.data.range() would bundle those tiny blocks into ONE task
-        # (measured: the whole verify ran serially, 25 s vs 2 s). Each task
-        # verifies a disjoint vp slice; worker-side indexes are cached.
-        set_refs = sets_mat.to_arrow_refs()
-
-        @ray.remote
-        def verify_vp(vp: int) -> pa.Table:
-            vp_s, a_s, b_s, _, _, _ = _pair_index(pair_refs, n_verify_parts)
-            index = _sets_index(set_refs)
-            lo = np.searchsorted(vp_s, vp, "left")
-            hi = np.searchsorted(vp_s, vp, "right")
-            return verify_table(index, a_s[lo:hi], b_s[lo:hi])
-
-        parts = [t for t in ray.get([verify_vp.remote(vp)
-                                     for vp in range(n_verify_parts)])
-                 if t.num_rows]
-        if not parts:
-            return empty
-        return pa.concat_tables(parts).sort_by(
-            [("id_a", "ascending"), ("id_b", "ascending")])
+        return broadcast_verify(sets_mat.to_arrow_refs(),
+                                "doc_id", "shingles")
     else:
         def shingle_rows(batch: pa.Table) -> pa.Table:
             _, _, _, d_sorted, v_sorted, _ = _pair_index(pair_refs,
