@@ -1597,7 +1597,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, 'required:props/k',
                    'Required property is missing'
-            FROM e WHERE props IS NOT NULL AND ltrim(props) LIKE '{%'
+            FROM e WHERE props IS NOT NULL
+                  AND ltrim(props, ' ' || chr(9) || chr(10) || chr(13))
+                      LIKE '{%'
                   AND raw IS NULL
             UNION ALL
             SELECT event_id, 'type:props/k', 'Invalid Type'

@@ -405,3 +405,39 @@ def test_nested_json_nonobject_payload_vacuous():
     got = sorted(zip(v["conv_id"].to_pylist(), v["constraint_id"].to_pylist()))
     # only the two OBJECT payloads (4: missing k after whitespace, 5: range)
     assert got == [("4", "required:props/k"), ("5", "range:props/k")]
+
+
+def test_object_detection_trim_matches_duckdb_oracle():
+    """ADVICE r3 parity pin: the engine's object-detection left-trim set
+    (exactly RFC 8259's space/tab/LF/CR) must classify every payload the
+    same as the gate oracle's DuckDB expression
+    ``ltrim(props, ' '||chr(9)||chr(10)||chr(13)) LIKE '{%'``
+    (__ray_entry__.py struct_check_events). Includes U+00A0, where the old
+    utf8_ltrim_whitespace (all-Unicode-whitespace) engine side diverged."""
+    import duckdb
+    import pyarrow.compute as pc
+    from jsonschema_validator_ray.constraints.kernels import make_row_validator
+
+    payloads = ['{"k": 99}', ' {"k": 99}', '\t{"k": 99}', '\n{"k": 99}',
+                '\r\n {"k": 99}', ' {"k": 99}', ' {"k": 99}',
+                'x{"k": 99}', '[1,2]', '5', None]
+    col = pa.array(payloads, pa.string())
+    engine_is_obj = pc.fill_null(pc.and_(
+        pc.is_valid(col),
+        pc.starts_with(pc.utf8_ltrim(col, " \t\n\r"), "{")),
+        False).to_pylist()
+    con = duckdb.connect()
+    oracle_is_obj = [
+        con.execute(
+            "SELECT ? IS NOT NULL AND ltrim(?, ' ' || chr(9) || chr(10) "
+            "|| chr(13)) LIKE '{%'", [p, p]).fetchone()[0]
+        for p in payloads]
+    assert engine_is_obj == oracle_is_obj
+
+    # and the full kernel agrees: k=99 violates range ONLY on object payloads
+    ir = compile_constraints(_nested_spec())
+    ids = pa.array(range(1, len(payloads) + 1), pa.int64())
+    v = make_row_validator(ir)(pa.table({"event_id": ids, "props": col}))
+    flagged = sorted(int(x) for x in v["conv_id"].to_pylist())
+    expect = sorted(i + 1 for i, ok in enumerate(oracle_is_obj) if ok)
+    assert flagged == expect
