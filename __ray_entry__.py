@@ -1380,6 +1380,74 @@ def q_drift_events_type(sf_dir: str) -> pa.Table:
     })
 
 
+def q_repetition_documents(sf_dir: str) -> pa.Table:
+    """Intra-document word-repetition metric (dup-span quality filter):
+    per doc, n_words / n_distinct_words / dup_ratio — one vectorized
+    map_batches pass (``ops.text.add_word_repetition``); ratio arithmetic
+    is exactly-rounded IEEE on both engine and oracle sides."""
+    from jsonschema_validator_ray.ops.text import add_word_repetition
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(add_word_repetition(ds)).sort_by("doc_id")
+
+
+def q_tfidf_documents(sf_dir: str) -> pa.Table:
+    """Per-document top-3 TF-IDF keyword extraction (linear-idf variant,
+    bit-identical scores to SQL — see ``ops.text.tfidf_top_terms``): one
+    DF pass + one broadcast-vocab score pass, both column-pruned reads."""
+    from jsonschema_validator_ray.ops.text import tfidf_top_terms
+
+    out = _collect(tfidf_top_terms(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]), k=3))
+    return out.sort_by([("doc_id", "ascending"), ("rank", "ascending")])
+
+
+def q_customer_order_totals(sf_dir: str) -> pa.Table:
+    """LEFT OUTER reduce-side join: every customer with order count + exact
+    integer-cent spend, customers without orders kept at zero. Orders are
+    partially aggregated per batch BEFORE the shuffle (combiner), combined
+    per key inside each bucket (``right_fn``), then left-joined — only
+    result-scale rows leave the all-to-all."""
+    from jsonschema_validator_ray.ops.join import reduce_side_hash_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_custkey": batch["o_custkey"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "cents": pc.cast(pc.round(pc.multiply(batch["o_totalprice"],
+                                                  100.0)), pa.int64()),
+        })
+        g = pa.TableGroupBy(t, "c_custkey").aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "n_part": g["one_sum"].cast(pa.int64()),
+                         "cents_part": g["cents_sum"].cast(pa.int64())})
+
+    def combine_right(rt: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rt, "c_custkey").aggregate(
+            [("n_part", "sum"), ("cents_part", "sum")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "n_orders": g["n_part_sum"].cast(pa.int64()),
+                         "total_cents": g["cents_part_sum"]
+                         .cast(pa.int64())})
+
+    def finish(j: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": j["c_custkey"].cast(pa.int64()),
+            "n_orders": pc.fill_null(j["n_orders"], 0).cast(pa.int64()),
+            "total_cents": pc.fill_null(j["total_cents"], 0)
+            .cast(pa.int64()),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(reduce_side_hash_join(
+        cust, orders, "c_custkey", join_type="left outer",
+        right_fn=combine_right, group_fn=finish))
+    return out.sort_by("c_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcript_validate": q_transcript_validate,
@@ -1414,6 +1482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q_decontaminate_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "events_rollup": q_events_rollup,
+        "repetition_documents": q_repetition_documents,
+        "tfidf_documents": q_tfidf_documents,
+        "customer_order_totals": q_customer_order_totals,
         "hll_distinct_events": q_hll_distinct_events,
         "minhash_neardup_documents": q_minhash_neardup_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
@@ -1947,6 +2018,50 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rk
                 FROM documents)
             WHERE rk <= 20 ORDER BY lang, doc_id
+        """,
+        "repetition_documents": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                        AS BIGINT) AS n_distinct_words,
+                   1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                              AS DOUBLE) / len(string_split(text, ' '))
+                       AS dup_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "tfidf_documents": """
+            WITH words AS (
+                SELECT doc_id, u.w AS term
+                FROM documents, unnest(string_split(text, ' ')) AS u(w)
+                WHERE u.w <> ''),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM words GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM words GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       tf.tf * (n.n / df.df) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * (n.n / df.df) DESC,
+                                    tf.term ASC) AS rnk
+                FROM tf JOIN df USING (term), n)
+            SELECT doc_id, term, tf, df, score,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM scored WHERE rnk <= 3 ORDER BY doc_id, rank
+        """,
+        "customer_order_totals": """
+            SELECT c.c_custkey,
+                   CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(coalesce(o.total_cents, 0) AS BIGINT) AS total_cents
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_orders,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS total_cents
+                FROM orders GROUP BY o_custkey) o
+                ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey
         """,
         "events_rollup": """
             WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,

@@ -33,10 +33,19 @@ def _pad_to(batch: pa.Table, schema: pa.Schema) -> pa.Table:
 
 
 def reduce_side_hash_join(left_ds, right_ds, key: str, *,
-                          n_buckets: int = 0, group_fn=None):
-    """Inner-join two Datasets on an integer ``key``; returns a Dataset of
-    joined rows (or of ``group_fn``'s per-bucket output). Column names other
-    than ``key`` must be disjoint across sides."""
+                          n_buckets: int = 0, group_fn=None,
+                          join_type: str = "inner", right_fn=None):
+    """Join two Datasets on an integer ``key``; returns a Dataset of joined
+    rows (or of ``group_fn``'s per-bucket output). Column names other than
+    ``key`` must be disjoint across sides.
+
+    ``join_type`` is any pyarrow ``Table.join`` type (``inner``,
+    ``left outer``, ``left semi``, ``left anti``, ...) — outer semantics
+    hold globally because BOTH sides of one key land in exactly one bucket,
+    so a left row with no right match is unmatched in its bucket too.
+    ``right_fn`` (optional) pre-transforms each bucket's right-side slice
+    before the join — e.g. combining per-batch partial aggregates down to
+    one row per key so the join output stays result-scale."""
     import ray
 
     from ..stages.groupcheck import np_column_hash
@@ -78,7 +87,9 @@ def reduce_side_hash_join(left_ds, right_ds, key: str, *,
         is_l = pc.equal(group["_side"], 0)
         lt = group.filter(is_l).select(l_names)
         rt = group.filter(pc.invert(is_l)).select([key] + r_names)
-        j = lt.join(rt, keys=key, join_type="inner")
+        if right_fn is not None:
+            rt = right_fn(rt)
+        j = lt.join(rt, keys=key, join_type=join_type)
         return group_fn(j) if group_fn is not None else j
 
     return tagged.groupby("_jb").map_groups(join_bucket,

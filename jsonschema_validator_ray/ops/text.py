@@ -159,3 +159,153 @@ def add_fingerprint(ds, column: str = "text", out: str = "fingerprint",
         return batch.append_column(out, pa.array(out_vals, pa.uint64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_word_repetition(ds, column: str = "text", id_column: str = "doc_id"):
+    """Intra-document word-repetition quality metric (the dup-span heuristic
+    most web-scale text filters apply before near-dup): per document,
+    ``n_words``, ``n_distinct_words`` and ``dup_ratio = 1 - distinct/words``.
+
+    Fully vectorized per Arrow batch: ONE ``split_pattern`` (Arrow list
+    array), ONE ``dictionary_encode`` of the flattened words (string → code,
+    no Python strings materialized), ONE ``np.lexsort`` over (doc, code)
+    with adjacent-diff distinct counting — zero per-document Python.
+    Empty-string pieces from repeated separators count as words on BOTH the
+    engine and the DuckDB ``string_split`` oracle side, by construction."""
+    def fn(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[column], " ")
+        lens = pc.list_value_length(words).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        codes = pc.list_flatten(words).combine_chunks().dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rep = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        order = np.lexsort((idx, doc_rep))
+        di, ci = doc_rep[order], idx[order]
+        new = np.empty(di.size, bool)
+        if di.size:
+            new[0] = True
+            new[1:] = (di[1:] != di[:-1]) | (ci[1:] != ci[:-1])
+        n_distinct = np.bincount(di[new], minlength=lens.size) \
+            .astype(np.int64)
+        dup_ratio = 1.0 - n_distinct / lens    # exact IEEE ops: matches SQL
+        return pa.table({
+            id_column: batch[id_column],
+            "n_words": pa.array(lens, pa.int64()),
+            "n_distinct_words": pa.array(n_distinct, pa.int64()),
+            "dup_ratio": pa.array(dup_ratio, pa.float64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(ds_factory, column: str = "text",
+                    id_column: str = "doc_id", k: int = 3):
+    """Per-document top-``k`` TF-IDF terms over the corpus — the classic
+    keyword-extraction stage of a training-data pipeline.
+
+    Two streaming passes:
+
+    1. **DF pass**: per batch, distinct (doc, term) pairs are counted per
+       term (dictionary-encode + lexsort, no per-doc Python); the per-batch
+       partials are summed driver-side into the (term → document frequency)
+       vocabulary plus the corpus size N. The vocabulary is Zipf-bounded
+       (≪ corpus bytes) and is broadcast ONCE via ``ray.put``; at a scale
+       where the vocab outgrows a broadcast, swap the lookup for a
+       reduce-side join on term — the pass structure is unchanged.
+    2. **Score pass**: per batch, per-(doc, term) tf via the same
+       encode+lexsort, df looked up with ``pc.index_in`` against the
+       broadcast vocab, score = ``tf * (N / df)`` (linear-idf variant: every
+       arithmetic op is an exactly-rounded IEEE double op, so scores are
+       BIT-IDENTICAL to the SQL oracle's — ``ln``-idf ranks ties of this
+       variant identically but is not reproducible across engines to the
+       last ulp; swap ``N / df`` for ``np.log(N / df)`` if drift-tolerant),
+       then per-doc top-k by (score desc, term asc) with one lexsort and a
+       segmented rank — no per-doc Python.
+
+    ``ds_factory`` is a zero-arg callable returning a fresh Dataset over the
+    corpus (two passes = two reads; a factory keeps both reads
+    column-pruned at the source instead of materializing pass 1's input).
+    Returns a Dataset of (id, term, tf, df, score, rank), rank 1-based.
+    """
+    import ray
+
+    def flat_terms(batch: pa.Table):
+        words = pc.split_pattern(batch[column], " ")
+        lens = pc.list_value_length(words).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).combine_chunks()
+        doc_rep = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(keep)), doc_rep[keep]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, doc_rep = flat_terms(batch)
+        codes = flat.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((idx, doc_rep))
+        di, ci = doc_rep[order], idx[order]
+        new = np.empty(di.size, bool)
+        if di.size:
+            new[0] = True
+            new[1:] = (di[1:] != di[:-1]) | (ci[1:] != ci[:-1])
+        dfc = np.bincount(ci[new], minlength=len(codes.dictionary))
+        return pa.table({"term": codes.dictionary,
+                         "df": pa.array(dfc, pa.int64())})
+
+    # pass 1: document frequencies (docs never span batches, so per-batch
+    # distinct-(doc,term) counts sum exactly); N from parquet metadata
+    n_docs = ds_factory().count()
+    parts = []
+    for t in ray.get(ds_factory().map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize().to_arrow_refs()):
+        if t.num_rows:
+            parts.append(t.select(["term", "df"]))
+    vocab_tbl = pa.TableGroupBy(pa.concat_tables(parts), "term") \
+        .aggregate([("df", "sum")]).sort_by("term") if parts else \
+        pa.table({"term": pa.array([], pa.string()),
+                  "df_sum": pa.array([], pa.int64())})
+    vocab_ref = ray.put((vocab_tbl["term"].combine_chunks(),
+                         vocab_tbl["df_sum"].combine_chunks()
+                         .to_numpy(zero_copy_only=False).astype(np.int64),
+                         float(n_docs)))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        terms_arr, dfs, n = ray.get(vocab_ref)
+        flat, doc_rep = flat_terms(batch)
+        codes = flat.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((idx, doc_rep))
+        di, ci = doc_rep[order], idx[order]
+        new = np.empty(di.size, bool)
+        if di.size:
+            new[0] = True
+            new[1:] = (di[1:] != di[:-1]) | (ci[1:] != ci[:-1])
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, di.size)
+        tf = (bounds[1:] - bounds[:-1]).astype(np.int64)
+        g_doc, g_code = di[starts], ci[starts]
+        # alphabetical rank + df via ONE index_in against the sorted vocab
+        vpos = pc.index_in(codes.dictionary, value_set=terms_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)[g_code]
+        score = tf * (n / dfs[vpos])        # exactly-rounded IEEE: SQL-exact
+        sel = np.lexsort((vpos, -score, g_doc))
+        seg = np.flatnonzero(np.concatenate(
+            [[True], g_doc[sel][1:] != g_doc[sel][:-1]]))
+        rank = np.arange(sel.size, dtype=np.int64) \
+            - np.repeat(seg, np.append(seg[1:], sel.size) - seg)
+        mask = rank < k
+        keep = sel[mask]                # original group indices of top-k
+        kept_rank = rank[mask]          # aligned: rank[i] ranks sel[i]
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_column: pa.array(ids[g_doc[keep]]),
+            "term": terms_arr.take(pa.array(vpos[keep], pa.int64())),
+            "tf": pa.array(tf[keep], pa.int64()),
+            "df": pa.array(dfs[vpos[keep]], pa.int64()),
+            "score": pa.array(score[keep], pa.float64()),
+            "rank": pa.array(kept_rank + 1, pa.int64()),
+        })
+
+    return ds_factory().map_batches(score_topk, batch_format="pyarrow",
+                                    zero_copy_batch=True)

@@ -960,3 +960,69 @@ def test_verify_pairs_pool_property():
                 assert (gx, gy) == (rx, ry) and abs(gj - rj) < 1e-12
 
     run()
+
+
+def test_left_outer_reduce_side_join(ray_session):
+    """join_type='left outer' keeps unmatched left keys with nulls — global
+    outer semantics hold because both sides of a key share one bucket."""
+    import ray
+
+    from jsonschema_validator_ray.ops.join import reduce_side_hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "lv": pa.array([10, 20, 30, 40], pa.int64())})
+    right = pa.table({"k": pa.array([2, 4, 4], pa.int64()),
+                      "rv": pa.array([200, 400, 401], pa.int64())})
+    out = pa.concat_tables(
+        ray.get(reduce_side_hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+            join_type="left outer", n_buckets=3)
+            .materialize().to_arrow_refs())).sort_by(
+        [("k", "ascending"), ("rv", "ascending")])
+    assert out["k"].to_pylist() == [1, 2, 3, 4, 4]
+    assert out["rv"].to_pylist() == [None, 200, None, 400, 401]
+
+
+def test_word_repetition_edges(ray_session):
+    """dup_ratio: all-distinct → 0.0; all-same → 1 - 1/n; repeated
+    separators keep '' pieces as words (string_split parity)."""
+    import ray
+
+    from jsonschema_validator_ray.ops.text import add_word_repetition
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c", "x x x x", "a  a"])})
+    out = pa.concat_tables(ray.get(add_word_repetition(
+        ray.data.from_arrow(t)).materialize().to_arrow_refs())) \
+        .sort_by("doc_id")
+    assert out["n_words"].to_pylist() == [3, 4, 3]
+    # 'a  a' splits to ['a', '', 'a'] → 2 distinct
+    assert out["n_distinct_words"].to_pylist() == [3, 1, 2]
+    assert out["dup_ratio"].to_pylist() == [0.0, 0.75, 1.0 - 2.0 / 3.0]
+
+
+def test_tfidf_top_terms_hand_computed(ray_session):
+    """3-doc corpus, hand-checked tf/df/score and (score desc, term asc)
+    tie-break; k=2."""
+    import ray
+
+    from jsonschema_validator_ray.ops.text import tfidf_top_terms
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["cat cat dog", "dog mouse", "cat dog"])})
+    out = pa.concat_tables(ray.get(tfidf_top_terms(
+        lambda: ray.data.from_arrow(t), k=2).materialize()
+        .to_arrow_refs())).sort_by(
+        [("doc_id", "ascending"), ("rank", "ascending")])
+    rows = list(zip(out["doc_id"].to_pylist(), out["term"].to_pylist(),
+                    out["tf"].to_pylist(), out["df"].to_pylist(),
+                    out["score"].to_pylist(), out["rank"].to_pylist()))
+    # df: cat=2, dog=3, mouse=1; N=3
+    assert rows == [
+        (1, "cat", 2, 2, 2 * (3.0 / 2.0), 1),   # 3.0
+        (1, "dog", 1, 3, 1 * (3.0 / 3.0), 2),   # 1.0
+        (2, "mouse", 1, 1, 1 * (3.0 / 1.0), 1),  # 3.0
+        (2, "dog", 1, 3, 1.0, 2),
+        (3, "cat", 1, 2, 1 * (3.0 / 2.0), 1),   # 1.5
+        (3, "dog", 1, 3, 1.0, 2),
+    ]
