@@ -27,6 +27,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from jsonschema_validator_ray.rayutil import quiet_empty_partition_warnings
+
+# pure logging side effect (no Ray session touched): hide the benign
+# empty-shuffle-partition schema-change WARNINGs for every query, including
+# the transcript ones that don't read through _read()
+quiet_empty_partition_warnings()
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -34,8 +41,10 @@ def _read(sf_dir: str, table: str, columns=None):
     import pyarrow.parquet as pq
     import ray.data
 
-    from jsonschema_validator_ray.rayutil import ensure_worker_importable
+    from jsonschema_validator_ray.rayutil import (
+        ensure_worker_importable, quiet_empty_partition_warnings)
     ensure_worker_importable()
+    quiet_empty_partition_warnings()   # benign empty-shuffle-partition noise
     # read with an explicit METADATA-FREE schema: the testdata parquet
     # carries pandas footer metadata, which makes pa.Schema unhashable and
     # defeats Ray's schema dedup in every unify — inside the read op's own

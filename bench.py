@@ -58,6 +58,10 @@ def _init_ray(num_cpus: int):
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
+    from jsonschema_validator_ray.rayutil import \
+        quiet_empty_partition_warnings
+
+    quiet_empty_partition_warnings()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     return ray

@@ -16,7 +16,21 @@ instead.
 
 from __future__ import annotations
 
+import logging as _logging
 import sys
+
+
+class _EmptySchemaFilter(_logging.Filter):
+    """Hides Ray Data's schema-change WARNING only when one side of the
+    transition is an EMPTY schema (empty shuffle partition blocks) — see
+    quiet_empty_partition_warnings."""
+
+    def filter(self, record) -> bool:
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and ("new schema: ." in msg             # real -> empty
+                         or "Previous schema: , " in msg))  # empty -> real
+
 
 _probe_result: dict = {}
 _registered: set = set()
@@ -70,3 +84,21 @@ def strip_meta(t):
     every stage that appends a bucket/tag column to a read batch must strip
     it here. No-op (and allocation-free) for clean schemas."""
     return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def quiet_empty_partition_warnings() -> None:
+    """Suppress Ray Data's 'RefBundle with a different schema' WARNING for
+    the benign empty-partition case ONLY.
+
+    A distributed sort/groupby shuffle whose range partitioner lands zero
+    rows in some output partition emits that partition as a block with an
+    EMPTY schema; the streaming executor then logs a schema-change warning
+    per transition (streaming_executor_state.py). There is no user-side
+    knob to avoid empty shuffle partitions (bucket count ≥ block count
+    guarantees some), and empty blocks unify fine downstream — so filter
+    exactly the transitions whose NEW schema is empty ('new schema: .'),
+    keeping any real schema-mismatch warning visible. Idempotent."""
+    logger = _logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _EmptySchemaFilter) for f in logger.filters):
+        logger.addFilter(_EmptySchemaFilter())

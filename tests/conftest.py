@@ -25,6 +25,10 @@ def ray_session():
         )
     from ray.data import DataContext
 
+    from jsonschema_validator_ray.rayutil import \
+        quiet_empty_partition_warnings
+
+    quiet_empty_partition_warnings()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     yield

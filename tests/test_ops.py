@@ -1026,3 +1026,32 @@ def test_tfidf_top_terms_hand_computed(ray_session):
         (3, "cat", 1, 2, 1 * (3.0 / 2.0), 1),   # 1.5
         (3, "dog", 1, 3, 1.0, 2),
     ]
+
+
+def test_empty_partition_warning_filter():
+    """quiet_empty_partition_warnings hides ONLY the benign empty-partition
+    schema transitions; a real schema mismatch warning still passes."""
+    import logging
+
+    from jsonschema_validator_ray.rayutil import \
+        quiet_empty_partition_warnings
+
+    quiet_empty_partition_warnings()
+    quiet_empty_partition_warnings()    # idempotent
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    assert len(logger.filters) == 1
+
+    def passes(msg):
+        rec = logging.LogRecord("x", logging.WARNING, "f", 1, msg, None, None)
+        return all(f.filter(rec) for f in logger.filters)
+
+    base = "Operator produced a RefBundle with a different schema than the "
+    assert not passes(base + "previous one. Previous schema: a: int64, "
+                      "new schema: . This may lead to unexpected behavior.")
+    assert not passes(base + "previous one. Previous schema: , new schema: "
+                      "a: int64. This may lead to unexpected behavior.")
+    assert passes(base + "previous one. Previous schema: a: int64, "
+                  "new schema: b: int64. This may lead to unexpected "
+                  "behavior.")
+    assert passes("some other warning")
