@@ -1457,6 +1457,56 @@ def q_customer_order_totals(sf_dir: str) -> pa.Table:
     return out.sort_by("c_custkey")
 
 
+def q_quality_filter_by_lang(sf_dir: str) -> pa.Table:
+    """Group-relative quality gating (the per-source/per-language threshold
+    step of a corpus-curation pipeline): keep docs whose mean word length
+    is at or above their LANGUAGE's exact median. Composition: one
+    vectorized feature pass → exact grouped median (hash-bucket groupby,
+    lang-sized result) → broadcast the 5-row threshold table → streamed
+    filter pass. Equality at the boundary is IEEE-safe: an interpolated
+    median can only equal a doc's value when its two middle neighbors are
+    equal, where numpy and quantile_cont agree bitwise."""
+    import ray
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_quantiles
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.float64())
+        n_words = pc.add(pc.count_substring(batch["text"], " "), 1) \
+            .cast(pa.float64())
+        return pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                         "mean_word_len": pc.divide(n_chars, n_words)})
+
+    feats = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+        .map_batches(featurize, batch_format="pyarrow", zero_copy_batch=True)
+    med_tbl = _collect(grouped_quantiles(feats, "lang", "mean_word_len",
+                                         [0.5]))
+    med_ref = ray.put((med_tbl["lang"].combine_chunks(),
+                       med_tbl["q50"].combine_chunks()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        langs, meds = ray.get(med_ref)
+        thresh = meds.take(pc.index_in(batch["lang"], value_set=langs))
+        return batch.filter(pc.greater_equal(batch["mean_word_len"],
+                                             thresh))
+
+    out = _collect(feats.map_batches(keep, batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
+def q_term_search_documents(sf_dir: str) -> pa.Table:
+    """Inverted-index build (one term-hash-bucket shuffle, posting blobs)
+    + boolean AND search: docs containing BOTH 'hash' and 'window'. The
+    search touches only the two matched posting rows, never the corpus."""
+    from jsonschema_validator_ray.ops.index import (build_inverted_index,
+                                                    term_search)
+
+    idx = build_inverted_index(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]))
+    docs = term_search(idx, ["hash", "window"], mode="and")
+    return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcript_validate": q_transcript_validate,
@@ -1491,6 +1541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q_decontaminate_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "events_rollup": q_events_rollup,
+        "quality_filter_by_lang": q_quality_filter_by_lang,
+        "term_search_documents": q_term_search_documents,
         "repetition_documents": q_repetition_documents,
         "tfidf_documents": q_tfidf_documents,
         "customer_order_totals": q_customer_order_totals,
@@ -2027,6 +2079,25 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rk
                 FROM documents)
             WHERE rk <= 20 ORDER BY lang, doc_id
+        """,
+        "quality_filter_by_lang": """
+            WITH q AS (
+                SELECT doc_id, lang,
+                       CAST(length(text) AS DOUBLE)
+                           / len(string_split(text, ' ')) AS mean_word_len
+                FROM documents),
+            m AS (SELECT lang, quantile_cont(mean_word_len, 0.5) AS med
+                  FROM q GROUP BY lang)
+            SELECT q.doc_id, q.lang, q.mean_word_len
+            FROM q JOIN m USING (lang)
+            WHERE q.mean_word_len >= m.med
+            ORDER BY q.doc_id
+        """,
+        "term_search_documents": """
+            SELECT doc_id FROM documents
+            WHERE list_contains(string_split(text, ' '), 'hash')
+              AND list_contains(string_split(text, ' '), 'window')
+            ORDER BY doc_id
         """,
         "repetition_documents": """
             SELECT doc_id,

@@ -1,0 +1,128 @@
+"""Distributed inverted-index build + boolean term search.
+
+The index-build shape every search/retrieval stage of a training-data
+pipeline needs: one pass extracts distinct (term, doc) postings per batch
+(vectorized: Arrow split + dictionary-encode + one lexsort — no per-doc
+Python), ONE term-hash-bucket groupby co-locates each term's postings, and
+each bucket emits one row per term: ``(term, df, postings)`` with the
+posting list packed as a sorted-int64 binary blob. Only vocabulary-scale
+rows leave the shuffle (Zipf: vocab ≪ corpus). Searches then read ONLY the
+matched terms' posting rows and intersect sorted arrays — never the corpus.
+
+At 100 TB: the build is a single all-to-all keyed by term hash (hot terms
+are single-bucket but posting blobs are bounded by doc count; shard a
+pathological term's postings by doc-id range if one term's list outgrows a
+worker). The index Dataset can be written as term-bucket-partitioned
+parquet for reuse (resumable, one directory per bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def build_inverted_index(ds, column: str = "text", id_column: str = "doc_id",
+                         n_buckets: int = 0):
+    """Dataset of ``(term, df, postings)`` — postings a binary blob of the
+    term's SORTED distinct int64 doc ids. Docs must not repeat across input
+    rows (one row per doc)."""
+    import ray
+
+    from ..stages.groupcheck import np_column_hash
+
+    if n_buckets <= 0:
+        avail = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        n_buckets = 4 * avail
+
+    def postings_partial(batch: pa.Table) -> pa.Table:
+        """Distinct (term, doc) pairs of one batch, term-hash-bucketed."""
+        words = pc.split_pattern(batch[column], " ")
+        lens = pc.list_value_length(words).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).combine_chunks()
+        doc_rep = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_rep = doc_rep[keep]
+        codes = flat.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc_rep, idx))
+        ci, di = idx[order], doc_rep[order]
+        new = np.empty(ci.size, bool)
+        if ci.size:
+            new[0] = True
+            new[1:] = (ci[1:] != ci[:-1]) | (di[1:] != di[:-1])
+        ci, di = ci[new], di[new]
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = codes.dictionary.take(pa.array(ci, pa.int64()))
+        tb = (np_column_hash(terms) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"tb": pa.array(tb, pa.int64()),
+                         "term": terms,
+                         "doc_id": pa.array(ids[di], pa.int64())})
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        """One row per term: sorted distinct doc ids packed to a blob.
+        The only per-item Python here iterates TERMS (vocab-scale)."""
+        srt = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        terms = srt["term"].combine_chunks()
+        docs = srt["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = terms.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.empty(idx.size, bool)
+        out_terms, out_df, out_blobs = [], [], []
+        if idx.size:
+            new[0] = True
+            new[1:] = idx[1:] != idx[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], idx.size)
+            # distinct within a (term) run: docs repeat across input batches
+            for s, e in zip(starts, ends):
+                d = docs[s:e]
+                d = d[np.concatenate([[True], d[1:] != d[:-1]])]
+                out_terms.append(idx[s])
+                out_df.append(d.size)
+                out_blobs.append(d.tobytes())
+        return pa.table({
+            "term": codes.dictionary.take(
+                pa.array(np.array(out_terms, np.int64), pa.int64())),
+            "df": pa.array(np.array(out_df, np.int64), pa.int64()),
+            "postings": pa.array(out_blobs, pa.binary()),
+        })
+
+    return ds.map_batches(postings_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("tb").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def term_search(index_ds, terms: list[str], mode: str = "and") -> np.ndarray:
+    """Boolean search over a built index: sorted int64 doc ids matching ALL
+    (``and``) or ANY (``or``) of ``terms``. Reads ONLY the matched terms'
+    posting rows (a filter pushed into the index Dataset), never the corpus."""
+    import ray
+
+    assert mode in ("and", "or")
+    want = set(terms)
+    hits = index_ds.filter(
+        lambda row: row["term"] in want)
+    found: dict[str, np.ndarray] = {}
+    for t in ray.get(hits.materialize().to_arrow_refs()):
+        if t.num_rows == 0 or "term" not in t.column_names:
+            continue   # empty shuffle-partition blocks carry no schema
+        for term, blob in zip(t["term"].to_pylist(),
+                              t["postings"].to_pylist()):
+            found[term] = np.frombuffer(blob, np.int64)
+    lists = [found.get(term, np.zeros(0, np.int64)) for term in terms]
+    if not lists:
+        return np.zeros(0, np.int64)
+    acc = lists[0]
+    for d in lists[1:]:
+        if mode == "and":
+            acc = acc[np.isin(acc, d, assume_unique=True)]
+        else:
+            acc = np.union1d(acc, d)
+    return acc

@@ -1055,3 +1055,34 @@ def test_empty_partition_warning_filter():
                   "new schema: b: int64. This may lead to unexpected "
                   "behavior.")
     assert passes("some other warning")
+
+
+def test_inverted_index_and_search(ray_session):
+    """Index build: one posting row per term, sorted distinct doc ids
+    merged ACROSS input batches; AND/OR search over posting blobs."""
+    import ray
+
+    from jsonschema_validator_ray.ops.index import (build_inverted_index,
+                                                    term_search)
+
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["a b a", "b c"])})
+    t2 = pa.table({"doc_id": pa.array([3], pa.int64()),
+                   "text": pa.array(["a c  c"])})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    idx = build_inverted_index(ds, n_buckets=5).materialize()
+    rows = {}
+    for t in ray.get(idx.to_arrow_refs()):
+        if t.num_rows and "term" in t.column_names:
+            for term, df, blob in zip(t["term"].to_pylist(),
+                                      t["df"].to_pylist(),
+                                      t["postings"].to_pylist()):
+                rows[term] = (df, list(np.frombuffer(blob, np.int64)))
+    assert rows["a"] == (2, [1, 3])
+    assert rows["b"] == (2, [1, 2])
+    assert rows["c"] == (2, [2, 3])
+    assert "" not in rows              # '' pieces from repeated separators
+    #                                    are dropped at the postings stage
+    assert list(term_search(idx, ["a", "c"], mode="and")) == [3]
+    assert sorted(term_search(idx, ["a", "b"], mode="or")) == [1, 2, 3]
+    assert list(term_search(idx, ["zzz"], mode="and")) == []
