@@ -1457,6 +1457,78 @@ def q_customer_order_totals(sf_dir: str) -> pa.Table:
     return out.sort_by("c_custkey")
 
 
+def q_top_returns_customers(sf_dir: str) -> pa.Table:
+    """TPC-H Q10 shape — the full join-chain composition: returned-item
+    revenue per customer, nation name attached, top 20. Stages: (1)
+    lineitem read with the `l_returnflag = 'R'` predicate PUSHED INTO the
+    scan + per-batch partial revenue aggregation by order (exact integer
+    e4 units); (2) ONE reduce-side hash join against orders with in-bucket
+    combine, emitting customer-keyed partials only; (3) customer + nation
+    are dimension tables → broadcast-joined driver-side (customer-scale,
+    never shuffled); (4) global top-20. Only result-scale rows ever leave
+    the one all-to-all."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jsonschema_validator_ray.ops.join import reduce_side_hash_join
+    from jsonschema_validator_ray.rayutil import (ensure_worker_importable,
+                                                  strip_meta)
+    ensure_worker_importable()
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                             100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+        g = pa.TableGroupBy(t, "o_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "rev_part": g["rev_sum"].cast(pa.int64())})
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R")) \
+        .map_batches(lambda b: rev_partial(strip_meta(b)),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine_right(rt: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(rt, "o_orderkey").aggregate([("rev_part", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "rev": g["rev_part_sum"].cast(pa.int64())})
+
+    def by_customer(j: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(j.select(["o_custkey", "rev"]), "o_custkey") \
+            .aggregate([("rev", "sum")])
+        return pa.table({"c_custkey": g["o_custkey"].cast(pa.int64()),
+                         "rev_part": g["rev_sum"].cast(pa.int64())})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    per_cust = _collect(reduce_side_hash_join(
+        orders, li, "o_orderkey", right_fn=combine_right,
+        group_fn=by_customer))
+    total = pa.TableGroupBy(per_cust, "c_custkey") \
+        .aggregate([("rev_part", "sum")])
+
+    # dimension joins stay driver-side (customer/nation-scale, no shuffle)
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    j = pa.table({"c_custkey": total["c_custkey"].cast(pa.int64()),
+                  "revenue_e4": total["rev_part_sum"].cast(pa.int64())}) \
+        .join(cust, keys="c_custkey", join_type="inner") \
+        .join(nation, keys="c_nationkey", right_keys="n_nationkey",
+              join_type="inner")
+    j = j.sort_by([("revenue_e4", "descending"), ("c_custkey", "ascending")])
+    return j.select(["c_custkey", "c_name", "n_name", "revenue_e4"]) \
+        .slice(0, 20)
+
+
 def q_quality_filter_by_lang(sf_dir: str) -> pa.Table:
     """Group-relative quality gating (the per-source/per-language threshold
     step of a corpus-curation pipeline): keep docs whose mean word length
@@ -1541,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": q_decontaminate_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "events_rollup": q_events_rollup,
+        "top_returns_customers": q_top_returns_customers,
         "quality_filter_by_lang": q_quality_filter_by_lang,
         "term_search_documents": q_term_search_documents,
         "repetition_documents": q_repetition_documents,
@@ -2079,6 +2152,21 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rk
                 FROM documents)
             WHERE rk <= 20 ORDER BY lang, doc_id
+        """,
+        "top_returns_customers": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+            FROM customer c, orders o, lineitem l, nation n
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND l.l_returnflag = 'R'
+              AND c.c_nationkey = n.n_nationkey
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue_e4 DESC, c.c_custkey
+            LIMIT 20
         """,
         "quality_filter_by_lang": """
             WITH q AS (
