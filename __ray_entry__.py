@@ -1457,6 +1457,25 @@ def q_customer_order_totals(sf_dir: str) -> pa.Table:
     return out.sort_by("c_custkey")
 
 
+def q_label_centroids_embeddings(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroid sums in exact fixed-point (floor(x·2²⁴)
+    — tie-free, bit-identical to the SQL side): per-batch partial
+    (label, dim) sums via one reduceat, tiny final merge. The aggregation a
+    coarse-quantizer / IVF training stage runs over the full corpus."""
+    from jsonschema_validator_ray.ops.simsearch import label_centroids
+
+    parts = _collect(label_centroids(
+        _read(sf_dir, "embeddings", ["label", "embedding"])))
+    g = pa.TableGroupBy(parts, ["label", "dim"]).aggregate(
+        [("sum_e24", "sum"), ("n", "sum")])
+    return pa.table({
+        "label": g["label"].cast(pa.int64()),
+        "dim": g["dim"].cast(pa.int64()),
+        "sum_e24": g["sum_e24_sum"].cast(pa.int64()),
+        "n": g["n_sum"].cast(pa.int64()),
+    }).sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
 def q_top_returns_customers(sf_dir: str) -> pa.Table:
     """TPC-H Q10 shape — the full join-chain composition: returned-item
     revenue per customer, nation name attached, top 20. Stages: (1)
@@ -1614,6 +1633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "events_rollup": q_events_rollup,
         "top_returns_customers": q_top_returns_customers,
+        "label_centroids_embeddings": q_label_centroids_embeddings,
         "quality_filter_by_lang": q_quality_filter_by_lang,
         "term_search_documents": q_term_search_documents,
         "repetition_documents": q_repetition_documents,
@@ -2152,6 +2172,16 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rk
                 FROM documents)
             WHERE rk <= 20 ORDER BY lang, doc_id
+        """,
+        "label_centroids_embeddings": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                       * 16777216.0) AS BIGINT)) AS BIGINT)
+                       AS sum_e24,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY label, i ORDER BY label, dim
         """,
         "top_returns_customers": """
             SELECT c.c_custkey, c.c_name, n.n_name,

@@ -192,3 +192,49 @@ def ivf_topk(ds, query_vectors: np.ndarray, id_column: str, vec_column: str,
         sub = sub.sort_by([("cos", "descending"), (id_column, "ascending")])
         out.append(sub.slice(0, k))
     return pa.concat_tables(out) if out else parts
+
+
+def label_centroids(ds, label_column: str = "label",
+                    vec_column: str = "embedding"):
+    """Per-label centroid sums over an embedding column — the aggregation
+    an IVF/coarse-quantizer training stage needs, in EXACT integer space.
+
+    Each component is fixed-pointed as ``floor(x * 2**24)`` (scaling a
+    double by a power of two is exact, and ``floor`` — unlike ``round`` —
+    has no .5 ties, so numpy and SQL agree bitwise on every value), then
+    partially summed per (label, dim) inside each batch with one stable
+    sort + ``np.add.reduceat`` over the (rows × dim) matrix. Partials are
+    label×dim-scale (tiny), merged with one final groupby. The caller
+    divides ``sum_e24 / (n * 2**24)`` for the float centroid.
+
+    Returns a Dataset of ``(label, dim, sum_e24, n)``, dim 1-based."""
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[vec_column])          # (n, dim) float64
+        dim = m.shape[1] if m.size else 0
+        if m.shape[0] == 0 or dim == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_e24": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        scaled = np.floor(m * 16777216.0).astype(np.int64)
+        labels = batch[label_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        ls, ms = labels[order], scaled[order]
+        new = np.empty(ls.size, bool)
+        new[0] = True
+        new[1:] = ls[1:] != ls[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.append(starts[1:], ls.size) - starts
+        sums = np.add.reduceat(ms, starts, axis=0)   # (L, dim)
+        n_lab = starts.size
+        return pa.table({
+            "label": pa.array(np.repeat(ls[starts], dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    n_lab), pa.int64()),
+            "sum_e24": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)

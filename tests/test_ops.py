@@ -1086,3 +1086,40 @@ def test_inverted_index_and_search(ray_session):
     assert list(term_search(idx, ["a", "c"], mode="and")) == [3]
     assert sorted(term_search(idx, ["a", "b"], mode="or")) == [1, 2, 3]
     assert list(term_search(idx, ["zzz"], mode="and")) == []
+
+
+def test_label_centroids_exact(ray_session):
+    """floor(x·2**24) fixed-point per-label sums, merged across batches;
+    negative components floor toward -inf on both engine and SQL sides."""
+    import duckdb
+    import ray
+
+    from jsonschema_validator_ray.ops.simsearch import label_centroids
+
+    def tbl(labels, vecs):
+        return pa.table({"label": pa.array(labels, pa.int32()),
+                         "embedding": pa.array(vecs,
+                                               pa.list_(pa.float32()))})
+
+    t1 = tbl([0, 1], [[0.5, -0.3], [1.0, 0.25]])
+    t2 = tbl([0], [[-0.1, 0.7]])
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    parts = pa.concat_tables(
+        [t for t in ray.get(label_centroids(ds).materialize()
+                            .to_arrow_refs()) if t.num_rows])
+    g = pa.TableGroupBy(parts, ["label", "dim"]).aggregate(
+        [("sum_e24", "sum"), ("n", "sum")]).sort_by(
+        [("label", "ascending"), ("dim", "ascending")])
+    con = duckdb.connect()
+    rows = con.execute("""
+        WITH e(label, embedding) AS (VALUES
+            (0, [0.5::FLOAT, -0.3::FLOAT]), (1, [1.0::FLOAT, 0.25::FLOAT]),
+            (0, [-0.1::FLOAT, 0.7::FLOAT]))
+        SELECT label, i AS dim,
+               sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0)
+                        AS BIGINT)) AS s, count(*) AS n
+        FROM e, range(1, 3) t(i) GROUP BY label, i ORDER BY label, i
+    """).fetchall()
+    got = list(zip(g["label"].to_pylist(), g["dim"].to_pylist(),
+                   g["sum_e24_sum"].to_pylist(), g["n_sum"].to_pylist()))
+    assert got == [tuple(r) for r in rows]
