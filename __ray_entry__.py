@@ -1457,6 +1457,152 @@ def q_customer_order_totals(sf_dir: str) -> pa.Table:
     return out.sort_by("c_custkey")
 
 
+def q_event_deltas(sf_dir: str) -> pa.Table:
+    """LAG window analog: per user, microseconds since the PREVIOUS event
+    (ordered by ts, event_id; first event per user → null). One hash-bucket
+    groupby keeps whole users per bucket; in-bucket it's one sort + one
+    vectorized diff — the canonical lag/lead shape at any scale."""
+    import ray
+
+    from jsonschema_validator_ray.rayutil import strip_meta
+    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
+
+    avail = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    n_buckets = 4 * avail
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = (np_column_hash(batch["user_id"])
+             % np.uint64(n_buckets)).astype(np.int64)
+        return strip_meta(batch).append_column(
+            "_bucket", pa.array(h, pa.int64()))
+
+    def lag_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "delta_us": pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        srt = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        uid = srt["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = srt["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        delta = np.empty(uid.size, np.int64)
+        delta[0] = 0
+        delta[1:] = ts[1:] - ts[:-1]
+        first = np.empty(uid.size, bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        return pa.table({
+            "event_id": srt["event_id"].cast(pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "delta_us": pc.if_else(pa.array(first),
+                                   pa.nulls(uid.size, pa.int64()),
+                                   pa.array(delta, pa.int64())),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = _collect(ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("_bucket")
+                   .map_groups(lag_bucket, batch_format="pyarrow"))
+    return out.sort_by("event_id")
+
+
+def q_value_histogram_events(sf_dir: str) -> pa.Table:
+    """Fixed-bin histogram of event values (profiling op): 20 bins of width
+    25, top-clamped. Per-batch ``np.bincount`` partials, one tiny final
+    merge — no shuffle at any scale. floor(value/25) is an exactly-rounded
+    double op, bitwise-identical to the SQL side."""
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        bins = np.minimum(np.floor(v / 25.0), 19.0).astype(np.int64)
+        counts = np.bincount(bins, minlength=20)
+        return pa.table({"bin": pa.array(np.arange(20, dtype=np.int64)),
+                         "n": pa.array(counts, pa.int64())})
+
+    parts = _collect(_read(sf_dir, "events", ["value"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    g = pa.TableGroupBy(parts, "bin").aggregate([("n", "sum")])
+    g = g.sort_by("bin")
+    return pa.table({"bin": g["bin"].cast(pa.int64()),
+                     "n": g["n_sum"].cast(pa.int64())})
+
+
+def q_events_pivot(sf_dir: str) -> pa.Table:
+    """Pivot/reshape: one row per day, one count column per event type plus
+    the row total (long → wide). One per-batch partial groupby over the
+    finest (day, type) level; the pivot happens on the DAYS×TYPES-scale
+    merged result, never on raw rows."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.floor_temporal(batch["ts"], unit="day"),
+            "event_type": batch["event_type"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        return pa.TableGroupBy(t, ["day", "event_type"]).aggregate(
+            [("one", "sum")])
+
+    parts = _collect(_read(sf_dir, "events", ["ts", "event_type"])
+                     .map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    fine = pa.TableGroupBy(parts, ["day", "event_type"]).aggregate(
+        [("one_sum", "sum")])
+    days = fine["day"].to_pylist()
+    types = fine["event_type"].to_pylist()
+    ns = fine["one_sum_sum"].to_pylist()
+    by_day: dict = {}
+    for d, ty, n in zip(days, types, ns):       # DAYS×TYPES-scale loop
+        by_day.setdefault(d, {})[ty] = n
+    day_sorted = sorted(by_day)
+    cols: dict = {"day": pa.array(day_sorted, fine["day"].type)}
+    for ty in EVENT_TYPES:
+        cols[f"n_{ty}"] = pa.array(
+            [by_day[d].get(ty, 0) for d in day_sorted], pa.int64())
+    cols["n_total"] = pa.array(
+        [sum(by_day[d].values()) for d in day_sorted], pa.int64())
+    return pa.table(cols)
+
+
+def q_orders_by_nation(sf_dir: str) -> pa.Table:
+    """MAP-SIDE broadcast inner join (vs the reduce-side family): the
+    customer→nation dimension map is built once driver-side, ``ray.put``
+    ONCE, and every orders batch enriches via two vectorized lookups — the
+    fact table is never shuffled; per-batch partials are nation-scale."""
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    cust = _pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+    nation = _pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey")
+    dim_ref = ray.put((dim["c_custkey"].combine_chunks(),
+                       dim["n_name"].combine_chunks()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(dim_ref)
+        pos = pc.index_in(batch["o_custkey"], value_set=keys)
+        t = pa.table({
+            "n_name": names.take(pos),
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "cents": pc.cast(pc.round(pc.multiply(batch["o_totalprice"],
+                                                  100.0)), pa.int64()),
+        })
+        return pa.TableGroupBy(t, "n_name").aggregate(
+            [("one", "sum"), ("cents", "sum")])
+
+    parts = _collect(_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                     .map_batches(partial, batch_format="pyarrow"))
+    g = pa.TableGroupBy(parts, "n_name").aggregate(
+        [("one_sum", "sum"), ("cents_sum", "sum")])
+    g = g.sort_by("n_name")
+    return pa.table({"n_name": g["n_name"],
+                     "n_orders": g["one_sum_sum"].cast(pa.int64()),
+                     "total_cents": g["cents_sum_sum"].cast(pa.int64())})
+
+
 def q_label_centroids_embeddings(sf_dir: str) -> pa.Table:
     """Per-label embedding centroid sums in exact fixed-point (floor(x·2²⁴)
     — tie-free, bit-identical to the SQL side): per-batch partial
@@ -1634,6 +1780,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "top_returns_customers": q_top_returns_customers,
         "label_centroids_embeddings": q_label_centroids_embeddings,
+        "event_deltas": q_event_deltas,
+        "value_histogram_events": q_value_histogram_events,
+        "events_pivot": q_events_pivot,
+        "orders_by_nation": q_orders_by_nation,
         "quality_filter_by_lang": q_quality_filter_by_lang,
         "term_search_documents": q_term_search_documents,
         "repetition_documents": q_repetition_documents,
@@ -2172,6 +2322,47 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rk
                 FROM documents)
             WHERE rk <= 20 ORDER BY lang, doc_id
+        """,
+        "event_deltas": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS delta_us
+            FROM events ORDER BY event_id
+        """,
+        "value_histogram_events": """
+            WITH b AS (SELECT CAST(least(floor(value / 25.0), 19.0)
+                                   AS BIGINT) AS bin FROM events),
+            bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 20))
+            SELECT bins.bin,
+                   CAST(coalesce(count(b.bin), 0) AS BIGINT) AS n
+            FROM bins LEFT JOIN b USING (bin)
+            GROUP BY bins.bin ORDER BY bins.bin
+        """,
+        "events_pivot": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "label_centroids_embeddings": """
             SELECT CAST(label AS BIGINT) AS label,
