@@ -1457,6 +1457,44 @@ def q_customer_order_totals(sf_dir: str) -> pa.Table:
     return out.sort_by("c_custkey")
 
 
+def q_sink_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """Sink round-trip as a gate row: documents stream through the
+    resumable content-addressed Parquet sink (one file per block, atomic
+    tmp+rename, manifest) into /tmp, are read BACK with ray.data, and
+    per-lang counts + char sums of the round-tripped copy are compared to
+    SQL over the ORIGINAL table — write-path fidelity, driver-checked. The
+    output dir is keyed by sf_dir and cleared per run (fresh write, not a
+    resume skip)."""
+    import hashlib
+    import shutil
+
+    from jsonschema_validator_ray.ops.sink import write_partitioned_parquet
+
+    out_dir = os.path.join(
+        "/tmp/graft_sink_roundtrip",
+        hashlib.sha1(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    write_partitioned_parquet(ds, out_dir)
+
+    import ray.data
+    back = ray.data.read_parquet(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"],
+                      "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "chars": batch["n_chars"].cast(pa.int64())})
+        return pa.TableGroupBy(t, "lang").aggregate(
+            [("one", "sum"), ("chars", "sum")])
+
+    parts = _collect(back.map_batches(partial, batch_format="pyarrow"))
+    g = pa.TableGroupBy(parts, "lang").aggregate(
+        [("one_sum", "sum"), ("chars_sum", "sum")]).sort_by("lang")
+    return pa.table({"lang": g["lang"],
+                     "n_docs": g["one_sum_sum"].cast(pa.int64()),
+                     "sum_chars": g["chars_sum_sum"].cast(pa.int64())})
+
+
 def q_event_deltas(sf_dir: str) -> pa.Table:
     """LAG window analog: per user, microseconds since the PREVIOUS event
     (ordered by ts, event_id; first event per user → null). One hash-bucket
@@ -1781,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_returns_customers": q_top_returns_customers,
         "label_centroids_embeddings": q_label_centroids_embeddings,
         "event_deltas": q_event_deltas,
+        "sink_roundtrip_documents": q_sink_roundtrip_documents,
         "value_histogram_events": q_value_histogram_events,
         "events_pivot": q_events_pivot,
         "orders_by_nation": q_orders_by_nation,
@@ -2322,6 +2361,11 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rk
                 FROM documents)
             WHERE rk <= 20 ORDER BY lang, doc_id
+        """,
+        "sink_roundtrip_documents": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "event_deltas": """
             SELECT event_id, user_id,
