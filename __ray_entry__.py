@@ -561,14 +561,17 @@ def q_revenue_forecast(sf_dir: str) -> pa.Table:
             & (pads.field("l_discount") >= 0.05)
             & (pads.field("l_discount") <= 0.07)
             & (pads.field("l_quantity") < 24))
-    from jsonschema_validator_ray.rayutil import strip_meta
-    # NOTE: schema= cannot combine with filter= here (the row filter
-    # references pruned columns and fragment sampling then fails) — strip
-    # metadata with a fused map instead
+    import pyarrow.parquet as _pq
+    # filter= needs its columns in the read schema, so keep the predicate
+    # columns in the (explicit, METADATA-FREE) schema and drop them in the
+    # partial — an unhashable pandas-footer schema would defeat Ray's block
+    # schema dedup on every split ('Failed to hash the schemas' spam)
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    cols = ["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"]
+    full = _pq.read_schema(path).remove_metadata()
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_extendedprice", "l_discount"], filter=expr).map_batches(
-        strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+        path, columns=cols,
+        schema=pa.schema([full.field(c) for c in cols]), filter=expr)
 
     def partial(batch: pa.Table) -> pa.Table:
         price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
@@ -1675,8 +1678,7 @@ def q_top_returns_customers(sf_dir: str) -> pa.Table:
     import ray.data
 
     from jsonschema_validator_ray.ops.join import reduce_side_hash_join
-    from jsonschema_validator_ray.rayutil import (ensure_worker_importable,
-                                                  strip_meta)
+    from jsonschema_validator_ray.rayutil import ensure_worker_importable
     ensure_worker_importable()
 
     def rev_partial(batch: pa.Table) -> pa.Table:
@@ -1691,12 +1693,16 @@ def q_top_returns_customers(sf_dir: str) -> pa.Table:
         return pa.table({"o_orderkey": g["o_orderkey"],
                          "rev_part": g["rev_sum"].cast(pa.int64())})
 
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    li_cols = ["l_orderkey", "l_extendedprice", "l_discount",
+               "l_returnflag"]   # filter column must be in the read schema
+    li_full = pq.read_schema(li_path).remove_metadata()
     li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        li_path, columns=li_cols,
+        schema=pa.schema([li_full.field(c) for c in li_cols]),
         filter=(pads.field("l_returnflag") == "R")) \
-        .map_batches(lambda b: rev_partial(strip_meta(b)),
-                     batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(rev_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
     def combine_right(rt: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(rt, "o_orderkey").aggregate([("rev_part", "sum")])

@@ -106,9 +106,17 @@ def term_search(index_ds, terms: list[str], mode: str = "and") -> np.ndarray:
     import ray
 
     assert mode in ("and", "or")
-    want = set(terms)
-    hits = index_ds.filter(
-        lambda row: row["term"] in want)
+    want = pa.array(sorted(set(terms)), pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "postings": pa.array([], pa.binary())})
+        sel = batch.filter(pc.is_in(batch["term"], value_set=want))
+        return sel.select(["term", "postings"])
+
+    hits = index_ds.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
     found: dict[str, np.ndarray] = {}
     for t in ray.get(hits.materialize().to_arrow_refs()):
         if t.num_rows == 0 or "term" not in t.column_names:
