@@ -1788,6 +1788,90 @@ def q_term_search_documents(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), pa.int64())})
 
 
+def q_chunk_documents(sf_dir: str) -> pa.Table:
+    """Fixed-width overlapping character chunking (embedding/context-window
+    prep): 200-char windows, 40-char overlap (stride 160). Row-local
+    flat-map, no shuffle; oracled by a lateral generate-series substring."""
+    from jsonschema_validator_ray.ops.text import chunk_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(chunk_text(ds, chunk_chars=200, overlap=40))
+    return out.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+
+
+def q_redact_events_props(sf_dir: str) -> pa.Table:
+    """Regex redaction (PII-scrub shape) over the error events' JSON props:
+    digit runs -> <NUM> plus a per-row match count. Scan-pushdown filter on
+    event_type; Arrow RE2 kernels == DuckDB regexp semantics."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from jsonschema_validator_ray.ops.text import redact_pattern
+    from jsonschema_validator_ray.rayutil import ensure_worker_importable
+    ensure_worker_importable()
+
+    path = os.path.join(sf_dir, "events.parquet")
+    cols = ["event_id", "props", "event_type"]
+    full = _pq.read_schema(path).remove_metadata()
+    ds = ray.data.read_parquet(
+        path, columns=cols,
+        schema=pa.schema([full.field(c) for c in cols]),
+        filter=(pads.field("event_type") == "error"))
+    out = _collect(redact_pattern(ds, "props"))
+    return pa.table({
+        "event_id": out["event_id"],
+        "redacted": out["redacted"],
+        "n_redactions": out["n_redactions"],
+    }).sort_by("event_id")
+
+
+def q_cluster_assign_embeddings(sf_dir: str) -> pa.Table:
+    """Distributed nearest-centroid assignment + per-cluster aggregate over
+    the embeddings (seed centroids = the 8 smallest vec_ids, found with a
+    streaming min-k pass — SQL-reconstructible, so the whole distributed
+    assignment path is exactly oracle-checked)."""
+    from jsonschema_validator_ray.ops.cluster import (assign_clusters,
+                                                      seed_centroids)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds = seed_centroids(ds, "embedding", "vec_id", 8)
+    out = assign_clusters(_read(sf_dir, "embeddings",
+                                ["vec_id", "embedding"]), seeds)
+    return pa.table({
+        "cluster_id": out["cluster_id"],
+        "n_members": out["n_members"],
+        "min_vec_id": out["min_id"],
+    })
+
+
+def q_kmeans_clusters_embeddings(sf_dir: str) -> pa.Table:
+    """SELF-ORACLE (hll/ivf precedent): full-corpus distributed Lloyd's
+    k-means (k=8, 4 iterations — one partial+final map_batches pass per
+    iteration, no shuffle). ``n_assigned`` is genuinely SQL-derivable
+    (every embedding gets a cluster); ``objective_monotone`` /
+    ``improved`` are the Ray-side verification of Lloyd's guaranteed
+    monotone objective (spherical k-means: mean max-cosine never
+    decreases; the oracle states TRUE)."""
+    from jsonschema_validator_ray.ops.cluster import (assign_clusters,
+                                                      kmeans_fit)
+
+    cents, objs = kmeans_fit(
+        lambda: _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, iters=4)
+    out = assign_clusters(_read(sf_dir, "embeddings",
+                                ["vec_id", "embedding"]), cents)
+    n_assigned = int(pc.sum(out["n_members"]).as_py())
+    monotone = all(objs[i + 1] >= objs[i] - 1e-12
+                   for i in range(len(objs) - 1))
+    improved = objs[-1] >= objs[0] - 1e-12
+    return pa.table({
+        "n_assigned": pa.array([n_assigned], pa.int64()),
+        "objective_monotone": pa.array([monotone], pa.bool_()),
+        "improved": pa.array([improved], pa.bool_()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcript_validate": q_transcript_validate,
@@ -1831,6 +1915,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q_orders_by_nation,
         "quality_filter_by_lang": q_quality_filter_by_lang,
         "term_search_documents": q_term_search_documents,
+        "chunk_documents": q_chunk_documents,
+        "redact_events_props": q_redact_events_props,
+        "cluster_assign_embeddings": q_cluster_assign_embeddings,
+        "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
         "repetition_documents": q_repetition_documents,
         "tfidf_documents": q_tfidf_documents,
         "customer_order_totals": q_customer_order_totals,
@@ -2457,6 +2545,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(string_split(text, ' '), 'hash')
               AND list_contains(string_split(text, ' '), 'window')
             ORDER BY doc_id
+        """,
+        "chunk_documents": """
+            SELECT d.doc_id, k AS chunk_idx,
+                   substring(d.text, k*160 + 1, 200) AS chunk_text,
+                   CAST(length(substring(d.text, k*160 + 1, 200)) AS BIGINT)
+                       AS n_chunk_chars
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, CAST(ceil(
+                (SELECT max(n_chars) FROM documents)::DOUBLE / 160)
+                AS BIGINT))) AS k) ks
+            WHERE k*160 < d.n_chars
+            ORDER BY d.doc_id, k
+        """,
+        "redact_events_props": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+                       AS n_redactions
+            FROM events WHERE event_type = 'error'
+            ORDER BY event_id
+        """,
+        "cluster_assign_embeddings": """
+            WITH seeds AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+                FROM embeddings WHERE vec_id < 8),
+            scored AS (
+                SELECT e.vec_id, s.cid,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), s.cvec) AS cos
+                FROM embeddings e CROSS JOIN seeds s),
+            best AS (
+                SELECT vec_id,
+                       (array_agg(cid ORDER BY cos DESC, cid))[1]
+                           AS cluster_id
+                FROM scored GROUP BY vec_id)
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(min(vec_id) AS BIGINT) AS min_vec_id
+            FROM best GROUP BY cluster_id ORDER BY cluster_id
+        """,
+        # SELF-ORACLE (documented in q_kmeans_clusters_embeddings):
+        # n_assigned is genuinely SQL-derivable (Lloyd's assigns every
+        # embedding exactly one cluster); the two booleans are the Ray-side
+        # verification of the algorithm's guaranteed monotone objective
+        # (oracle states TRUE).
+        "kmeans_clusters_embeddings": """
+            SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+                   TRUE AS objective_monotone, TRUE AS improved
+            FROM embeddings
         """,
         "repetition_documents": """
             SELECT doc_id,

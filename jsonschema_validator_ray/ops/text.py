@@ -309,3 +309,81 @@ def tfidf_top_terms(ds_factory, column: str = "text",
 
     return ds_factory().map_batches(score_topk, batch_format="pyarrow",
                                     zero_copy_batch=True)
+
+
+def chunk_text(ds, column: str = "text", id_column: str = "doc_id",
+               chunk_chars: int = 200, overlap: int = 40):
+    """Split documents into fixed-width overlapping character windows — the
+    standard prep step for embedding / context-window-bounded training data.
+
+    Chunk ``k`` of a document covers codepoints ``[k*stride, k*stride +
+    chunk_chars)`` with ``stride = chunk_chars - overlap``; a chunk exists
+    iff ``k*stride < len(text)``, so every codepoint lands in >=1 chunk and
+    consecutive chunks share ``overlap`` codepoints. Matches SQL
+    ``substring(text, k*stride + 1, chunk_chars)`` exactly (both
+    ``pc.utf8_slice_codeunits`` and DuckDB ``substring`` count codepoints).
+
+    Fully vectorized and streaming: one `map_batches` flat-map, no shuffle;
+    per batch it loops over chunk ORDINALS (bounded by max_doc_len/stride,
+    not rows), each ordinal one Arrow filter + slice. At 100 TB this is a
+    pure row-local stage — output scales by ~len/stride, so block sizes
+    stay bounded by the input block size times that factor.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch[column]).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        outs = []
+        k = 0
+        while True:
+            mask = lens > k * stride
+            if not mask.any():
+                break
+            sel = batch.filter(pa.array(mask))
+            piece = pc.utf8_slice_codeunits(
+                sel[column], start=k * stride, stop=k * stride + chunk_chars)
+            outs.append(pa.table({
+                id_column: sel[id_column],
+                "chunk_idx": pa.array(
+                    np.full(sel.num_rows, k, np.int64)),
+                "chunk_text": piece,
+                "n_chunk_chars": pc.utf8_length(piece).cast(pa.int64()),
+            }))
+            k += 1
+        if not outs:
+            return pa.table({
+                id_column: pa.array([], batch.schema.field(id_column).type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_chunk_chars": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_pattern(ds, column: str, pattern: str = r"[0-9]+",
+                   replacement: str = "<NUM>", out: str = "redacted",
+                   hits: str = "n_redactions"):
+    """Regex redaction (PII-scrub shape): replace every match of ``pattern``
+    in ``column`` with ``replacement`` and count the matches per row.
+
+    Both kernels are Arrow RE2 (`replace_substring_regex` /
+    `count_substring_regex`) — the same regex engine family as DuckDB's
+    `regexp_replace` / `regexp_extract_all`, so oracle SQL matches exactly
+    for RE2-compatible patterns. Stateless row-local `map_batches`: at
+    100 TB this streams with zero shuffle and the pattern compiles once
+    per kernel invocation inside Arrow (no per-row Python).
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        return batch.append_column(
+            out, pc.replace_substring_regex(
+                col, pattern=pattern, replacement=replacement)) \
+            .append_column(hits, pc.count_substring_regex(
+                col, pattern=pattern).cast(pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

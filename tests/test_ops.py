@@ -1130,3 +1130,104 @@ def test_label_centroids_exact(ray_session):
     got = list(zip(g["label"].to_pylist(), g["dim"].to_pylist(),
                    g["sum_e24_sum"].to_pylist(), g["n_sum"].to_pylist()))
     assert got == [tuple(r) for r in rows]
+
+
+def test_chunk_text_windows(ray_session):
+    """Chunking: every codepoint covered, consecutive chunks overlap by
+    `overlap`, empty/short/non-ASCII texts handled, matches the SQL
+    substring(text, k*stride+1, chunk) formula."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.cluster import _tiny_collect
+    from jsonschema_validator_ray.ops.text import chunk_text
+
+    texts = ["a" * 553, "xy", "", "héllo wörld" * 30, "b" * 200, "c" * 201]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = _tiny_collect(chunk_text(ray.data.from_arrow(t), chunk_chars=200,
+                                   overlap=40)).sort_by(
+        [("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    got = out.to_pydict()
+    stride = 160
+    expect = []
+    for i, txt in enumerate(texts):
+        k = 0
+        while k * stride < len(txt):
+            piece = txt[k * stride: k * stride + 200]
+            expect.append((i, k, piece, len(piece)))
+            k += 1
+    assert list(zip(got["doc_id"], got["chunk_idx"], got["chunk_text"],
+                    got["n_chunk_chars"])) == expect
+    # reconstruction: concatenating chunk[k][overlap:] after chunk[0]
+    # reproduces each doc exactly (proves full coverage + exact overlap)
+    for i, txt in enumerate(texts):
+        pieces = [p for d, _, p, _ in expect if d == i]
+        if pieces:
+            assert pieces[0] + "".join(p[40:] for p in pieces[1:]) == txt
+    with pytest.raises(ValueError):
+        chunk_text(ray.data.from_arrow(t), chunk_chars=100, overlap=100)
+
+
+def test_redact_pattern(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.cluster import _tiny_collect
+    from jsonschema_validator_ray.ops.text import redact_pattern
+
+    t = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                  "s": pa.array(['{"k": 69, "j": 7}', "no digits", ""])})
+    out = _tiny_collect(redact_pattern(
+        ray.data.from_arrow(t), "s")).sort_by("id")
+    assert out["redacted"].to_pylist() == [
+        '{"k": <NUM>, "j": <NUM>}', "no digits", ""]
+    assert out["n_redactions"].to_pylist() == [2, 0, 0]
+
+
+def test_kmeans_distributed_matches_local(ray_session):
+    """Distributed Lloyd's (per-block partial sums) == single-process numpy
+    Lloyd's with the same seeds: equal assignments, centroids allclose,
+    objective monotone non-decreasing."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.cluster import (assign_clusters,
+                                                      kmeans_fit,
+                                                      seed_centroids)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(300, 16)).astype(np.float32)
+    # plant 3 tight clusters so the objective has room to improve
+    x[:100] += 4.0
+    x[100:200] -= 4.0
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in x],
+                                        pa.list_(pa.float32()))})
+    mk = lambda: ray.data.from_arrow(t).repartition(6)  # noqa: E731
+    k, iters = 4, 5
+    cents, objs = kmeans_fit(mk, k=k, iters=iters)
+    assert len(objs) == iters
+    assert all(objs[i + 1] >= objs[i] - 1e-9 for i in range(iters - 1))
+
+    # local reference Lloyd's, same seeds
+    xn = x.astype(np.float64)
+    xn /= np.maximum(np.linalg.norm(xn, axis=1, keepdims=True), 1e-12)
+    c = seed_centroids(mk(), "embedding", "vec_id", k)
+    assert np.allclose(c, xn[:k], atol=1e-12)
+    for _ in range(iters):
+        a = np.argmax(xn @ c.T, axis=1)
+        new = c.copy()
+        for cid in range(k):
+            mem = xn[a == cid]
+            if len(mem):
+                v = mem.mean(axis=0)
+                new[cid] = v / max(np.linalg.norm(v), 1e-12)
+        c = new
+    assert np.allclose(cents, c, atol=1e-8)
+
+    out = assign_clusters(mk(), cents)
+    local_assign = np.argmax(xn @ c.T, axis=1)
+    counts = np.bincount(local_assign, minlength=k)
+    got = dict(zip(out["cluster_id"].to_pylist(),
+                   out["n_members"].to_pylist()))
+    for cid in range(k):
+        assert got.get(cid, 0) == counts[cid]
+    assert sum(out["n_members"].to_pylist()) == 300
