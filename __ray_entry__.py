@@ -1845,6 +1845,85 @@ def q_cluster_assign_embeddings(sf_dir: str) -> pa.Table:
     })
 
 
+def q_heavy_hitters_events(sf_dir: str) -> pa.Table:
+    """Mergeable heavy-hitters top-k over event_type (Misra-Gries family;
+    bounded partial size per block). With capacity >= the enum domain the
+    sketch is exact and err_bound = 0 — the SQL oracle checks the exact
+    regime; the capacity<distinct bound is pytest-covered."""
+    from jsonschema_validator_ray.ops.aggregates import heavy_hitters
+
+    return heavy_hitters(_read(sf_dir, "events", ["event_type"]),
+                         "event_type", k=5, capacity=64)
+
+
+def q_outlier_events_p99(sf_dir: str) -> pa.Table:
+    """Per-group quantile outlier filter: events whose value exceeds their
+    event_type's exact p99. One grouped exact-quantile pass broadcast into
+    a streaming vectorized filter (no second shuffle)."""
+    from jsonschema_validator_ray.ops.aggregates import \
+        quantile_threshold_filter
+
+    out = _collect(quantile_threshold_filter(
+        lambda: _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", q=0.99))
+    return pa.table({
+        "event_id": out["event_id"],
+        "event_type": out["event_type"],
+        "value": out["value"],
+    }).sort_by("event_id")
+
+
+def q_funnel_events(sf_dir: str) -> pa.Table:
+    """Ordered funnel (view -> click -> purchase) with earliest-completion
+    semantics: one hash-bucket shuffle co-locating whole users, vectorized
+    per-step minimum.reduceat in-bucket. Oracled by the classic chained
+    min-after-previous-step funnel CTE."""
+    from jsonschema_validator_ray.ops.aggregates import funnel_steps
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = _collect(funnel_steps(ds, "user_id", "ts", "event_type",
+                                ["view", "click", "purchase"]))
+    return out.sort_by("user_id")
+
+
+def q_grouped_distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """EXACT per-group distinct count with pre-shuffle pair dedup (the
+    combiner bounds shuffle volume by distinct pairs, not rows)."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_exact_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = _collect(grouped_exact_distinct(ds, "event_type", "user_id"))
+    return out.sort_by("event_type")
+
+
+def q_approx_distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """SELF-ORACLE (hll_distinct_events precedent): per-group mergeable
+    HyperLogLog distinct (one 4 KiB register block per group per batch,
+    register-max fold — values never shuffle). ``n_exact`` comes from the
+    engine's own exact pair-dedup path and is genuinely SQL-derivable;
+    ``within_bound`` verifies the HLL estimate is within ±3% of exact per
+    group (p=12, typical error 1.6%; oracle states TRUE)."""
+    from jsonschema_validator_ray.ops.aggregates import (
+        grouped_approx_distinct, grouped_exact_distinct)
+
+    approx = grouped_approx_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
+    exact = _collect(grouped_exact_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")).sort_by("event_type")
+    amap = dict(zip(approx["event_type"].to_pylist(),
+                    approx["approx_distinct"].to_pylist()))
+    ok = [abs(amap[k] - n) / max(n, 1) <= 0.03
+          for k, n in zip(exact["event_type"].to_pylist(),
+                          exact["n_distinct"].to_pylist())]
+    return pa.table({
+        "event_type": exact["event_type"],
+        "n_exact": exact["n_distinct"],
+        "within_bound": pa.array(ok, pa.bool_()),
+    })
+
+
 def q_kmeans_clusters_embeddings(sf_dir: str) -> pa.Table:
     """SELF-ORACLE (hll/ivf precedent): full-corpus distributed Lloyd's
     k-means (k=8, 4 iterations — one partial+final map_batches pass per
@@ -1919,6 +1998,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_events_props": q_redact_events_props,
         "cluster_assign_embeddings": q_cluster_assign_embeddings,
         "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
+        "heavy_hitters_events": q_heavy_hitters_events,
+        "outlier_events_p99": q_outlier_events_p99,
+        "funnel_events": q_funnel_events,
+        "grouped_distinct_users_by_type": q_grouped_distinct_users_by_type,
+        "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "repetition_documents": q_repetition_documents,
         "tfidf_documents": q_tfidf_documents,
         "customer_order_totals": q_customer_order_totals,
@@ -2583,6 +2667,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
                    CAST(min(vec_id) AS BIGINT) AS min_vec_id
             FROM best GROUP BY cluster_id ORDER BY cluster_id
+        """,
+        "heavy_hitters_events": """
+            SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count,
+                   CAST(0 AS BIGINT) AS err_bound
+            FROM events GROUP BY event_type
+            ORDER BY est_count DESC, item LIMIT 5
+        """,
+        "grouped_distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # SELF-ORACLE (documented in q_approx_distinct_users_by_type):
+        # n_exact is genuinely SQL-derived; within_bound is the Ray-side
+        # per-group +/-3% HLL accuracy verification (oracle states TRUE).
+        "approx_distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "funnel_events": """
+            WITH s0 AS (SELECT user_id, min(ts) AS t_view FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+                   JOIN s0 ON e.user_id = s0.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s0.t_view
+                   GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s1.t_click
+                   GROUP BY e.user_id)
+            SELECT s0.user_id, s0.t_view, s1.t_click, s2.t_purchase
+            FROM s0 JOIN s1 ON s0.user_id = s1.user_id
+                    JOIN s2 ON s1.user_id = s2.user_id
+            ORDER BY s0.user_id
+        """,
+        "outlier_events_p99": """
+            WITH th AS (
+                SELECT event_type, quantile_cont(value, 0.99) AS p99
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN th USING (event_type)
+            WHERE e.value > th.p99
+            ORDER BY e.event_id
         """,
         # SELF-ORACLE (documented in q_kmeans_clusters_embeddings):
         # n_assigned is genuinely SQL-derivable (Lloyd's assigns every

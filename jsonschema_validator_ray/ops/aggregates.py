@@ -317,3 +317,238 @@ def sessionize_counts(ds, user_col: str, ts_col: str, order_col: str,
     parts = pa.concat_tables(_ray.get(out.to_arrow_refs()),
                              promote_options="default")
     return parts.sort_by(user_col)
+
+
+def heavy_hitters(ds, column: str, k: int = 10,
+                  capacity: int = 256) -> pa.Table:
+    """Mergeable heavy-hitters top-k (Misra-Gries / Space-Saving family,
+    public algorithm): per batch ONE exact vectorized ``value_counts``; if
+    a batch holds more than ``capacity`` distinct values, only the top
+    ``capacity`` survive and the largest dropped count is carried as that
+    partial's error term. The driver sums the tiny partials.
+
+    Returned estimates are LOWER bounds with a global error certificate:
+    ``est_count <= true_count <= est_count + err_bound`` (an item can only
+    lose mass where it was dropped, and each partial drops at most its
+    ``dmax`` per item). Any item with true count > N/capacity per batch is
+    guaranteed to survive — the standard MG frequent-items guarantee. With
+    ``capacity >= distinct(column)`` (enum-domain keys, the oracle-gate
+    case) nothing is dropped and counts are exact with err_bound = 0.
+
+    100-TB shape: partial size is bounded by ``capacity`` rows per block
+    regardless of the key cardinality — the bounded-memory alternative to
+    an exact groupby when the domain is unbounded (cf. hot domains / URLs
+    in web-scale corpora).
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.select([column]).group_by(column).aggregate(
+            [([], "count_all")]).rename_columns([column, "cnt"])
+        dmax = 0
+        if vc.num_rows > capacity:
+            vc = vc.sort_by([("cnt", "descending")])
+            dmax = int(vc["cnt"][capacity].as_py())
+            vc = vc.slice(0, capacity)
+        return pa.table({
+            "item": vc[column].cast(pa.string()),
+            "cnt": vc["cnt"].cast(pa.int64()),
+            "dmax": pa.array(np.full(vc.num_rows, dmax, np.int64)),
+        })
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    merged = pa.concat_tables(parts, promote_options="default")
+    g = pa.TableGroupBy(merged, "item").aggregate([("cnt", "sum")])
+    # conservative certificate: one dmax per partial BLOCK (each block can
+    # hide at most dmax occurrences of any absent item)
+    err = sum(int(t["dmax"][0].as_py()) for t in parts if t.num_rows)
+    top = g.sort_by([("cnt_sum", "descending"), ("item", "ascending")]) \
+        .slice(0, k)
+    return pa.table({
+        "item": top["item"],
+        "est_count": top["cnt_sum"].cast(pa.int64()),
+        "err_bound": pa.array(np.full(top.num_rows, err, np.int64)),
+    })
+
+
+def quantile_threshold_filter(ds_factory, key: str, value: str,
+                              q: float = 0.99, n_buckets: int = 0):
+    """Per-group quantile outlier filter: rows where ``value`` exceeds the
+    group's exact q-quantile. Two passes by design — the threshold is a
+    global property of each group: pass 1 is `grouped_quantiles` (small
+    per-key result), pass 2 broadcasts the key->threshold table into a
+    streaming vectorized filter (``index_in`` + ``take``, no shuffle).
+
+    Same small-side-broadcast shape as the tool-dictionary ref check
+    (SURVEY §2.2 joins row): at 100 TB the threshold table is key-domain
+    sized and ships once via closure capture, never per batch.
+    """
+    import ray
+
+    qname = f"q{int(round(q * 100)):02d}"
+    th = pa.concat_tables(
+        [t for t in ray.get(
+            grouped_quantiles(ds_factory(), key, value, [q],
+                              n_buckets=n_buckets).materialize()
+            .to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    keys = th[key].combine_chunks()
+    thresholds = th[qname].to_numpy(zero_copy_only=False)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch[key], value_set=keys)
+        t = thresholds[pos.to_numpy(zero_copy_only=False)]
+        mask = batch[value].to_numpy(zero_copy_only=False) > t
+        return batch.filter(pa.array(mask))
+
+    return ds_factory().map_batches(keep, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+def funnel_steps(ds, user_col: str, ts_col: str, type_col: str,
+                 steps: Sequence[str], n_buckets: int = 0):
+    """Ordered funnel / sequence matching with earliest-completion
+    semantics: per user, find ``t_1 = min ts of step 1``, then ``t_k =
+    min ts of step k strictly after t_{k-1}``; emit users completing every
+    step with their step timestamps. Equivalent SQL: a chain of
+    min-after-previous-step GROUP BYs (the classic funnel CTE).
+
+    Execution (100-TB shape): ONE hash-bucket groupby co-locates whole
+    users (same wide-stage shape as sessionize/uniqueness), then each
+    bucket resolves fully vectorized — one lexsort by (user, ts), one
+    ``np.minimum.reduceat`` per funnel step over sentinel-masked
+    timestamps; INF propagates through later steps so incomplete users
+    never need a second pass. Per-bucket work is O(rows log rows) with a
+    loop over STEPS (constant), never rows. Keys and timestamps must be
+    non-null and integer-castable (int64 user ids, epoch-us timestamps).
+    """
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(user_col, n_buckets)
+    step_names = list(steps)
+    out_cols = [f"t_{s}" for s in step_names]
+    INF = np.iinfo(np.int64).max
+
+    def match_bucket(group: pa.Table) -> pa.Table:
+        empty = {user_col: pa.array([], pa.int64())} | {
+            c: pa.array([], pa.timestamp("us")) for c in out_cols}
+        if group.num_rows == 0:
+            return pa.table(empty)
+        users = group[user_col].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tcodes = pc.fill_null(pc.index_in(
+            group[type_col], value_set=pa.array(step_names)), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, users))
+        users_s, ts_s, tc_s = users[order], ts[order], tcodes[order]
+        seg = np.flatnonzero(np.concatenate(
+            [[True], users_s[1:] != users_s[:-1]]))
+        seg_of_row = np.repeat(np.arange(seg.size),
+                               np.diff(np.append(seg, users_s.size)))
+        prev = np.full(seg.size, np.iinfo(np.int64).min, np.int64)
+        step_ts = []
+        for k in range(len(step_names)):
+            cand = (tc_s == k) & (ts_s > prev[seg_of_row])
+            tk = np.minimum.reduceat(np.where(cand, ts_s, INF), seg)
+            step_ts.append(tk)
+            prev = tk          # INF propagates: incomplete users stay INF
+        ok = step_ts[-1] != INF
+        cols = {user_col: pa.array(users_s[seg][ok], pa.int64())}
+        for c, tk in zip(out_cols, step_ts):
+            cols[c] = pa.array(tk[ok], pa.int64()).cast(pa.timestamp("us"))
+        return pa.table(cols)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(match_bucket, batch_format="pyarrow")
+
+
+def grouped_approx_distinct(ds, key: str, value: str,
+                            p: int = 12) -> pa.Table:
+    """Per-group approximate distinct count: one mergeable HyperLogLog per
+    group. Each batch emits one ``2**p``-byte register block per group
+    PRESENT in the batch (binary rows); the driver folds blocks with
+    register-wise max per group — values never shuffle, partial volume is
+    ``groups_present × 2**p`` bytes per block regardless of row count.
+
+    This is the grouped form of the global HLL constraint sketch
+    (`state/hll.py`, same registers/merge): the 100-TB path for
+    per-key cardinality over unbounded value domains, where the exact
+    pair-dedup groupby (`grouped_exact_distinct`) would shuffle every
+    distinct pair. Intended for enum-sized key domains (the per-batch
+    group loop is over groups present, never rows).
+    """
+    import ray
+
+    from ..state.hll import HyperLogLog, hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key].combine_chunks() \
+            if isinstance(batch[key], pa.ChunkedArray) else batch[key]
+        uk = pc.unique(keys.drop_null())
+        hashes = hash64(batch[value])
+        codes = pc.index_in(keys, value_set=uk) \
+            .to_numpy(zero_copy_only=False)
+        regs = []
+        for i in range(len(uk)):
+            h = HyperLogLog(p)
+            h.update_hashes(hashes[codes == i])
+            regs.append(h.to_bytes())
+        return pa.table({key: uk, "regs": pa.array(regs, pa.binary())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    merged = pa.concat_tables(parts, promote_options="default")
+    folded: dict = {}
+    for kv, rb in zip(merged[key].to_pylist(), merged["regs"].to_pylist()):
+        h = HyperLogLog.from_bytes(rb)
+        folded[kv] = h if kv not in folded else folded[kv].merge(h)
+    keys_sorted = sorted(folded)
+    return pa.table({
+        key: pa.array(keys_sorted),
+        "approx_distinct": pa.array(
+            [round(folded[kv].cardinality()) for kv in keys_sorted],
+            pa.int64()),
+    })
+
+
+def grouped_exact_distinct(ds, key: str, value: str,
+                           n_buckets: int = 0):
+    """EXACT per-group distinct count with pre-shuffle dedup: each batch
+    first reduces to its distinct ``(key, value)`` pairs (the combiner),
+    then ONE hash-bucket groupby on ``key`` co-locates each group's
+    surviving pairs and counts distinct values vectorized (sort + adjacent
+    compare). Shuffle volume is bounded by the distinct-pair count, not
+    the row count."""
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
+        from ..stages.groupcheck import np_column_hash
+
+        t = batch.select([key, value]).group_by([key, value]) \
+            .aggregate([]).drop_null()
+        h = (np_column_hash(t[key]) % np.uint64(n_buckets)).astype(np.int64)
+        return strip_meta(t).append_column("_bucket", pa.array(h, pa.int64()))
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        empty = {key: pa.array([], pa.string()),
+                 "n_distinct": pa.array([], pa.int64())}
+        if group.num_rows == 0:
+            return pa.table(empty)
+        t = group.select([key, value]).group_by([key, value]).aggregate([])
+        g = pa.TableGroupBy(t, key).aggregate([([], "count_all")])
+        return pa.table({key: g[key].cast(pa.string()),
+                         "n_distinct": g["count_all"].cast(pa.int64())})
+
+    return ds.map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(count_bucket, batch_format="pyarrow")

@@ -1231,3 +1231,140 @@ def test_kmeans_distributed_matches_local(ray_session):
     for cid in range(k):
         assert got.get(cid, 0) == counts[cid]
     assert sum(out["n_members"].to_pylist()) == 300
+
+
+def test_heavy_hitters_error_bound_regime(ray_session):
+    """capacity < distinct: the planted heavy item survives, its estimate is
+    a lower bound within the err_bound certificate, and the exact regime
+    (capacity >= distinct) gives exact counts with err 0."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # 5000 rows: 'hot' appears 1500x, 400 distinct cold items share the rest
+    vals = ["hot"] * 1500 + [f"c{int(v)}" for v in
+                             rng.integers(0, 400, 3500)]
+    rng.shuffle(vals)
+    t = pa.table({"x": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    out = heavy_hitters(ds, "x", k=3, capacity=16)
+    items = out["item"].to_pylist()
+    assert items[0] == "hot"
+    est = out["est_count"].to_pylist()[0]
+    err = out["err_bound"].to_pylist()[0]
+    assert est <= 1500 <= est + err
+
+    exact = heavy_hitters(ds, "x", k=3, capacity=1024)
+    assert exact["item"].to_pylist()[0] == "hot"
+    assert exact["est_count"].to_pylist()[0] == 1500
+    assert exact["err_bound"].to_pylist() == [0, 0, 0]
+
+
+def test_quantile_threshold_filter_matches_numpy(ray_session):
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import \
+        quantile_threshold_filter
+
+    rng = np.random.default_rng(4)
+    key = rng.integers(0, 3, 2000)
+    val = rng.normal(size=2000)
+    t = pa.table({"k": pa.array([f"g{i}" for i in key]),
+                  "v": pa.array(val, pa.float64()),
+                  "rid": pa.array(range(2000), pa.int64())})
+    mk = lambda: ray.data.from_arrow(t).repartition(5)  # noqa: E731
+    out = pa.concat_tables(
+        [x for x in ray.get(quantile_threshold_filter(
+            mk, "k", "v", q=0.9).materialize().to_arrow_refs())
+         if x.num_rows], promote_options="default").sort_by("rid")
+    expect = []
+    for g in range(3):
+        m = key == g
+        th = np.quantile(val[m], 0.9)   # linear interp == quantile_cont
+        expect.extend(np.flatnonzero(m & (val > th)).tolist())
+    assert out["rid"].to_pylist() == sorted(expect)
+
+
+def test_funnel_steps_matches_bruteforce(ray_session):
+    """Funnel earliest-completion semantics vs a per-user Python brute
+    force: strict-after ordering, incomplete users dropped, ts ties on a
+    step never count for the next step."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import funnel_steps
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    users = rng.integers(0, 80, n)
+    ts = rng.integers(0, 10_000, n).astype("datetime64[us]")
+    types = rng.choice(["view", "click", "purchase", "other"], n,
+                       p=[0.4, 0.3, 0.1, 0.2])
+    t = pa.table({"user_id": pa.array(users, pa.int64()),
+                  "ts": pa.array(ts),
+                  "event_type": pa.array(types)})
+    out = pa.concat_tables(
+        [x for x in ray.get(funnel_steps(
+            ray.data.from_arrow(t).repartition(7), "user_id", "ts",
+            "event_type", ["view", "click", "purchase"]).materialize()
+            .to_arrow_refs()) if x.num_rows],
+        promote_options="default").sort_by("user_id")
+
+    expect = {}
+    for u in np.unique(users):
+        rows = sorted((int(ts[i].astype("int64")), types[i])
+                      for i in np.flatnonzero(users == u))
+        cur, found = -1 << 62, []
+        for step in ["view", "click", "purchase"]:
+            nxt = min((t0 for t0, ty in rows if ty == step and t0 > cur),
+                      default=None)
+            if nxt is None:
+                found = None
+                break
+            found.append(nxt)
+            cur = nxt
+        if found:
+            expect[int(u)] = found
+    got = {u: [a, b, c] for u, a, b, c in zip(
+        out["user_id"].to_pylist(),
+        out["t_view"].cast(pa.int64()).to_pylist(),
+        out["t_click"].cast(pa.int64()).to_pylist(),
+        out["t_purchase"].cast(pa.int64()).to_pylist())}
+    assert got == expect
+
+
+def test_grouped_distinct_exact_and_hll(ray_session):
+    """grouped_exact_distinct == per-group truth; grouped_approx_distinct
+    (per-group mergeable HLL register fold) within 3% of truth."""
+    import collections
+
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import (
+        grouped_approx_distinct, grouped_exact_distinct)
+
+    rng = np.random.default_rng(1)
+    n = 50_000
+    t = pa.table({"k": pa.array([f"g{i}" for i in rng.integers(0, 4, n)]),
+                  "v": pa.array(rng.integers(0, 5000, n))})
+    ds = ray.data.from_arrow(t).repartition(6)
+    truth = collections.defaultdict(set)
+    for kk, vv in zip(t["k"].to_pylist(), t["v"].to_pylist()):
+        truth[kk].add(vv)
+
+    exact = pa.concat_tables(
+        [x for x in ray.get(grouped_exact_distinct(ds, "k", "v")
+                            .materialize().to_arrow_refs()) if x.num_rows],
+        promote_options="default").sort_by("k")
+    assert dict(zip(exact["k"].to_pylist(),
+                    exact["n_distinct"].to_pylist())) == \
+        {kk: len(vv) for kk, vv in truth.items()}
+
+    approx = grouped_approx_distinct(ds, "k", "v")
+    for kk, a in zip(approx["k"].to_pylist(),
+                     approx["approx_distinct"].to_pylist()):
+        assert abs(a - len(truth[kk])) / len(truth[kk]) <= 0.03
