@@ -1924,6 +1924,91 @@ def q_approx_distinct_users_by_type(sf_dir: str) -> pa.Table:
     })
 
 
+def q_rolling_window_events(sf_dir: str) -> pa.Table:
+    """ROWS-frame rolling window (5-row sum+count per user ordered by
+    ts, event_id) — the remaining SQL window-frame kind next to RANGE
+    sliding / cumulative / LAG. Values are fixed-point cents so the
+    cumsum-difference in-bucket sums are bit-exact vs SQL's windowed sum."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_rolling_window
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64())
+        return batch.drop_columns(["value"]).append_column("cents", cents)
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(grouped_rolling_window(
+        ds, "user_id", "ts", "cents", window_rows=5, tiebreak="event_id"))
+    return pa.table({
+        "event_id": out["event_id"],
+        "win_sum_cents": out["win_sum"],
+        "win_n": out["win_n"],
+    }).sort_by("event_id")
+
+
+def q_bloom_semi_join_events(sf_dir: str) -> pa.Table:
+    """Exact semi-join accelerated by a broadcast Bloom prefilter: events
+    of users who ever purchased. Bloom-failing rows resolve without the
+    exact set; survivors are exactly verified, so the result is precisely
+    SQL EXISTS semantics."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import value_counts
+    from jsonschema_validator_ray.ops.join import bloom_semi_join
+    from jsonschema_validator_ray.rayutil import ensure_worker_importable
+    ensure_worker_importable()
+
+    path = os.path.join(sf_dir, "events.parquet")
+    full = _pq.read_schema(path).remove_metadata()
+    cols = ["user_id", "event_type"]
+    schema = pa.schema([full.field(c) for c in cols])
+    right = ray.data.read_parquet(
+        path, columns=cols, schema=schema,
+        filter=(pads.field("event_type") == "purchase"))
+    left = _read(sf_dir, "events", cols)
+    kept = bloom_semi_join(left, right, "user_id", "user_id")
+    out = value_counts(kept, "event_type")
+    return pa.table({"event_type": out["event_type"],
+                     "n_events": out["n"]})
+
+
+def q_hive_partition_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """Key-partitioned resumable sink gate: write documents hive-partitioned
+    by lang (one lang=<v>/ dir, content-addressed parts inside), then read
+    each partition back PRUNED (only that directory) and report its row
+    count — oracled by the plain per-lang counts."""
+    import shutil
+
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sink import write_hive_partitioned
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_sink/hive_documents_{name}"
+    # fresh dir per run: content-addressed resume assumes the SAME plan;
+    # gate runs vary num_cpus (block boundaries), so a prior run's parts
+    # would coexist with this run's (the documented different-plan caveat
+    # in ops/sink.py) and inflate directory-level read-back counts
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_hive_partitioned(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        out_dir, "lang")
+    by_lang: dict = {}
+    for f in manifest["files"]:     # pruned read: only this run's manifest
+        lang = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+        by_lang.setdefault(lang, []).append(f)
+    rows = []
+    for lang in sorted(by_lang):
+        n = ray.data.read_parquet(by_lang[lang]).count()
+        assert n == manifest["partitions"][lang]
+        rows.append((lang, n))
+    return pa.table({"lang": pa.array([r[0] for r in rows]),
+                     "n_docs": pa.array([r[1] for r in rows], pa.int64())})
+
+
 def q_kmeans_clusters_embeddings(sf_dir: str) -> pa.Table:
     """SELF-ORACLE (hll/ivf precedent): full-corpus distributed Lloyd's
     k-means (k=8, 4 iterations — one partial+final map_batches pass per
@@ -2003,6 +2088,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "grouped_distinct_users_by_type": q_grouped_distinct_users_by_type,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
+        "rolling_window_events": q_rolling_window_events,
+        "bloom_semi_join_events": q_bloom_semi_join_events,
+        "hive_partition_roundtrip_documents":
+            q_hive_partition_roundtrip_documents,
         "repetition_documents": q_repetition_documents,
         "tfidf_documents": q_tfidf_documents,
         "customer_order_totals": q_customer_order_totals,
@@ -2673,6 +2762,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS err_bound
             FROM events GROUP BY event_type
             ORDER BY est_count DESC, item LIMIT 5
+        """,
+        "rolling_window_events": """
+            SELECT event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS win_sum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS win_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "bloom_semi_join_events": """
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM events e
+            WHERE EXISTS (SELECT 1 FROM events p
+                          WHERE p.event_type = 'purchase'
+                            AND p.user_id = e.user_id)
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "hive_partition_roundtrip_documents": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "grouped_distinct_users_by_type": """
             SELECT event_type,

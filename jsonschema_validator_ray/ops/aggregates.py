@@ -552,3 +552,58 @@ def grouped_exact_distinct(ds, key: str, value: str,
     return ds.map_batches(pair_partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("_bucket").map_groups(count_bucket, batch_format="pyarrow")
+
+
+def grouped_rolling_window(ds, key: str, ts: str, value_int: str,
+                           window_rows: int = 5, tiebreak: str | None = None,
+                           n_buckets: int = 0):
+    """ROWS-frame rolling window per key (SQL ``ROWS BETWEEN n-1 PRECEDING
+    AND CURRENT ROW``): appends ``win_sum``/``win_n`` — the exact sum and
+    count of the current row and up to ``window_rows - 1`` preceding rows
+    ordered by ``(ts, tiebreak)``. Completes the window-frame family next
+    to the RANGE sliding window, cumulative running total and LAG deltas.
+
+    ``value_int`` must be an integer column (exact sums — callers encode
+    decimals as fixed-point first, e.g. cents): the cumsum-difference trick
+    used in-bucket is bit-exact over int64 where float partial sums would
+    drift vs SQL's windowed sum.
+
+    One hash-bucket shuffle co-locates whole keys; in-bucket it's one
+    lexsort + one global cumsum + two vectorized gathers — no per-row or
+    per-group Python. Keys/ts must be non-null and integer-castable.
+    """
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(key, n_buckets)
+    sort_cols = [ts] + ([tiebreak] if tiebreak else [])
+
+    def window_bucket(group: pa.Table) -> pa.Table:
+        base = group.drop_columns(["_bucket"])
+        if group.num_rows == 0:
+            return base.append_column(
+                "win_sum", pa.array([], pa.int64())).append_column(
+                "win_n", pa.array([], pa.int64()))
+        keys = group[key].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sort_arrays = [group[c].combine_chunks().cast(
+            pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+            for c in sort_cols]
+        order = np.lexsort(tuple(reversed(sort_arrays)) + (keys,))
+        sorted_t = base.take(pa.array(order, pa.int64()))
+        vals = sorted_t[value_int].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keys_s = keys[order]
+        seg = np.flatnonzero(np.concatenate(
+            [[True], keys_s[1:] != keys_s[:-1]]))
+        seg_start = np.repeat(seg, np.diff(np.append(seg, keys_s.size)))
+        i = np.arange(keys_s.size, dtype=np.int64)
+        w = np.maximum(i - window_rows + 1, seg_start)
+        csum = np.concatenate([[0], np.cumsum(vals, dtype=np.int64)])
+        return sorted_t.append_column(
+            "win_sum", pa.array(csum[i + 1] - csum[w], pa.int64())) \
+            .append_column("win_n", pa.array(i - w + 1, pa.int64()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(window_bucket, batch_format="pyarrow")

@@ -322,3 +322,74 @@ def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
 
     return tagged.groupby("_jb").map_groups(agg_bucket,
                                             batch_format="pyarrow")
+
+
+def bloom_semi_join(left_ds, right_ds, left_key: str, right_key: str,
+                    m_bits: int = 1 << 22, k: int = 5,
+                    negate: bool = False):
+    """Broadcast-Bloom semi-join (anti-join with ``negate=True``), EXACT.
+
+    Pass 1 streams the RIGHT side into per-block Bloom partials (one
+    ``m_bits/8``-byte row each, OR-folded on the driver) plus each block's
+    distinct key list. Pass 2 streams the LEFT side: rows failing the bloom
+    are DEFINITELY non-members (a bloom has no false negatives) and are
+    resolved without touching the exact set; only bloom-passing candidates
+    are verified against the exact broadcast key set, so false positives
+    never leak — results are exactly the SQL EXISTS / NOT EXISTS semi-join.
+
+    100-TB shape: the bloom ships once via ``ray.put`` and prunes the
+    exact-verify volume to true matches + the false-positive εN; the left
+    side never shuffles. The exact key set is assumed dictionary-scale
+    (same broadcast-small-side assumption as `ref_check`); when the right
+    side's distinct keys exceed the broadcast budget, verify survivors with
+    `reduce_side_hash_join` instead.
+    """
+    import ray
+
+    from ..state.bloom import BloomFilter
+
+    def right_partial(batch: pa.Table) -> pa.Table:
+        keys = batch[right_key].combine_chunks() \
+            if isinstance(batch[right_key], pa.ChunkedArray) \
+            else batch[right_key]
+        keys = pc.unique(keys.drop_null())
+        bf = BloomFilter(m_bits=m_bits, k=k)
+        bf.add(keys)
+        return pa.table({
+            "bits": pa.array([bf.to_bytes()], pa.binary()),
+            "keys": pa.array([keys.cast(pa.int64()).to_pylist()],
+                             pa.list_(pa.int64())),
+        })
+
+    parts = [t for t in ray.get(
+        right_ds.map_batches(right_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    bf = BloomFilter(m_bits=m_bits, k=k)
+    exact: set = set()
+    for t in parts:
+        for bb, kk in zip(t["bits"].to_pylist(), t["keys"].to_pylist()):
+            bf = bf.merge(BloomFilter.from_bytes(bb, k=k))
+            exact.update(kk)
+    bits_ref = ray.put(bf.to_bytes())
+    exact_ref = ray.put(np.array(sorted(exact), np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bloom = BloomFilter.from_bytes(ray.get(bits_ref), k=k)
+        ex = ray.get(exact_ref)
+        col = batch[left_key]
+        maybe = bloom.contains(col)
+        vals = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        member = maybe.copy()
+        if maybe.any():             # exact-verify ONLY the bloom survivors
+            cand = vals[maybe]
+            if ex.size:
+                pos = np.minimum(np.searchsorted(ex, cand), ex.size - 1)
+                member[maybe] = ex[pos] == cand
+            else:
+                member[maybe] = False
+        return batch.filter(pa.array(~member if negate else member))
+
+    return left_ds.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True)

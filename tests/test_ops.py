@@ -1368,3 +1368,108 @@ def test_grouped_distinct_exact_and_hll(ray_session):
     for kk, a in zip(approx["k"].to_pylist(),
                      approx["approx_distinct"].to_pylist()):
         assert abs(a - len(truth[kk])) / len(truth[kk]) <= 0.03
+
+
+def test_bloom_filter_and_semi_join(ray_session):
+    """Bloom: no false negatives ever, FP rate small at the sized load;
+    bloom_semi_join == brute-force EXISTS semantics in both directions."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.join import bloom_semi_join
+    from jsonschema_validator_ray.state.bloom import BloomFilter
+
+    rng = np.random.default_rng(9)
+    members = np.unique(rng.integers(0, 1 << 40, 5000))
+    others = np.setdiff1d(
+        np.unique(rng.integers(0, 1 << 40, 5000)), members)
+    bf = BloomFilter(m_bits=1 << 17, k=5)
+    bf.add(pa.array(members))
+    assert bf.contains(pa.array(members)).all()          # no false negatives
+    fp = bf.contains(pa.array(others)).mean()
+    assert fp < 0.05, fp
+    merged = BloomFilter.from_bytes(
+        BloomFilter(m_bits=1 << 17, k=5).merge(bf).to_bytes(), k=5)
+    assert merged.contains(pa.array(members)).all()
+
+    left = pa.table({"uid": pa.array(rng.integers(0, 50, 3000), pa.int64()),
+                     "rid": pa.array(range(3000), pa.int64())})
+    right = pa.table({"uid": pa.array(
+        rng.choice(np.arange(0, 50, 3), 40), pa.int64())})
+    rset = set(right["uid"].to_pylist())
+    for negate in (False, True):
+        out = pa.concat_tables(
+            [x for x in ray.get(bloom_semi_join(
+                ray.data.from_arrow(left).repartition(4),
+                ray.data.from_arrow(right).repartition(3),
+                "uid", "uid", m_bits=1 << 12, negate=negate)
+                .materialize().to_arrow_refs()) if x.num_rows],
+            promote_options="default").sort_by("rid")
+        expect = [r for u, r in zip(left["uid"].to_pylist(),
+                                    left["rid"].to_pylist())
+                  if (u in rset) != negate]
+        assert out["rid"].to_pylist() == expect
+
+
+def test_hive_partitioned_sink_resumes(ray_session, tmp_path):
+    """Hive writer: per-key dirs, pruned read-back counts match, and a
+    re-run skips every already-committed block (resume semantics)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sink import write_hive_partitioned
+
+    rng = np.random.default_rng(2)
+    langs = rng.choice(["en", "de", "fr"], 900)
+    t = pa.table({"doc_id": pa.array(range(900), pa.int64()),
+                  "lang": pa.array(langs)})
+    out = str(tmp_path / "hive")
+    mk = lambda: ray.data.from_arrow(t).repartition(5)  # noqa: E731
+    m1 = write_hive_partitioned(mk(), out, "lang")
+    import collections
+    truth = collections.Counter(langs.tolist())
+    assert m1["partitions"] == dict(truth)
+    for lang, n in truth.items():
+        back = ray.data.read_parquet(os.path.join(out, f"lang={lang}"))
+        assert back.count() == n
+        assert set(back.schema().names) >= {"doc_id", "lang"}
+    # resume: identical rerun commits nothing new, skips every block
+    m2 = write_hive_partitioned(mk(), out, "lang")
+    assert m2["partitions"] == m1["partitions"]
+    assert sorted(m2["files"]) == sorted(m1["files"])
+    assert m2["n_skipped"] >= len(m1["files"])
+
+
+def test_grouped_rolling_window_matches_bruteforce(ray_session):
+    """ROWS-frame rolling sum/count per key == per-row Python brute force
+    (exact int sums, (ts, tiebreak) ordering, window clipped at segment
+    start)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_rolling_window
+
+    rng = np.random.default_rng(8)
+    n = 3000
+    t = pa.table({"k": pa.array(rng.integers(0, 40, n), pa.int64()),
+                  "ts": pa.array(rng.integers(0, 500, n), pa.int64()),
+                  "rid": pa.array(range(n), pa.int64()),
+                  "v": pa.array(rng.integers(-50, 50, n), pa.int64())})
+    out = pa.concat_tables(
+        [x for x in ray.get(grouped_rolling_window(
+            ray.data.from_arrow(t).repartition(6), "k", "ts", "v",
+            window_rows=4, tiebreak="rid").materialize().to_arrow_refs())
+         if x.num_rows], promote_options="default").sort_by("rid")
+
+    rows = sorted(zip(t["k"].to_pylist(), t["ts"].to_pylist(),
+                      t["rid"].to_pylist(), t["v"].to_pylist()))
+    expect = {}
+    hist: dict = {}
+    for k, ts_, rid, v in rows:
+        h = hist.setdefault(k, [])
+        h.append(v)
+        expect[rid] = (sum(h[-4:]), min(len(h), 4))
+    got = {r: (s, c) for r, s, c in zip(out["rid"].to_pylist(),
+                                        out["win_sum"].to_pylist(),
+                                        out["win_n"].to_pylist())}
+    assert got == expect
