@@ -1924,6 +1924,75 @@ def q_approx_distinct_users_by_type(sf_dir: str) -> pa.Table:
     })
 
 
+def q_clean_corpus_documents(sf_dir: str) -> pa.Table:
+    """C4-style corpus-cleaning cascade — the composed flagship for the
+    documents table: streaming quality filters (length >= 150 chars,
+    word-dup ratio <= 0.55, language allowlist) feeding the distributed
+    exact-dedup keeper groupby. One pass computes the repetition features
+    in place (append mode), the filter prunes before the only shuffle, and
+    the dedup shuffle moves (hash, id) pairs only."""
+    from jsonschema_validator_ray.ops.dedup import exact_dedup_keepers
+    from jsonschema_validator_ray.ops.text import add_word_repetition
+
+    LANGS = pa.array(["en", "de", "fr", "es"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(batch["n_chars"], 150),
+                    pc.less_equal(batch["dup_ratio"], 0.55)),
+            pc.is_in(batch["lang"], value_set=LANGS))
+        return batch.filter(mask)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    filtered = add_word_repetition(ds, append=True) \
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(exact_dedup_keepers(filtered, "doc_id", "text"))
+    return pa.table({
+        "doc_id": out["keeper_id"].cast(pa.int64()),
+        "n_copies": out["n_copies"].cast(pa.int64()),
+    }).sort_by("doc_id")
+
+
+def q_neardup_keep_best_documents(sf_dir: str) -> pa.Table:
+    """Quality-priority near-dup keeper selection: the components pipeline
+    (exact trigram-Jaccard pairs -> distributed connected components) with
+    the keeper policy a production dedup uses — keep the LONGEST member of
+    each cluster (tie: lowest doc_id) instead of the smallest id. Member
+    lengths come from a broadcast-filtered second read (member set is
+    output-scale)."""
+    from jsonschema_validator_ray.ops.dedup import (
+        connected_components, ngram_jaccard_near_duplicates)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_near_duplicates(ds, "doc_id", "text", n=3,
+                                          threshold=0.5)
+    cc = connected_components(pairs)
+    members = pa.array(sorted(cc["node"].to_pylist()), pa.int64())
+
+    def member_lens(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.is_in(batch["doc_id"], value_set=members))
+        return sel.select(["doc_id", "n_chars"])
+
+    lens = _collect(_read(sf_dir, "documents", ["doc_id", "n_chars"])
+                    .map_batches(member_lens, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    lmap = dict(zip(lens["doc_id"].to_pylist(), lens["n_chars"].to_pylist()))
+    nodes = cc["node"].to_pylist()
+    comps = cc["component"].to_pylist()
+    best: dict = {}
+    for node, comp in zip(nodes, comps):
+        key = (lmap[node], -node)         # longest wins, tie -> lowest id
+        if comp not in best or key > best[comp][0]:
+            best[comp] = (key, node)
+    keepers = {comp: node for comp, (_, node) in best.items()}
+    return pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "component": pa.array(comps, pa.int64()),
+        "keep": pa.array([keepers[c] == n for n, c in zip(nodes, comps)],
+                         pa.bool_()),
+    }).sort_by("doc_id")
+
+
 def q_rolling_window_events(sf_dir: str) -> pa.Table:
     """ROWS-frame rolling window (5-row sum+count per user ordered by
     ts, event_id) — the remaining SQL window-frame kind next to RANGE
@@ -2088,6 +2157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "grouped_distinct_users_by_type": q_grouped_distinct_users_by_type,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
+        "clean_corpus_documents": q_clean_corpus_documents,
+        "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "rolling_window_events": q_rolling_window_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
         "hive_partition_roundtrip_documents":
@@ -2762,6 +2833,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS err_bound
             FROM events GROUP BY event_type
             ORDER BY est_count DESC, item LIMIT 5
+        """,
+        "clean_corpus_documents": """
+            WITH m AS (
+                SELECT doc_id, text, lang, n_chars,
+                       1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                                  AS DOUBLE) / len(string_split(text, ' '))
+                           AS dup_ratio
+                FROM documents),
+            f AS (SELECT * FROM m
+                  WHERE n_chars >= 150 AND dup_ratio <= 0.55
+                    AND lang IN ('en', 'de', 'fr', 'es'))
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM f GROUP BY text ORDER BY doc_id
+        """,
+        "neardup_keep_best_documents": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+            tri AS (SELECT DISTINCT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                               AS t
+                    FROM w WHERE len(ws) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                      FROM tri a JOIN tri b
+                        ON a.t = b.t AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            p AS (SELECT id_a, id_b
+                  FROM inter JOIN cnt ca ON ca.doc_id = id_a
+                             JOIN cnt cb ON cb.doc_id = id_b
+                  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(node, m) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT reach.node, edges.v
+                FROM reach JOIN edges ON edges.u = reach.m),
+            comp AS (SELECT node, least(node, min(m)) AS component
+                     FROM reach GROUP BY node),
+            scored AS (SELECT comp.node, comp.component, d.n_chars
+                       FROM comp JOIN documents d ON d.doc_id = comp.node),
+            best AS (SELECT component,
+                            (array_agg(node ORDER BY n_chars DESC, node))[1]
+                                AS keeper
+                     FROM scored GROUP BY component)
+            SELECT s.node AS doc_id, s.component,
+                   s.node = b.keeper AS keep
+            FROM scored s JOIN best b USING (component)
+            ORDER BY doc_id
         """,
         "rolling_window_events": """
             SELECT event_id,

@@ -161,7 +161,8 @@ def add_fingerprint(ds, column: str = "text", out: str = "fingerprint",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def add_word_repetition(ds, column: str = "text", id_column: str = "doc_id"):
+def add_word_repetition(ds, column: str = "text", id_column: str = "doc_id",
+                        append: bool = False):
     """Intra-document word-repetition quality metric (the dup-span heuristic
     most web-scale text filters apply before near-dup): per document,
     ``n_words``, ``n_distinct_words`` and ``dup_ratio = 1 - distinct/words``.
@@ -188,12 +189,17 @@ def add_word_repetition(ds, column: str = "text", id_column: str = "doc_id"):
         n_distinct = np.bincount(di[new], minlength=lens.size) \
             .astype(np.int64)
         dup_ratio = 1.0 - n_distinct / lens    # exact IEEE ops: matches SQL
-        return pa.table({
-            id_column: batch[id_column],
+        cols = {
             "n_words": pa.array(lens, pa.int64()),
             "n_distinct_words": pa.array(n_distinct, pa.int64()),
             "dup_ratio": pa.array(dup_ratio, pa.float64()),
-        })
+        }
+        if append:                  # keep every input column (composition)
+            out = batch
+            for name, arr in cols.items():
+                out = out.append_column(name, arr)
+            return out
+        return pa.table({id_column: batch[id_column], **cols})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
