@@ -1924,6 +1924,95 @@ def q_approx_distinct_users_by_type(sf_dir: str) -> pa.Table:
     })
 
 
+def q_ntile_events(sf_dir: str) -> pa.Table:
+    """NTILE(4) quartile assignment per event_type ordered by (value,
+    event_id) — the rank-window family member next to per-group top-k.
+    One hash-bucket shuffle; in-bucket one lexsort + the SQL NTILE split
+    (first n%k tiles get the extra row), fully vectorized."""
+    import ray
+
+    from jsonschema_validator_ray.rayutil import strip_meta
+    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
+
+    K = 4
+    avail = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    n_buckets = 4 * avail
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = (np_column_hash(batch["event_type"]) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return strip_meta(batch).append_column("_bucket",
+                                               pa.array(h, pa.int64()))
+
+    def tile_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        et = group["event_type"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, val, et))
+        et_s, eid_s = et[order], eid[order]
+        seg = np.flatnonzero(np.concatenate([[True], et_s[1:] != et_s[:-1]]))
+        sizes = np.diff(np.append(seg, et_s.size))
+        seg_start = np.repeat(seg, sizes)
+        n = np.repeat(sizes, sizes)           # group size per row
+        r = np.arange(et_s.size, dtype=np.int64) - seg_start
+        big, small = n % K, n // K            # SQL NTILE split
+        cut = big * (small + 1)
+        tile = np.where(r < cut, r // (small + 1),
+                        big + (r - cut) // np.maximum(small, 1))
+        return pa.table({"event_id": pa.array(eid_s, pa.int64()),
+                         "tile": pa.array(tile + 1, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = _collect(ds.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby("_bucket").map_groups(tile_bucket,
+                                                  batch_format="pyarrow"))
+    return out.sort_by("event_id")
+
+
+def q_approx_quantiles_by_event_type(sf_dir: str) -> pa.Table:
+    """SELF-ORACLE (approx-distinct precedent): per-group t-digest
+    quantiles — the mergeable 100-TB path beside the exact
+    `value_quantiles_by_event_type`. ``p50_exact``/``p99_exact`` come from
+    the engine's exact grouped-quantile pass (SQL ``quantile_cont``-exact,
+    already oracle-proven); ``within_bound`` verifies the digest's p50/p99
+    land within 5% RELATIVE of exact per group (compression 500 measures
+    <=1.5% worst-group at 32-cpu block counts; the bound carries 3x margin
+    because digest error grows with the number of merged per-block
+    partials). Oracle recomputes the exact quantiles and states TRUE."""
+    from jsonschema_validator_ray.ops.aggregates import (
+        grouped_quantiles, grouped_tdigest_quantiles)
+
+    approx = grouped_tdigest_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", [0.5, 0.99], compression=500.0)
+    exact = _collect(grouped_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", [0.5, 0.99])).sort_by("event_type")
+    amap = {k: (p50, p99) for k, p50, p99 in zip(
+        approx["event_type"].to_pylist(), approx["q50"].to_pylist(),
+        approx["q99"].to_pylist())}
+    ok = []
+    for k, p50, p99 in zip(exact["event_type"].to_pylist(),
+                           exact["q50"].to_pylist(),
+                           exact["q99"].to_pylist()):
+        a50, a99 = amap[k]
+        ok.append(abs(a50 - p50) <= 0.05 * max(abs(p50), 1e-9)
+                  and abs(a99 - p99) <= 0.05 * max(abs(p99), 1e-9))
+    return pa.table({
+        "event_type": exact["event_type"],
+        "p50_exact": pc.round(exact["q50"], 4),
+        "p99_exact": pc.round(exact["q99"], 4),
+        "within_bound": pa.array(ok, pa.bool_()),
+    })
+
+
 def q_clean_corpus_documents(sf_dir: str) -> pa.Table:
     """C4-style corpus-cleaning cascade — the composed flagship for the
     documents table: streaming quality filters (length >= 150 chars,
@@ -2157,6 +2246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q_funnel_events,
         "grouped_distinct_users_by_type": q_grouped_distinct_users_by_type,
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
+        "approx_quantiles_by_event_type": q_approx_quantiles_by_event_type,
+        "ntile_events": q_ntile_events,
         "clean_corpus_documents": q_clean_corpus_documents,
         "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "rolling_window_events": q_rolling_window_events,
@@ -2833,6 +2924,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS err_bound
             FROM events GROUP BY event_type
             ORDER BY est_count DESC, item LIMIT 5
+        """,
+        "ntile_events": """
+            SELECT event_id,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id)
+                        AS BIGINT) AS tile
+            FROM events ORDER BY event_id
+        """,
+        # SELF-ORACLE (documented in q_approx_quantiles_by_event_type):
+        # the exact quantiles are SQL-derived (quantile_cont); within_bound
+        # is the Ray-side 5%-relative t-digest accuracy verification
+        # (oracle states TRUE).
+        "approx_quantiles_by_event_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50_exact,
+                   round(quantile_cont(value, 0.99), 4) AS p99_exact,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "clean_corpus_documents": """
             WITH m AS (

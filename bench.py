@@ -153,6 +153,28 @@ def main():
         ray.shutdown()
         return
 
+    if "--extended" in sys.argv:
+        # time EVERY queries() entry at $GRAFT_SF_DIR (one pass, wall per
+        # query) — a coverage-wide perf snapshot. Separate mode so the
+        # default artifact's 17-query total stays comparable across rounds.
+        _init_ray(NUM_CPUS)
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        walls = {}
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(SF_DIR)
+            walls[name] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({
+            "metric": "extended per-query wall (all gate queries, one rep)",
+            "value": round(sum(walls.values()), 3), "unit": "sec",
+            "queries": walls, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        }))
+        import ray
+        ray.shutdown()
+        return
+
     if "--scaling" in sys.argv:
         # ensure the corpus exists before timing children
         from jsonschema_validator_ray.sources import generate_transcripts  # noqa

@@ -607,3 +607,49 @@ def grouped_rolling_window(ds, key: str, ts: str, value_int: str,
     return ds.map_batches(add_bucket, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("_bucket").map_groups(window_bucket, batch_format="pyarrow")
+
+
+def grouped_tdigest_quantiles(ds, key: str, value: str,
+                              qs: Sequence[float],
+                              compression: float = 200.0) -> pa.Table:
+    """Per-group APPROXIMATE quantiles via mergeable t-digests — the
+    100-TB companion to `grouped_quantiles` (exact needs each group's full
+    value set in one bucket; the digest needs ~compression centroids per
+    group per block, merged centroid-wise, values never shuffle). Same
+    partial+final shape as `grouped_approx_distinct`: each block emits one
+    serialized digest per group present; the driver folds per group.
+    """
+    import ray
+
+    from ..state.tdigest import TDigest
+
+    qs = list(qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key].combine_chunks() \
+            if isinstance(batch[key], pa.ChunkedArray) else batch[key]
+        uk = pc.unique(keys.drop_null())
+        vals = batch[value].to_numpy(zero_copy_only=False)
+        codes = pc.index_in(keys, value_set=uk) \
+            .to_numpy(zero_copy_only=False)
+        blobs = []
+        for i in range(len(uk)):
+            d = TDigest(compression=compression)
+            d.update(vals[codes == i])
+            blobs.append(d.to_bytes())
+        return pa.table({key: uk, "td": pa.array(blobs, pa.binary())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    merged = pa.concat_tables(parts, promote_options="default")
+    folded: dict = {}
+    for kv, blob in zip(merged[key].to_pylist(), merged["td"].to_pylist()):
+        d = TDigest.from_bytes(blob)
+        folded[kv] = d if kv not in folded else folded[kv].merge(d)
+    keys_sorted = sorted(folded)
+    cols = {key: pa.array(keys_sorted)}
+    for q in qs:
+        cols[f"q{int(round(q * 100)):02d}"] = pa.array(
+            [folded[kv].quantile(q) for kv in keys_sorted], pa.float64())
+    return pa.table(cols)

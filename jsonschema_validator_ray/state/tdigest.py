@@ -70,7 +70,12 @@ class TDigest:
             return float("nan")
         self._compress()
         cum = np.cumsum(self.weights) - self.weights / 2.0
-        target = q * self.weights.sum()
+        # (W-1)-convention target against centroid MIDPOINTS: with unit
+        # weights value i sits at cum i+0.5, so q*(W-1)+0.5 reproduces SQL
+        # quantile_cont / np.quantile(linear) EXACTLY while centroids are
+        # singletons; q*W overshoots by up to one value at the tails (a
+        # 14%-relative p99 error on a 200-point heavy-tailed group)
+        target = q * (self.weights.sum() - 1.0) + 0.5
         return float(np.interp(target, cum, self.means,
                                left=self._min, right=self._max))
 

@@ -1473,3 +1473,31 @@ def test_grouped_rolling_window_matches_bruteforce(ray_session):
                                         out["win_sum"].to_pylist(),
                                         out["win_n"].to_pylist())}
     assert got == expect
+
+
+def test_grouped_tdigest_quantiles_accuracy(ray_session):
+    """Per-group t-digest p50/p99 within 3% relative of numpy exact across
+    skewed + uniform groups, with partials merged across blocks."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import \
+        grouped_tdigest_quantiles
+
+    rng = np.random.default_rng(13)
+    n = 40_000
+    key = rng.integers(0, 3, n)
+    val = np.where(key == 0, rng.normal(100, 10, n),
+                   np.where(key == 1, rng.exponential(50, n),
+                            rng.uniform(0, 1000, n)))
+    t = pa.table({"k": pa.array([f"g{i}" for i in key]),
+                  "v": pa.array(val, pa.float64())})
+    out = grouped_tdigest_quantiles(
+        ray.data.from_arrow(t).repartition(8), "k", "v", [0.5, 0.99])
+    got = {k: (a, b) for k, a, b in zip(out["k"].to_pylist(),
+                                        out["q50"].to_pylist(),
+                                        out["q99"].to_pylist())}
+    for g in range(3):
+        exact50, exact99 = np.quantile(val[key == g], [0.5, 0.99])
+        a50, a99 = got[f"g{g}"]
+        assert abs(a50 - exact50) <= 0.03 * abs(exact50)
+        assert abs(a99 - exact99) <= 0.03 * abs(exact99)
