@@ -335,6 +335,9 @@ def heavy_hitters(ds, column: str, k: int = 10,
     ``capacity >= distinct(column)`` (enum-domain keys, the oracle-gate
     case) nothing is dropped and counts are exact with err_bound = 0.
 
+    Null keys are dropped (same policy as the HLL / grouped-distinct
+    sketches; a null "item" has no meaningful identity to count).
+
     100-TB shape: partial size is bounded by ``capacity`` rows per block
     regardless of the key cardinality — the bounded-memory alternative to
     an exact groupby when the domain is unbounded (cf. hot domains / URLs
@@ -343,7 +346,8 @@ def heavy_hitters(ds, column: str, k: int = 10,
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
-        vc = batch.select([column]).group_by(column).aggregate(
+        vc = batch.select([column]).drop_null() \
+            .group_by(column).aggregate(
             [([], "count_all")]).rename_columns([column, "cnt"])
         dmax = 0
         if vc.num_rows > capacity:

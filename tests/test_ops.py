@@ -1501,3 +1501,53 @@ def test_grouped_tdigest_quantiles_accuracy(ray_session):
         a50, a99 = got[f"g{g}"]
         assert abs(a50 - exact50) <= 0.03 * abs(exact50)
         assert abs(a99 - exact99) <= 0.03 * abs(exact99)
+
+
+def test_new_ops_null_edges(ray_session):
+    """Null-input edges across the round-4 operators: null text produces no
+    chunks and null redactions; heavy hitters / grouped distinct drop null
+    keys; bloom semi-join treats null keys as never-matching (SQL EXISTS)
+    and anti keeps them (SQL NOT EXISTS)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import (
+        grouped_exact_distinct, heavy_hitters)
+    from jsonschema_validator_ray.ops.cluster import _tiny_collect
+    from jsonschema_validator_ray.ops.join import bloom_semi_join
+    from jsonschema_validator_ray.ops.text import chunk_text, redact_pattern
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["abc" * 100, None, ""])})
+    ds = ray.data.from_arrow(t)
+    chunks = _tiny_collect(chunk_text(ds, chunk_chars=200, overlap=40))
+    assert set(chunks["doc_id"].to_pylist()) == {0}   # null + empty: none
+
+    red = _tiny_collect(redact_pattern(ds, "text")).sort_by("doc_id")
+    assert red["redacted"].to_pylist()[1] is None
+    assert red["n_redactions"].to_pylist()[1] is None
+
+    kt = pa.table({"k": pa.array(["a", None, "a", "b"]),
+                   "v": pa.array([1, 2, 3, None], pa.int64())})
+    kds = ray.data.from_arrow(kt)
+    hh = heavy_hitters(kds, "k", k=5, capacity=16)
+    assert None not in hh["item"].to_pylist()
+
+    gd = pa.concat_tables(
+        [x for x in ray.get(grouped_exact_distinct(kds, "k", "v")
+                            .materialize().to_arrow_refs()) if x.num_rows],
+        promote_options="default").sort_by("k")
+    assert dict(zip(gd["k"].to_pylist(), gd["n_distinct"].to_pylist())) == \
+        {"a": 2}                     # (b, NULL) pair dropped, null key gone
+
+    left = pa.table({"uid": pa.array([1, None, 3], pa.int64()),
+                     "rid": pa.array([0, 1, 2], pa.int64())})
+    right = pa.table({"uid": pa.array([1], pa.int64())})
+    semi = _tiny_collect(bloom_semi_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "uid", "uid", m_bits=1 << 12))
+    assert semi["rid"].to_pylist() == [0]             # null never matches
+    anti = _tiny_collect(bloom_semi_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "uid", "uid", m_bits=1 << 12, negate=True)).sort_by("rid")
+    assert anti["rid"].to_pylist() == [1, 2]          # null kept by NOT EXISTS
