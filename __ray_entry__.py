@@ -1924,6 +1924,51 @@ def q_approx_distinct_users_by_type(sf_dir: str) -> pa.Table:
     })
 
 
+def q_unpivot_events_daily(sf_dir: str) -> pa.Table:
+    """UNPIVOT / melt (wide -> long), the inverse reshape of `events_pivot`:
+    per-day click/view value sums (exact integer cents) widened per type,
+    then melted back to (day, name, val) rows with the streaming `unpivot`
+    operator. Oracled by DuckDB's native UNPIVOT."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import unpivot
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64())
+        t = pa.table({
+            "day": pc.floor_temporal(batch["ts"], unit="day"),
+            "event_type": batch["event_type"],
+            "cents": cents,
+        })
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["click", "view"])))
+        return pa.TableGroupBy(t, ["day", "event_type"]).aggregate(
+            [("cents", "sum")])
+
+    parts = _collect(_read(sf_dir, "events", ["ts", "event_type", "value"])
+                     .map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    fine = pa.TableGroupBy(parts, ["day", "event_type"]).aggregate(
+        [("cents_sum", "sum")])
+    wide: dict = {}
+    for d, ty, c in zip(fine["day"].to_pylist(),
+                        fine["event_type"].to_pylist(),
+                        fine["cents_sum_sum"].to_pylist()):
+        wide.setdefault(d, {})[ty] = c
+    days = sorted(wide)
+    wide_t = pa.table({
+        "day": pa.array(days, pa.timestamp("us")),
+        "click": pa.array([wide[d].get("click", 0) / 100.0 for d in days],
+                          pa.float64()),
+        "view": pa.array([wide[d].get("view", 0) / 100.0 for d in days],
+                         pa.float64()),
+    })
+    out = _collect(unpivot(ray.data.from_arrow(wide_t), ["day"],
+                           ["click", "view"]))
+    return out.sort_by([("day", "ascending"), ("name", "ascending")])
+
+
 def q_ntile_events(sf_dir: str) -> pa.Table:
     """NTILE(4) quartile assignment per event_type ordered by (value,
     event_id) — the rank-window family member next to per-group top-k.
@@ -2248,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type": q_approx_distinct_users_by_type,
         "approx_quantiles_by_event_type": q_approx_quantiles_by_event_type,
         "ntile_events": q_ntile_events,
+        "unpivot_events_daily": q_unpivot_events_daily,
         "clean_corpus_documents": q_clean_corpus_documents,
         "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "rolling_window_events": q_rolling_window_events,
@@ -2924,6 +2970,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS err_bound
             FROM events GROUP BY event_type
             ORDER BY est_count DESC, item LIMIT 5
+        """,
+        "unpivot_events_daily": """
+            WITH daily AS (
+                SELECT date_trunc('day', ts) AS day,
+                       sum(CASE WHEN event_type = 'click'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) / 100.0 AS click,
+                       sum(CASE WHEN event_type = 'view'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) / 100.0 AS view
+                FROM events GROUP BY 1)
+            SELECT day, name, val
+            FROM daily UNPIVOT (val FOR name IN (click, view))
+            ORDER BY day, name
         """,
         "ntile_events": """
             SELECT event_id,

@@ -657,3 +657,26 @@ def grouped_tdigest_quantiles(ds, key: str, value: str,
         cols[f"q{int(round(q * 100)):02d}"] = pa.array(
             [folded[kv].quantile(q) for kv in keys_sorted], pa.float64())
     return pa.table(cols)
+
+
+def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
+            name_col: str = "name", value_col: str = "val"):
+    """UNPIVOT / melt (wide -> long): one output row per (input row,
+    value column), carrying ``id_cols`` plus the column's name and value.
+    The inverse reshape of the pivot; streaming row-local `map_batches`
+    (per batch the loop is over VALUE COLUMNS, each emission a zero-copy
+    column select), no shuffle, output scales by ``len(value_cols)``."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs = []
+        for c in value_cols:
+            cols = {k: batch[k] for k in id_cols}
+            cols[name_col] = pa.array([c] * batch.num_rows, pa.string())
+            cols[value_col] = batch[c].cast(pa.float64())
+            outs.append(pa.table(cols))
+        if not outs:
+            return pa.table({k: batch[k] for k in id_cols})
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
