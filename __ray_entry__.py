@@ -37,7 +37,7 @@ quiet_empty_partition_warnings()
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None):
     import pyarrow.parquet as pq
     import ray.data
 
@@ -51,10 +51,13 @@ def _read(sf_dir: str, table: str, columns=None):
     # block splitting AND every downstream shuffle reduce ('Failed to hash
     # the schemas' warning spam, VERDICT r3 #2). One driver-side footer read
     # (~ms) buys clean schemas on every block from the source.
+    # ``filter`` is a pads.field expression pushed into the scan; its
+    # predicate columns must be included in ``columns``.
     path = os.path.join(sf_dir, f"{table}.parquet")
     full = pq.read_schema(path).remove_metadata()
     schema = pa.schema([full.field(c) for c in (columns or full.names)])
-    return ray.data.read_parquet(path, columns=columns, schema=schema)
+    return ray.data.read_parquet(path, columns=columns, schema=schema,
+                                 filter=filter)
 
 
 def _collect(ds) -> pa.Table:
@@ -550,7 +553,6 @@ def q_revenue_forecast(sf_dir: str) -> pa.Table:
     scan), so only qualifying rows ever enter the object store. Revenue in
     exact integer e4 units."""
     import pyarrow.dataset as pads
-    import ray.data
 
     from jsonschema_validator_ray.rayutil import ensure_worker_importable
     ensure_worker_importable()
@@ -561,17 +563,11 @@ def q_revenue_forecast(sf_dir: str) -> pa.Table:
             & (pads.field("l_discount") >= 0.05)
             & (pads.field("l_discount") <= 0.07)
             & (pads.field("l_quantity") < 24))
-    import pyarrow.parquet as _pq
-    # filter= needs its columns in the read schema, so keep the predicate
-    # columns in the (explicit, METADATA-FREE) schema and drop them in the
-    # partial — an unhashable pandas-footer schema would defeat Ray's block
-    # schema dedup on every split ('Failed to hash the schemas' spam)
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    cols = ["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"]
-    full = _pq.read_schema(path).remove_metadata()
-    ds = ray.data.read_parquet(
-        path, columns=cols,
-        schema=pa.schema([full.field(c) for c in cols]), filter=expr)
+    # predicate columns ride in the read schema and are dropped in the
+    # partial (filter= needs them; _read strips footer metadata)
+    ds = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
+               filter=expr)
 
     def partial(batch: pa.Table) -> pa.Table:
         price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
@@ -1675,7 +1671,6 @@ def q_top_returns_customers(sf_dir: str) -> pa.Table:
     the one all-to-all."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
-    import ray.data
 
     from jsonschema_validator_ray.ops.join import reduce_side_hash_join
     from jsonschema_validator_ray.rayutil import ensure_worker_importable
@@ -1693,14 +1688,10 @@ def q_top_returns_customers(sf_dir: str) -> pa.Table:
         return pa.table({"o_orderkey": g["o_orderkey"],
                          "rev_part": g["rev_sum"].cast(pa.int64())})
 
-    li_path = os.path.join(sf_dir, "lineitem.parquet")
-    li_cols = ["l_orderkey", "l_extendedprice", "l_discount",
-               "l_returnflag"]   # filter column must be in the read schema
-    li_full = pq.read_schema(li_path).remove_metadata()
-    li = ray.data.read_parquet(
-        li_path, columns=li_cols,
-        schema=pa.schema([li_full.field(c) for c in li_cols]),
-        filter=(pads.field("l_returnflag") == "R")) \
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"],   # filter column rides in the read schema
+               filter=(pads.field("l_returnflag") == "R")) \
         .map_batches(rev_partial, batch_format="pyarrow",
                      zero_copy_batch=True)
 
@@ -1804,20 +1795,11 @@ def q_redact_events_props(sf_dir: str) -> pa.Table:
     digit runs -> <NUM> plus a per-row match count. Scan-pushdown filter on
     event_type; Arrow RE2 kernels == DuckDB regexp semantics."""
     import pyarrow.dataset as pads
-    import pyarrow.parquet as _pq
-    import ray.data
 
     from jsonschema_validator_ray.ops.text import redact_pattern
-    from jsonschema_validator_ray.rayutil import ensure_worker_importable
-    ensure_worker_importable()
 
-    path = os.path.join(sf_dir, "events.parquet")
-    cols = ["event_id", "props", "event_type"]
-    full = _pq.read_schema(path).remove_metadata()
-    ds = ray.data.read_parquet(
-        path, columns=cols,
-        schema=pa.schema([full.field(c) for c in cols]),
-        filter=(pads.field("event_type") == "error"))
+    ds = _read(sf_dir, "events", ["event_id", "props", "event_type"],
+               filter=(pads.field("event_type") == "error"))
     out = _collect(redact_pattern(ds, "props"))
     return pa.table({
         "event_id": out["event_id"],
@@ -1934,35 +1916,37 @@ def q_unpivot_events_daily(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.aggregates import unpivot
 
     def partial(batch: pa.Table) -> pa.Table:
+        # group ALL events by day with per-type conditional sums — exactly
+        # the oracle's CASE WHEN ... ELSE 0: a day with zero click/view
+        # events must still emit (day, 0.0) rows, so the type filter must
+        # never drop a day from the grouping
         cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
                         pa.int64())
         t = pa.table({
             "day": pc.floor_temporal(batch["ts"], unit="day"),
-            "event_type": batch["event_type"],
-            "cents": cents,
+            "click_cents": pc.if_else(
+                pc.equal(batch["event_type"], "click"), cents,
+                pa.scalar(0, pa.int64())),
+            "view_cents": pc.if_else(
+                pc.equal(batch["event_type"], "view"), cents,
+                pa.scalar(0, pa.int64())),
         })
-        t = t.filter(pc.is_in(t["event_type"],
-                              value_set=pa.array(["click", "view"])))
-        return pa.TableGroupBy(t, ["day", "event_type"]).aggregate(
-            [("cents", "sum")])
+        return pa.TableGroupBy(t, ["day"]).aggregate(
+            [("click_cents", "sum"), ("view_cents", "sum")])
 
     parts = _collect(_read(sf_dir, "events", ["ts", "event_type", "value"])
                      .map_batches(partial, batch_format="pyarrow",
                                   zero_copy_batch=True))
-    fine = pa.TableGroupBy(parts, ["day", "event_type"]).aggregate(
-        [("cents_sum", "sum")])
-    wide: dict = {}
-    for d, ty, c in zip(fine["day"].to_pylist(),
-                        fine["event_type"].to_pylist(),
-                        fine["cents_sum_sum"].to_pylist()):
-        wide.setdefault(d, {})[ty] = c
-    days = sorted(wide)
+    fine = pa.TableGroupBy(parts, ["day"]).aggregate(
+        [("click_cents_sum", "sum"), ("view_cents_sum", "sum")])
+    order = pc.sort_indices(fine["day"])
+    fine = fine.take(order)
     wide_t = pa.table({
-        "day": pa.array(days, pa.timestamp("us")),
-        "click": pa.array([wide[d].get("click", 0) / 100.0 for d in days],
-                          pa.float64()),
-        "view": pa.array([wide[d].get("view", 0) / 100.0 for d in days],
-                         pa.float64()),
+        "day": fine["day"].cast(pa.timestamp("us")),
+        "click": pc.divide(fine["click_cents_sum_sum"].cast(pa.float64()),
+                           pa.scalar(100.0)),
+        "view": pc.divide(fine["view_cents_sum_sum"].cast(pa.float64()),
+                          pa.scalar(100.0)),
     })
     out = _collect(unpivot(ray.data.from_arrow(wide_t), ["day"],
                            ["click", "view"]))
@@ -2156,21 +2140,13 @@ def q_bloom_semi_join_events(sf_dir: str) -> pa.Table:
     exact set; survivors are exactly verified, so the result is precisely
     SQL EXISTS semantics."""
     import pyarrow.dataset as pads
-    import pyarrow.parquet as _pq
-    import ray.data
 
     from jsonschema_validator_ray.ops.aggregates import value_counts
     from jsonschema_validator_ray.ops.join import bloom_semi_join
-    from jsonschema_validator_ray.rayutil import ensure_worker_importable
-    ensure_worker_importable()
 
-    path = os.path.join(sf_dir, "events.parquet")
-    full = _pq.read_schema(path).remove_metadata()
     cols = ["user_id", "event_type"]
-    schema = pa.schema([full.field(c) for c in cols])
-    right = ray.data.read_parquet(
-        path, columns=cols, schema=schema,
-        filter=(pads.field("event_type") == "purchase"))
+    right = _read(sf_dir, "events", cols,
+                  filter=(pads.field("event_type") == "purchase"))
     left = _read(sf_dir, "events", cols)
     kept = bloom_semi_join(left, right, "user_id", "user_id")
     out = value_counts(kept, "event_type")

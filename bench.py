@@ -124,9 +124,8 @@ def run_headline(num_cpus: int, sf_dir: str) -> dict:
     }
 
 
-def run_queries(sf_dir: str,
-                reps: int = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
-                ) -> tuple[dict, dict]:
+def run_queries(sf_dir: str, reps: int | None = None
+                ) -> tuple[dict, dict, int]:
     """Interleaved best-per-query protocol (VERDICT r3 #1): the full query
     list runs ``reps`` complete ROUNDS (round-robin, not back-to-back reps of
     one query), so every query samples ≥2 separated points of the host's
@@ -137,6 +136,8 @@ def run_queries(sf_dir: str,
     queries' band straddles their ≤5 s bars in a 2-sample window."""
     import __ray_entry__ as entrymod
 
+    if reps is None:
+        reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     qs = entrymod.queries()
     samples: dict = {name: [] for name in BENCH_QUERIES}
     for _ in range(reps):
@@ -145,7 +146,7 @@ def run_queries(sf_dir: str,
             qs[name](sf_dir)
             samples[name].append(round(time.perf_counter() - t0, 3))
     best = {name: min(v) for name, v in samples.items()}
-    return best, samples
+    return best, samples, reps
 
 
 def main():
@@ -231,7 +232,7 @@ def main():
 
     t_all = time.perf_counter()
     headline = run_headline(NUM_CPUS, SF_DIR)
-    best, samples = run_queries(SF_DIR)
+    best, samples, reps = run_queries(SF_DIR)
     queries = dict(validate_transcripts=headline["wall_s"], **best)
     total = sum(queries.values())
     print(json.dumps({
@@ -241,7 +242,7 @@ def main():
         # comparable to prior rounds' per-query sums, robust to the host's
         # measured 1.6-2.1× within-window noise
         "value": round(total, 3), "unit": "sec",
-        "protocol": f"interleaved best-of-{int(os.environ.get('GRAFT_BENCH_REPS', '3'))} per query; value = sum of bests",
+        "protocol": f"interleaved best-of-{reps} per query; value = sum of bests",
         "queries": queries,
         "queries_all_runs": dict(
             validate_transcripts=headline["wall_s_runs"], **samples),

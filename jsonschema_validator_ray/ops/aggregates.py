@@ -354,20 +354,31 @@ def heavy_hitters(ds, column: str, k: int = 10,
             vc = vc.sort_by([("cnt", "descending")])
             dmax = int(vc["cnt"][capacity].as_py())
             vc = vc.slice(0, capacity)
-        return pa.table({
-            "item": vc[column].cast(pa.string()),
-            "cnt": vc["cnt"].cast(pa.int64()),
-            "dmax": pa.array(np.full(vc.num_rows, dmax, np.int64)),
-        })
+        # the error term rides as a dedicated NULL-item marker ROW (not a
+        # repeated column): per-partial accounting then survives any block
+        # bundling/coalescing Ray applies between map outputs and
+        # to_arrow_refs blocks
+        items = pa.concat_arrays(
+            [vc[column].cast(pa.string()).combine_chunks(),
+             pa.array([None], pa.string())])
+        cnts = pa.concat_arrays(
+            [vc["cnt"].cast(pa.int64()).combine_chunks(),
+             pa.array([0], pa.int64())])
+        dmaxs = pa.concat_arrays(
+            [pa.array(np.zeros(vc.num_rows, np.int64)),
+             pa.array([dmax], pa.int64())])
+        return pa.table({"item": items, "cnt": cnts, "dmax": dmaxs})
 
     parts = [t for t in ray.get(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .materialize().to_arrow_refs()) if t.num_rows]
     merged = pa.concat_tables(parts, promote_options="default")
+    # conservative certificate: one dmax per PARTIAL (its marker row — each
+    # partial can hide at most dmax occurrences of any absent item)
+    markers = merged.filter(pc.is_null(merged["item"]))
+    err = int(pc.sum(markers["dmax"]).as_py() or 0)
+    merged = merged.filter(pc.is_valid(merged["item"]))
     g = pa.TableGroupBy(merged, "item").aggregate([("cnt", "sum")])
-    # conservative certificate: one dmax per partial BLOCK (each block can
-    # hide at most dmax occurrences of any absent item)
-    err = sum(int(t["dmax"][0].as_py()) for t in parts if t.num_rows)
     top = g.sort_by([("cnt_sum", "descending"), ("item", "ascending")]) \
         .slice(0, k)
     return pa.table({
@@ -388,6 +399,10 @@ def quantile_threshold_filter(ds_factory, key: str, value: str,
     Same small-side-broadcast shape as the tool-dictionary ref check
     (SURVEY §2.2 joins row): at 100 TB the threshold table is key-domain
     sized and ships once via closure capture, never per batch.
+
+    Null semantics match the SQL inner-join + ``>`` comparison: rows with a
+    null key or null value are dropped (a null key joins nothing; ``NULL >
+    p99`` is never true).
     """
     import ray
 
@@ -398,13 +413,22 @@ def quantile_threshold_filter(ds_factory, key: str, value: str,
                               n_buckets=n_buckets).materialize()
             .to_arrow_refs()) if t.num_rows],
         promote_options="default")
+    th = th.drop_null()             # null-key pseudo-groups join nothing
     keys = th[key].combine_chunks()
     thresholds = th[qname].to_numpy(zero_copy_only=False)
 
     def keep(batch: pa.Table) -> pa.Table:
         pos = pc.index_in(batch[key], value_set=keys)
-        t = thresholds[pos.to_numpy(zero_copy_only=False)]
-        mask = batch[value].to_numpy(zero_copy_only=False) > t
+        posv = pos.to_numpy(zero_copy_only=False)
+        valid = pc.and_(pc.is_valid(pos),
+                        pc.is_valid(batch[value])) \
+            .to_numpy(zero_copy_only=False)
+        mask = np.zeros(batch.num_rows, bool)
+        if valid.any():
+            vi = np.flatnonzero(valid)
+            t = thresholds[posv[vi].astype(np.int64)]
+            vals = batch[value].to_numpy(zero_copy_only=False)[vi]
+            mask[vi] = vals > t
         return batch.filter(pa.array(mask))
 
     return ds_factory().map_batches(keep, batch_format="pyarrow",
@@ -492,9 +516,12 @@ def grouped_approx_distinct(ds, key: str, value: str,
     from ..state.hll import HyperLogLog, hash64
 
     def partial(batch: pa.Table) -> pa.Table:
+        # SQL count(DISTINCT v) semantics: null values never count, null
+        # keys form no group (mirrors grouped_exact_distinct's drop_null)
+        batch = batch.select([key, value]).drop_null()
         keys = batch[key].combine_chunks() \
             if isinstance(batch[key], pa.ChunkedArray) else batch[key]
-        uk = pc.unique(keys.drop_null())
+        uk = pc.unique(keys)
         hashes = hash64(batch[value])
         codes = pc.index_in(keys, value_set=uk) \
             .to_numpy(zero_copy_only=False)

@@ -74,7 +74,8 @@ def kmeans_fit(ds_factory, vec_column: str = "embedding",
     import ray
 
     cents = seed_centroids(ds_factory(), vec_column, id_column, k)
-    objectives: list[float] = []
+    k = cents.shape[0]              # corpus smaller than k: clamp (the
+    objectives: list[float] = []    # reduce arrays below are k-sized)
     for _ in range(iters):
         ref = ray.put(cents)
 

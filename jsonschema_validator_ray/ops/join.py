@@ -343,6 +343,11 @@ def bloom_semi_join(left_ds, right_ds, left_key: str, right_key: str,
     (same broadcast-small-side assumption as `ref_check`); when the right
     side's distinct keys exceed the broadcast budget, verify survivors with
     `reduce_side_hash_join` instead.
+
+    Key requirements (same as the as-of/range joins): join keys must be
+    integer-castable — the exact-verify set is a sorted int64 array. Null
+    left keys never match (SQL EXISTS) and are kept by ``negate`` (SQL NOT
+    EXISTS); null right keys are dropped.
     """
     import ray
 

@@ -26,6 +26,37 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+
+def _commit_part(table: pa.Table, out_dir: str) -> tuple[str, bool]:
+    """Content-addressed atomic part commit, shared by both sinks: hash the
+    table's IPC bytes for a deterministic name, write to a UNIQUE tmp (two
+    identical-content blocks in one run target the same final path — a
+    shared tmp would let concurrent writers interleave before the rename),
+    os.replace for the atomic commit, skip when the part already exists.
+    Returns (path, skipped)."""
+    import hashlib
+    import uuid
+
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    digest = hashlib.blake2b(sink.getvalue().to_pybytes(),
+                             digest_size=12).hexdigest()
+    path = os.path.join(out_dir, f"part-{digest}.parquet")
+    skipped = os.path.exists(path)
+    if not skipped:
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path, skipped
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+
 def write_partitioned_parquet(ds, out_dir: str) -> dict:
     """Write ``ds`` to ``out_dir`` as content-addressed Parquet parts.
     Returns the manifest dict {files: [...], n_rows, n_skipped}."""
@@ -39,24 +70,7 @@ def write_partitioned_parquet(ds, out_dir: str) -> dict:
             return pa.table({"path": pa.array([], pa.string()),
                              "n_rows": pa.array([], pa.int64()),
                              "skipped": pa.array([], pa.bool_())})
-        import hashlib
-
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, batch.schema) as w:
-            w.write_table(batch)
-        digest = hashlib.blake2b(sink.getvalue().to_pybytes(),
-                                 digest_size=12).hexdigest()
-        path = os.path.join(out_dir, f"part-{digest}.parquet")
-        skipped = os.path.exists(path)
-        if not skipped:
-            # unique tmp name: two blocks with IDENTICAL content in one run
-            # target the same final path — a shared tmp would let concurrent
-            # writers interleave before the rename
-            import uuid
-
-            tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
-            pq.write_table(batch, tmp)
-            os.replace(tmp, path)       # atomic commit per block
+        path, skipped = _commit_part(batch, out_dir)
         return pa.table({"path": pa.array([path], pa.string()),
                          "n_rows": pa.array([batch.num_rows], pa.int64()),
                          "skipped": pa.array([skipped], pa.bool_())})
@@ -81,10 +95,7 @@ def write_partitioned_parquet(ds, out_dir: str) -> dict:
     n_rows = sum(per_file.values())
     manifest = {"files": files, "n_rows": int(n_rows),
                 "n_skipped": int(n_skipped)}
-    tmp = os.path.join(out_dir, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+    _write_manifest(out_dir, manifest)
     return manifest
 
 
@@ -100,9 +111,6 @@ def write_hive_partitioned(ds, out_dir: str, partition_col: str) -> dict:
     over values PRESENT in the batch, never rows). Returns a manifest
     ``{partitions: {value: n_rows}, files, n_skipped}``.
     """
-    import hashlib
-    import uuid
-
     import pyarrow.compute as pc
     import ray
 
@@ -123,17 +131,7 @@ def write_hive_partitioned(ds, out_dir: str, partition_col: str) -> dict:
             part = batch.filter(pc.equal(col, v))
             pdir = os.path.join(out_dir, f"{partition_col}={v}")
             os.makedirs(pdir, exist_ok=True)
-            sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, part.schema) as w:
-                w.write_table(part)
-            digest = hashlib.blake2b(sink.getvalue().to_pybytes(),
-                                     digest_size=12).hexdigest()
-            path = os.path.join(pdir, f"part-{digest}.parquet")
-            skipped = os.path.exists(path)
-            if not skipped:
-                tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
-                pq.write_table(part, tmp)
-                os.replace(tmp, path)
+            path, skipped = _commit_part(part, pdir)
             rows["partition"].append(str(v))
             rows["path"].append(path)
             rows["n_rows"].append(part.num_rows)
@@ -158,8 +156,5 @@ def write_hive_partitioned(ds, out_dir: str, partition_col: str) -> dict:
         partitions[v] = partitions.get(v, 0) + n
     manifest = {"partitions": partitions, "files": sorted(per_file),
                 "n_skipped": int(n_skipped)}
-    tmp = os.path.join(out_dir, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+    _write_manifest(out_dir, manifest)
     return manifest

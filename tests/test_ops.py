@@ -1551,3 +1551,42 @@ def test_new_ops_null_edges(ray_session):
         ray.data.from_arrow(left), ray.data.from_arrow(right),
         "uid", "uid", m_bits=1 << 12, negate=True)).sort_by("rid")
     assert anti["rid"].to_pylist() == [1, 2]          # null kept by NOT EXISTS
+
+
+def test_review_regressions_nulls_and_small_k(ray_session):
+    """Round-4 review fixes stay fixed: (1) quantile_threshold_filter drops
+    null-key/null-value rows like the SQL inner join; (2)
+    grouped_approx_distinct ignores null values like count(DISTINCT); (3)
+    kmeans_fit clamps k to the corpus size instead of crashing."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import (
+        grouped_approx_distinct, quantile_threshold_filter)
+    from jsonschema_validator_ray.ops.cluster import kmeans_fit
+
+    t = pa.table({"k": pa.array(["a", "a", "a", "a", None, None, None]),
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 100.0])})
+    out = pa.concat_tables(
+        [x for x in ray.get(quantile_threshold_filter(
+            lambda: ray.data.from_arrow(t), "k", "v", q=0.5)
+            .materialize().to_arrow_refs()) if x.num_rows],
+        promote_options="default")
+    assert out["k"].null_count == 0
+    assert out["v"].to_pylist() == [3.0, 4.0]
+
+    t2 = pa.table({"k": pa.array(["a"] * 6),
+                   "v": pa.array([1, 2, 3, None, None, 1], pa.int64())})
+    ad = grouped_approx_distinct(ray.data.from_arrow(t2), "k", "v")
+    assert ad["approx_distinct"].to_pylist() == [3]
+
+    rng = np.random.default_rng(5)
+    small = pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, r)) for r in
+             rng.normal(size=(5, 8)).astype(np.float32)],
+            pa.list_(pa.float32()))})
+    cents, objs = kmeans_fit(lambda: ray.data.from_arrow(small),
+                             k=8, iters=2)
+    assert cents.shape[0] == 5 and len(objs) == 2
