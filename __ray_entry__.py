@@ -38,7 +38,6 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 def _read(sf_dir: str, table: str, columns=None, filter=None):
-    import pyarrow.parquet as pq
     import ray.data
 
     from jsonschema_validator_ray.rayutil import (
@@ -53,10 +52,10 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
     # (~ms) buys clean schemas on every block from the source.
     # ``filter`` is a pads.field expression pushed into the scan; its
     # predicate columns must be included in ``columns``.
+    from jsonschema_validator_ray.rayutil import clean_read_schema
     path = os.path.join(sf_dir, f"{table}.parquet")
-    full = pq.read_schema(path).remove_metadata()
-    schema = pa.schema([full.field(c) for c in (columns or full.names)])
-    return ray.data.read_parquet(path, columns=columns, schema=schema,
+    return ray.data.read_parquet(path, columns=columns,
+                                 schema=clean_read_schema(path, columns),
                                  filter=filter)
 
 
@@ -194,23 +193,17 @@ def q_conv_stats(sf_dir: str) -> pa.Table:
     import ray.data
 
     from jsonschema_validator_ray.rayutil import ensure_worker_importable
-    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
     ensure_worker_importable()
 
     gen, spec = _ensure_current_corpus(sf_dir)
-    import pyarrow.parquet as _pq
-    _full = _pq.read_schema(gen.files[0]).remove_metadata()
+    from jsonschema_validator_ray.rayutil import clean_read_schema
     ds = ray.data.read_parquet(
         gen.files, columns=["conv_id", "tool", "text"],
-        schema=pa.schema([_full.field(c)
-                          for c in ("conv_id", "tool", "text")]))
+        schema=clean_read_schema(gen.files[0],
+                                 ["conv_id", "tool", "text"]))
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
-
-        h = (np_column_hash(batch["conv_id"]) % np.uint64(64)).astype(np.int64)
-        return strip_meta(batch).append_column("_bucket",
-                                               pa.array(h, pa.int64()))
+    from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
+    add_bucket = _add_bucket_fn("conv_id", 64)
 
     def agg_bucket(group: pa.Table) -> pa.Table:
         t = pa.table({
@@ -288,10 +281,10 @@ def q_ref_check_lineitem(sf_dir: str) -> pa.Table:
 
 
 def q_unique_check_events(sf_dir: str) -> pa.Table:
-    from jsonschema_validator_ray.rayutil import strip_meta
-
-    ds = _read(sf_dir, "events", ["event_id"]).map_batches(
-        strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    # _read already supplies a metadata-free schema, so count() stays a
+    # parquet-metadata-only answer (a strip_meta map here would force a
+    # full scan just to count rows)
+    ds = _read(sf_dir, "events", ["event_id"])
     n_rows = ds.count()
     n_distinct = ds.groupby("event_id").count().count()
     return pa.table({"n_rows": pa.array([n_rows], pa.int64()),
@@ -303,15 +296,9 @@ def q_mono_check_events(sf_dir: str) -> pa.Table:
     table: group=user_id, order=event_id). ONE hash-bucket groupby — whole
     users per bucket — with a vectorized in-group lag check and per-user
     count (zeros included); nothing but the result reaches the driver."""
-    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
-
-        h = (np_column_hash(batch["user_id"]) % np.uint64(128)) \
-            .astype(np.int64)
-        return strip_meta(batch).append_column("_bucket",
-                                               pa.array(h, pa.int64()))
+    from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
+    add_bucket = _add_bucket_fn("user_id", 128)
 
     def check_bucket(group: pa.Table) -> pa.Table:
         srt = group.sort_by([("user_id", "ascending"),
@@ -483,15 +470,9 @@ def q_shipping_priority(sf_dir: str) -> pa.Table:
 def q_running_total_orders(sf_dir: str) -> pa.Table:
     """Running per-customer spend (window cumulative sum) via ONE hash-bucket
     groupby: whole customers per bucket, vectorized in-group cumsum."""
-    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
-
-        h = (np_column_hash(batch["o_custkey"]) % np.uint64(128)) \
-            .astype(np.int64)
-        return strip_meta(batch).append_column("_bucket",
-                                               pa.array(h, pa.int64()))
+    from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
+    add_bucket = _add_bucket_fn("o_custkey", 128)
 
     def cum_bucket(group: pa.Table) -> pa.Table:
         srt = group.sort_by([("o_custkey", "ascending"),
@@ -882,17 +863,11 @@ def q_sliding_window_events(sf_dir: str) -> pa.Table:
     """Sliding 1-hour count per user (batch form of a streaming sliding
     window): ONE hash-bucket groupby, vectorized in-group two-sided
     searchsorted — RANGE-frame semantics (peers of the current ts count)."""
-    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
 
     HOUR_US = 3_600_000_000
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
-
-        h = (np_column_hash(batch["user_id"]) % np.uint64(128)) \
-            .astype(np.int64)
-        return strip_meta(batch).append_column("_bucket",
-                                               pa.array(h, pa.int64()))
+    from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
+    add_bucket = _add_bucket_fn("user_id", 128)
 
     def window_bucket(group: pa.Table) -> pa.Table:
         srt = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
@@ -1501,18 +1476,12 @@ def q_event_deltas(sf_dir: str) -> pa.Table:
     vectorized diff — the canonical lag/lead shape at any scale."""
     import ray
 
-    from jsonschema_validator_ray.rayutil import strip_meta
-    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
-
     avail = int(ray.cluster_resources().get("CPU", 4)) \
         if ray.is_initialized() else 4
     n_buckets = 4 * avail
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = (np_column_hash(batch["user_id"])
-             % np.uint64(n_buckets)).astype(np.int64)
-        return strip_meta(batch).append_column(
-            "_bucket", pa.array(h, pa.int64()))
+    from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
+    add_bucket = _add_bucket_fn("user_id", n_buckets)
 
     def lag_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table({"event_id": pa.array([], pa.int64()),
@@ -1960,19 +1929,13 @@ def q_ntile_events(sf_dir: str) -> pa.Table:
     (first n%k tiles get the extra row), fully vectorized."""
     import ray
 
-    from jsonschema_validator_ray.rayutil import strip_meta
-    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
-
     K = 4
     avail = int(ray.cluster_resources().get("CPU", 4)) \
         if ray.is_initialized() else 4
     n_buckets = 4 * avail
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = (np_column_hash(batch["event_type"]) % np.uint64(n_buckets)) \
-            .astype(np.int64)
-        return strip_meta(batch).append_column("_bucket",
-                                               pa.array(h, pa.int64()))
+    from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
+    add_bucket = _add_bucket_fn("event_type", n_buckets)
 
     def tile_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:

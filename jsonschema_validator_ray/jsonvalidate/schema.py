@@ -45,9 +45,17 @@ def _resolve_pointer(doc: Any, fragment: str) -> Any:
     from urllib.parse import unquote
 
     node = doc
-    if not fragment or fragment == "/":
+    decoded = unquote(fragment)
+    if not decoded:
         return node
-    for token in unquote(fragment).lstrip("/").split("/"):
+    # consume exactly ONE leading separator (RFC 6901: "/" is the pointer
+    # [""], "//x" is ["", "x"]): lstrip would collapse empty tokens and
+    # resolve refs through an empty-string member to the wrong node
+    if decoded.startswith("/"):
+        tokens = decoded[1:].split("/")
+    else:
+        tokens = decoded.split("/")   # plain-name fragment (non-pointer)
+    for token in tokens:
         token = token.replace("~1", "/").replace("~0", "~")
         if isinstance(node, dict):
             node = node[token]

@@ -677,9 +677,7 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
         # saved; the index builder reads the blob columns by name).
         return broadcast_verify(ds.to_arrow_refs(), id_column, text_column)
 
-    def cand_rows(batch: pa.Table) -> pa.Table:
-        _, _, _, _, _, cand = _pair_index(pair_refs, n_verify_parts)
-        sel = batch.filter(pc.is_in(batch[id_column], value_set=cand))
+    def _to_blob_rows(sel: pa.Table) -> pa.Table:
         if sets_precomputed:
             blobs = sel[text_column].to_pylist()
         else:
@@ -690,20 +688,50 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
             "shingles": pa.array(blobs, pa.binary()),
         })
 
+    if not pairs_small:
+        # SHARDED path (at scale): NO worker may derive the full pair
+        # index — the point of the route (VERDICT r3 #5) — so the scan's
+        # candidate prefilter uses an IDS-ONLY broadcast (per-block unique
+        # ids from the pair table, unioned once on the driver: no pair
+        # sort, no routing arrays, no per-worker rebuild). If even the id
+        # set exceeds the cap, skip prefiltering entirely: the sharded
+        # routing join drops non-candidate sets anyway.
+        id_parts = [np.unique(np.concatenate([
+            t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+            for t in ray.get(pairs_mat.to_arrow_refs())
+            if t.num_rows and "id_a" in t.column_names]
+        cand_ids = np.unique(np.concatenate(id_parts)) if id_parts \
+            else np.zeros(0, np.int64)
+        cand_ref = ray.put(pa.array(cand_ids, pa.int64())) \
+            if cand_ids.nbytes <= pair_cap_bytes else None
+
+        def cand_rows_sharded(batch: pa.Table) -> pa.Table:
+            sel = batch if cand_ref is None else batch.filter(
+                pc.is_in(batch[id_column], value_set=ray.get(cand_ref)))
+            return _to_blob_rows(sel)
+
+        sets_sharded = ds.map_batches(cand_rows_sharded,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True).materialize()
+        # Pairs shuffle by vp; doc→vp routing resolves via a hash-bucket
+        # join of routing rows against candidate sets; each vp group
+        # verifies with only ITS pair slice + the sets it needs. Two extra
+        # all-to-alls — the price of bounded per-worker RSS once candidate
+        # pairs outgrow a broadcast.
+        return _jaccard_verify_sharded(sets_sharded, pairs_mat,
+                                       n_verify_parts, verify_threshold,
+                                       empty)
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        _, _, _, _, _, cand = _pair_index(pair_refs, n_verify_parts)
+        return _to_blob_rows(batch.filter(
+            pc.is_in(batch[id_column], value_set=cand)))
+
     # ONE corpus scan → candidate sets only (output-scale), staged in the
     # object store
     sets_mat = ds.map_batches(cand_rows, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-
-    if not pairs_small:
-        # SHARDED path (at scale): NO worker ever derives the full pair
-        # index. Pairs shuffle by vp; doc→vp routing resolves via a
-        # hash-bucket join of routing rows against candidate sets; each vp
-        # group verifies with only ITS pair slice + the sets it needs.
-        # Costs two extra all-to-alls — the price of bounded per-worker RSS
-        # once candidate pairs outgrow a broadcast (VERDICT r3 #5).
-        return _jaccard_verify_sharded(sets_mat, pairs_mat, n_verify_parts,
-                                       verify_threshold, empty)
 
     if sets_mat.size_bytes() <= broadcast_cap_bytes:
         return broadcast_verify(sets_mat.to_arrow_refs(),
@@ -1200,22 +1228,19 @@ def connected_components(pairs: pa.Table, id_a: str = "id_a",
             edge_refs.append((i, ray.put((ub[lo:hi], vb[lo:hi]))))
 
     @ray.remote
-    def propagate(edges_ref_pair, nodes_ref, labels_ref):
+    def propagate(edges_ref_pair, nds, lbl):
         """One bucket's round: label-lookup for its edges' sources, emit
-        (dst, candidate label) minima — vectorized searchsorted + reduceat."""
+        (dst, candidate label) minima — vectorized searchsorted + reduceat.
+        Top-level ObjectRef args arrive auto-resolved by Ray."""
         eu, ev = edges_ref_pair
-        nds = ray.get(nodes_ref) if isinstance(
-            nodes_ref, ray.ObjectRef) else nodes_ref
-        lbl = ray.get(labels_ref) if isinstance(
-            labels_ref, ray.ObjectRef) else labels_ref
         src_lbl = lbl[np.searchsorted(nds, eu)]
         o = np.argsort(ev, kind="stable")
         dv, sl = ev[o], src_lbl[o]
         starts = np.flatnonzero(np.concatenate([[True], dv[1:] != dv[:-1]]))
         return dv[starts], np.minimum.reduceat(sl, starts)
 
+    nodes_ref = ray.put(nodes)      # constant across rounds: put ONCE
     for _ in range(max_rounds):
-        nodes_ref = ray.put(nodes)
         labels_ref = ray.put(labels)
         parts = ray.get([propagate.remote(ref, nodes_ref, labels_ref)
                          for _, ref in edge_refs])
@@ -1495,8 +1520,16 @@ def ngram_gram_blobs(ds, id_column: str, text_column: str, n: int):
         sizes = np.bincount(gdoc, minlength=word_counts.size)
         docs_kept = np.flatnonzero(sizes)
         sizes_kept = sizes[docs_kept]
-        byte_off = np.concatenate(
-            [[0], np.cumsum(sizes_kept * 8)]).astype(np.int32)
+        byte_off = np.concatenate([[0], np.cumsum(sizes_kept * 8)])
+        if byte_off[-1] > np.iinfo(np.int32).max:
+            # pa.binary() carries int32 offsets; a silent wrap here would
+            # corrupt every downstream gram set. Fail loud with the remedy.
+            raise ValueError(
+                f"gram blob bytes per block exceed 2^31 ({byte_off[-1]}); "
+                "reduce the read block size (DataContext.target_max_block_"
+                "size / override_num_blocks) so blocks stay under ~250M "
+                "grams")
+        byte_off = byte_off.astype(np.int32)
         blob_arr = pa.BinaryArray.from_buffers(
             pa.binary(), docs_kept.size,
             [None, pa.py_buffer(byte_off.tobytes()),

@@ -39,7 +39,9 @@ def build_inverted_index(ds, column: str = "text", id_column: str = "doc_id",
 
     def postings_partial(batch: pa.Table) -> pa.Table:
         """Distinct (term, doc) pairs of one batch, term-hash-bucketed."""
-        words = pc.split_pattern(batch[column], " ")
+        # null text -> no postings (fill_null then the "" filter below;
+        # NaN lens from a null list would crash np.repeat)
+        words = pc.split_pattern(pc.fill_null(batch[column], ""), " ")
         lens = pc.list_value_length(words).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(words).combine_chunks()

@@ -83,20 +83,14 @@ def stratified_sample(ds, group_column: str, key_column: str, k: int,
     Dataset of the kept rows + ``rk`` (1-based rank within group)."""
     import ray
 
-    from ..stages.groupcheck import np_column_hash
 
     if n_buckets <= 0:
         avail = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         n_buckets = 4 * avail
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
-
-        h = (np_column_hash(batch[group_column]) % np.uint64(n_buckets)) \
-            .astype(np.int64)
-        return strip_meta(batch).append_column(
-            "_bucket", pa.array(h, pa.int64()))
+    from .aggregates import _add_bucket_fn
+    add_bucket = _add_bucket_fn(group_column, n_buckets)
 
     def bucket_sample(group: pa.Table) -> pa.Table:
         body = group.drop_columns(["_bucket"])

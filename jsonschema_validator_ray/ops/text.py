@@ -174,7 +174,8 @@ def add_word_repetition(ds, column: str = "text", id_column: str = "doc_id",
     Empty-string pieces from repeated separators count as words on BOTH the
     engine and the DuckDB ``string_split`` oracle side, by construction."""
     def fn(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch[column], " ")
+        valid = pc.is_valid(batch[column])
+        words = pc.split_pattern(pc.fill_null(batch[column], ""), " ")
         lens = pc.list_value_length(words).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         codes = pc.list_flatten(words).combine_chunks().dictionary_encode()
@@ -189,10 +190,17 @@ def add_word_repetition(ds, column: str = "text", id_column: str = "doc_id",
         n_distinct = np.bincount(di[new], minlength=lens.size) \
             .astype(np.int64)
         dup_ratio = 1.0 - n_distinct / lens    # exact IEEE ops: matches SQL
+        # null text -> null metrics (SQL string_split(NULL) semantics), the
+        # fill_null above only exists to keep the vector math crash-free
         cols = {
-            "n_words": pa.array(lens, pa.int64()),
-            "n_distinct_words": pa.array(n_distinct, pa.int64()),
-            "dup_ratio": pa.array(dup_ratio, pa.float64()),
+            "n_words": pc.if_else(valid, pa.array(lens, pa.int64()),
+                                  pa.scalar(None, pa.int64())),
+            "n_distinct_words": pc.if_else(
+                valid, pa.array(n_distinct, pa.int64()),
+                pa.scalar(None, pa.int64())),
+            "dup_ratio": pc.if_else(valid,
+                                    pa.array(dup_ratio, pa.float64()),
+                                    pa.scalar(None, pa.float64())),
         }
         if append:                  # keep every input column (composition)
             out = batch
@@ -235,7 +243,8 @@ def tfidf_top_terms(ds_factory, column: str = "text",
     import ray
 
     def flat_terms(batch: pa.Table):
-        words = pc.split_pattern(batch[column], " ")
+        # null text -> no terms (fill_null + the "" filter below)
+        words = pc.split_pattern(pc.fill_null(batch[column], ""), " ")
         lens = pc.list_value_length(words).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(words).combine_chunks()

@@ -101,11 +101,10 @@ def _dataset_from(source: Source, columns: Optional[list] = None,
     # unhashable and defeats Ray's schema dedup in every unify — inside the
     # read op's block splitting and every shuffle reduce ('Failed to hash
     # the schemas' spam). One driver-side footer read buys clean blocks.
-    import pyarrow.parquet as pq
+    from ..rayutil import clean_read_schema
 
-    full = pq.read_schema(paths[0]).remove_metadata()
-    schema = pa.schema([full.field(c) for c in (columns or full.names)])
-    return ray.data.read_parquet(paths, columns=columns, schema=schema,
+    return ray.data.read_parquet(paths, columns=columns,
+                                 schema=clean_read_schema(paths[0], columns),
                                  override_num_blocks=int(nblocks))
 
 

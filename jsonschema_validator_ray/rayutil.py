@@ -102,3 +102,18 @@ def quiet_empty_partition_warnings() -> None:
         "ray.data._internal.execution.streaming_executor_state")
     if not any(isinstance(f, _EmptySchemaFilter) for f in logger.filters):
         logger.addFilter(_EmptySchemaFilter())
+
+
+def clean_read_schema(path: str, columns=None):
+    """Explicit METADATA-FREE read schema for ``read_parquet(schema=...)``:
+    testdata/generator parquet carries pandas / graft_plan footer metadata,
+    which makes ``pa.Schema`` unhashable and defeats Ray's block-schema
+    dedup in every unify (the 'Failed to hash the schemas' spam). One
+    driver-side footer read (~ms) buys clean schemas on every block. The
+    single shared implementation of the recipe previously copy-pasted at
+    each read site."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(path).remove_metadata()
+    return pa.schema([full.field(c) for c in (columns or full.names)])
