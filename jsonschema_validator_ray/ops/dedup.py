@@ -1609,7 +1609,8 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
                                   n: int = 3, threshold: float = 0.6,
                                   n_buckets: int = 0,
                                   hot_df: int = 64,
-                                  hot_sample_fraction: float = 0.25) -> pa.Table:
+                                  hot_sample_fraction: float = 0.25,
+                                  hot_min_docs: int = 20_000) -> pa.Table:
     """EXACT word-n-gram Jaccard near-dup via a PPJoin-style prefix-filtered
     set-similarity join (Xiao/Wang/Lin/Yu, WWW'08 — public algorithm):
 
@@ -1640,8 +1641,21 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
         n_buckets = 4 * avail
 
     grams_ds = ngram_gram_blobs(ds, id_column, text_column, n)
-    hot = ngram_hot_grams(grams_ds, hot_df, n_buckets,
-                          sample_fraction=hot_sample_fraction)
+    # the hot-gram df scan only pays when df² can explode: below
+    # ``hot_min_docs`` documents even a corpus-wide gram caps pair emission
+    # at docs², so skip the extra dataset execution (ds.count() is
+    # metadata-only for parquet); the prefix filter stays lossless either
+    # way — an empty hot set just means the plain global-order prefix
+    try:
+        small_corpus = ds.count() < hot_min_docs
+    except Exception:
+        small_corpus = False
+    if small_corpus:
+        hot = pa.table({"gh": pa.array([], pa.uint64()),
+                        "df": pa.array([], pa.int64())})
+    else:
+        hot = ngram_hot_grams(grams_ds, hot_df, n_buckets,
+                              sample_fraction=hot_sample_fraction)
     hot_gh = hot["gh"].to_numpy().astype(np.uint64)          # sorted by gh
     # hot level: 1 + rank by (df, gh) — hottest gram sorts ABSOLUTELY last
     order = np.lexsort((hot_gh, hot["df"].to_numpy()))

@@ -612,7 +612,8 @@ def test_ngram_jaccard_hot_gram_bounded(ray_session):
     assert hot_tbl.num_rows >= 1              # the shared gram is hot
 
     out = ngram_jaccard_near_duplicates(ds, "doc_id", "text", n=3,
-                                        threshold=0.5, hot_df=64)
+                                        threshold=0.5, hot_df=64,
+                                        hot_min_docs=0)  # force the hot path
     pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     assert (0, 500) in pairs
     # docs share ONLY the hot gram + boundary grams: no spurious mass pairing
