@@ -84,7 +84,7 @@ class GroupCheck:
     order_by: str = "turn_idx"
     ts_column: str = "ts"
     check_unique: bool = True     # unique:(group_key, order_by)
-    check_mono: bool = True       # mono: ts strictly increasing in order_by order
+    check_mono: bool = True       # mono: ts never decreases in order_by order
     salt_span: int = 4096         # turn_idx // span → salt bucket for hot groups
 
 
@@ -190,7 +190,18 @@ def _compile_properties(ir: ConstraintIR, col: str, cspec: dict, *,
             types = frozenset(("object",))
         else:
             types = _parse_type_set(f"{col}/{fpath}", declared)
-        etype = next((t for t in _NESTED_TYPES if t in types), "string")
+        value_types = [t for t in _NESTED_TYPES if t in types]
+        if "type" in fspec and "object" not in types and len(value_types) > 1:
+            # the vectorized extraction casts to ONE engine type; a multi-type
+            # declaration can't be checked by a single cast and would silently
+            # flag valid values of the other types (review r4) — refuse at
+            # compile time like the reference's malformed-schema errors
+            raise SchemaError.malformed(
+                f"{col}/{fpath}", KeywordType.TYPE,
+                "Nested properties support a single declared type (plus "
+                "'object'); multi-type nested declarations are not "
+                f"supported: {sorted(types)}")
+        etype = value_types[0] if value_types else "string"
         d = StructDecode(parent=col, field=fpath, engine_type=etype,
                          json=is_json)
         ir.struct_decodes.append(d)

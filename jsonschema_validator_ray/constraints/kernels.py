@@ -148,7 +148,13 @@ def _k_format_len(c, col, is_null, batch, ir):
 @kernel("nested_required")
 def _k_nested_required(c, col, is_null, batch, ir):
     # column = the `{parent}/{field}#present` boolean: absent key ⇒ violation
-    # (the validator masks to rows whose parent payload is present)
+    # (the validator masks to rows whose parent payload is present).
+    # Documented divergence from Draft-4 `required`: "present" means the key
+    # maps to a NON-NULL value — `{"k": null}` counts as missing, because the
+    # vectorized extraction (polars json_path_match / struct-child validity)
+    # cannot distinguish an explicit JSON null from an absent key. The paired
+    # DuckDB oracle (`json_extract_string(...) IS NULL`) has identical
+    # semantics, so the gate stays consistent.
     return pc.invert(pc.fill_null(col, False))
 
 
@@ -185,6 +191,13 @@ def evaluate_kernel(c: RowConstraint, batch: pa.Table, ir: ConstraintIR) -> Opti
         # skipped (absent ⇒ skip, properties_.rs:124-128)
         return _all_true(batch.num_rows) if c.kind == "required" else None
     col = batch[c.column]
+    if pa.types.is_null(col.type) and c.kind in ("enum", "ref", "format_len",
+                                                 "format_range"):
+        # Arrow null-typed column (all-None parquet column, or the pa.nulls
+        # fallback from augment_with_struct_decodes): value-level kernels
+        # skip nulls by definition, and their pyarrow.compute calls would
+        # raise on the null dtype (pa.array(..., type=null), utf8_length)
+        return None
     return KERNELS[c.kind](c, col, pc.is_null(col), batch, ir)
 
 
@@ -286,7 +299,7 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
     assert mode in ("enumerate", "verdict")
     constraints = list(ir.row_constraints)
 
-    def eval_mask(c: RowConstraint, batch: pa.Table):
+    def eval_mask(c: RowConstraint, batch: pa.Table, obj_cache: dict):
         mask = evaluate_kernel(c, batch, ir)
         if mask is None:
             return None
@@ -294,28 +307,35 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
             # nested constraints pass vacuously on NON-OBJECT instances —
             # null payloads AND non-object JSON like '5' or '[1,2]' — per the
             # reference's properties keyword (properties_.rs:120-135), which
-            # applies sub-schemas only when the instance is an object
-            col = batch[c.parent]
-            is_obj = pc.is_valid(col)
-            if pa.types.is_string(col.type) or pa.types.is_large_string(
-                    col.type):
-                # strip exactly RFC 8259's insignificant-whitespace set
-                # (space, tab, LF, CR) — NOT utf8_ltrim_whitespace, which
-                # strips all Unicode whitespace and diverged from the paired
-                # SQL oracle's ltrim set (ADVICE r3)
-                is_obj = pc.and_(is_obj, pc.starts_with(
-                    pc.utf8_ltrim(col, " \t\n\r"), "{"))
+            # applies sub-schemas only when the instance is an object.
+            # The full-column ltrim/starts_with scan is computed ONCE per
+            # parent per batch (obj_cache): N nested constraints on one
+            # payload column would otherwise rescan it N times.
+            is_obj = obj_cache.get(c.parent)
+            if is_obj is None:
+                col = batch[c.parent]
+                is_obj = pc.is_valid(col)
+                if pa.types.is_string(col.type) or pa.types.is_large_string(
+                        col.type):
+                    # strip exactly RFC 8259's insignificant-whitespace set
+                    # (space, tab, LF, CR) — NOT utf8_ltrim_whitespace, which
+                    # strips all Unicode whitespace and diverged from the
+                    # paired SQL oracle's ltrim set (ADVICE r3)
+                    is_obj = pc.and_(is_obj, pc.starts_with(
+                        pc.utf8_ltrim(col, " \t\n\r"), "{"))
+                obj_cache[c.parent] = is_obj
             mask = pc.and_(pc.fill_null(mask, False), is_obj)
         return mask
 
     def validate_batch(batch: pa.Table) -> pa.Table:
         n_in = batch.num_rows
         batch = augment_with_struct_decodes(batch, ir)
+        obj_cache: dict = {}
         if mode == "verdict":
             total = 0
             first_cid = None
             for c in constraints:
-                mask = eval_mask(c, batch)
+                mask = eval_mask(c, batch, obj_cache)
                 if mask is None:
                     continue
                 k = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
@@ -332,7 +352,7 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
 
         parts = []
         for c in constraints:
-            mask = eval_mask(c, batch)
+            mask = eval_mask(c, batch, obj_cache)
             if mask is None:
                 continue
             if not pc.any(mask).as_py():
@@ -349,6 +369,40 @@ def make_row_validator(ir: ConstraintIR, mode: str = "enumerate"):
 # ---------------------------------------------------------------------------
 # Shuffle-stage kernels: monotonicity + uniqueness per (salted) group
 # ---------------------------------------------------------------------------
+
+def order_key_int64(col) -> pa.Array:
+    """Order-key column → int64 with nulls where a value cannot participate
+    in group checks. Mirrors the row stage's `type` kernel semantics instead
+    of crashing the wide stage on malformed data (review r4): integer dtypes
+    cast directly; integer-VALUED floats participate (they satisfy a declared
+    ``integer``); non-integral floats and every other dtype (string, …) are
+    nulled — those values already fired Invalid Type in the row stage, and
+    group checks exclude them exactly like null order keys."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_integer(t):
+        return col.cast(pa.int64())
+    if pa.types.is_floating(t):
+        integral = pc.fill_null(pc.equal(pc.floor(col), col), False)
+        return pc.if_else(integral, col,
+                          pa.nulls(len(col), t)).cast(pa.int64(), safe=False)
+    return pa.nulls(len(col), pa.int64())
+
+
+def ts_key_int64(col) -> pa.Array:
+    """Timestamp column → int64 ticks with nulls for non-temporal dtypes
+    (mono is defined over rows with VALID ts; a mistyped ts column fired the
+    row stage's type kernel and its rows drop out of mono, they don't crash
+    the shuffle). Unit preserved as stored — comparisons are within-column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if (pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_integer(t)):
+        return col.cast(pa.int64(), safe=False)
+    return pa.nulls(len(col), pa.int64())
+
 
 GROUPCHECK_SCHEMA = pa.schema([
     ("kind", pa.string()),          # "violation" | "boundary"
@@ -370,18 +424,26 @@ def group_check_table(group: pa.Table, gc: GroupCheck, *, emit_boundary: bool = 
     for the cross-bucket merge (SURVEY.md §7.4 salted-group boundary merge).
 
     Semantics (FIXTURES.md §B): per conversation ordered by ``order_by``
-    (stable), ``ts`` must be strictly increasing — a swapped turn_idx pair
-    surfaces as a ts regression; ``(group_key, order_by)`` must be unique.
-    Null order keys are skipped (they already fired type/required kernels).
+    (stable), ``ts`` must never DECREASE — a violation is ``ts < prev_ts``
+    at a different turn; equal consecutive ts pass (matches the oracle's
+    ``WHERE ts < lag(ts)``; a swapped turn_idx pair surfaces as a ts
+    regression); ``(group_key, order_by)`` must be unique. Null or
+    uncastable order keys are skipped (they already fired type/required).
     """
     gk_valid = pc.is_valid(group[gc.group_key])
     if not pc.all(gk_valid).as_py():
         # null group keys already fired required/type kernels — skip them
         group = group.filter(gk_valid)
     conv = group[gc.group_key][0].as_py() if group.num_rows else None
-    tid_all = _np(group[gc.order_by].cast(pa.int64()).fill_null(np.iinfo(np.int64).min))
-    null_mask = _np(pc.is_null(group[gc.order_by]))
-    ts_all = _np(group[gc.ts_column].cast(pa.int64()))  # us since epoch
+    ord_arr = order_key_int64(group[gc.order_by])
+    tid_all = _np(ord_arr.fill_null(np.iinfo(np.int64).min))
+    null_mask = _np(pc.is_null(ord_arr))
+    if gc.check_mono and gc.ts_column in group.column_names:
+        ts_all = _np(ts_key_int64(group[gc.ts_column]))  # ticks as stored
+    else:
+        # unique-only spec: no ts column is projected (or it's absent) —
+        # mono never fires and boundaries carry no valid ts
+        ts_all = np.full(group.num_rows, np.nan)
     keep = ~null_mask
     tid = tid_all[keep]
     ts = ts_all[keep]

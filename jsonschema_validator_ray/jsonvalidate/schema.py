@@ -58,9 +58,17 @@ def _resolve_pointer(doc: Any, fragment: str) -> Any:
     for token in tokens:
         token = token.replace("~1", "/").replace("~0", "~")
         if isinstance(node, dict):
-            node = node[token]
+            try:
+                node = node[token]
+            except KeyError:
+                raise SchemaError(
+                    f"Loader Error: cannot resolve pointer {fragment!r}") from None
         elif isinstance(node, list):
-            node = node[int(token)]
+            try:
+                node = node[int(token)]
+            except (ValueError, IndexError):
+                raise SchemaError(
+                    f"Loader Error: cannot resolve pointer {fragment!r}") from None
         else:
             raise SchemaError(f"Loader Error: cannot resolve pointer {fragment!r}")
     return node

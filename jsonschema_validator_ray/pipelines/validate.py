@@ -201,7 +201,10 @@ def validate(source: Source, spec: Optional[dict] = None,
     def run_wide_stage() -> Optional[pa.Table]:
         if gc is None:
             return None
-        cols = [gc.group_key, gc.order_by, gc.ts_column]
+        # ts is only projected when mono is checked: a unique-only spec must
+        # not require (or cast) a ts column at all (review r4)
+        cols = [gc.group_key, gc.order_by] + \
+            ([gc.ts_column] if gc.check_mono else [])
         gds = _dataset_from(source, columns=cols)  # pruned second read
 
         # rows with a null group/order key are excluded from group checks (they
@@ -364,6 +367,15 @@ def run_partitioned(input_files: Sequence[str], out_dir: str,
     partitions whose manifest exists with a matching IR hash are SKIPPED
     (``max_partitions`` limits work per call — used by resume tests to
     simulate a mid-run kill)."""
+    if strategy != "sort":
+        # only the sort strategy emits per-run boundary records in
+        # partitioned mode; finalize() needs them to restore cross-partition
+        # uniqueness/monotonicity — groupby/hashbucket would SILENTLY drop
+        # violations straddling partitions (review r4)
+        raise ValueError(
+            f"run_partitioned requires strategy='sort' (got {strategy!r}): "
+            "cross-partition boundary merge is only defined for the "
+            "sorted-run strategy")
     if ir is None:
         ir = compile_constraints(spec)
     os.makedirs(os.path.join(out_dir, "violations"), exist_ok=True)

@@ -74,7 +74,13 @@ class FusedRowStage:
         buckets = _hash_buckets(batch[gc.group_key], self.n_buckets)
         parts = []
 
-        # the projected data rows (kind=0)
+        # the projected data rows (kind=0); mistyped order/ts columns project
+        # to nulls (those rows fired type kernels; group checks skip them)
+        ts_col = batch[gc.ts_column] if gc.ts_column in batch.column_names \
+            else None
+        ts_ok = ts_col is not None and (
+            pa.types.is_timestamp(ts_col.type) or pa.types.is_date(ts_col.type)
+            or pa.types.is_integer(ts_col.type))
         parts.append(pa.table({
             "_bucket": pa.array(buckets, pa.int64()),
             "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
@@ -82,7 +88,8 @@ class FusedRowStage:
             "turn_idx": batch[gc.order_by].cast(pa.int32(), safe=False)
             if pa.types.is_integer(batch[gc.order_by].type)
             else pa.nulls(n, pa.int32()),
-            "ts": batch[gc.ts_column].cast(pa.timestamp("us"), safe=False),
+            "ts": ts_col.cast(pa.timestamp("us"), safe=False) if ts_ok
+            else pa.nulls(n, pa.timestamp("us")),
             "constraint_id": pa.nulls(n, pa.string()),
             "message": pa.nulls(n, pa.string()),
             "n_rows": pa.nulls(n, pa.int64()),
@@ -139,9 +146,17 @@ class FusedRowStage:
 
 
 def make_fused_bucket_check(gc: GroupCheck):
-    checker = SortedRunChecker(gc, boundary_mode="edges")
-    cid_u = f"unique:({gc.group_key},{gc.order_by})"
-    cid_m = f"mono:{gc.order_by}"
+    # rows were projected into the FIXED fused columns conv_id/turn_idx/ts,
+    # so the checker must read those names — NOT gc's input-table names
+    # (a spec with group_by="session_id" would KeyError otherwise; review
+    # r4). The violation cids keep the spec's original column names.
+    import dataclasses
+
+    pgc = dataclasses.replace(gc, group_key="conv_id", order_by="turn_idx",
+                              ts_column="ts")
+    checker = SortedRunChecker(pgc, boundary_mode="edges")
+    checker.cid_unique = f"unique:({gc.group_key},{gc.order_by})"
+    checker.cid_mono = f"mono:{gc.order_by}"
 
     def check(group: pa.Table) -> pa.Table:
         is_row = pc.equal(group["kind"], KIND_ROW)

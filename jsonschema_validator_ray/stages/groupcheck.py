@@ -17,10 +17,13 @@ Two interchangeable strategies (pipelines/validate.py picks via ``strategy``):
    group_check_table / merge_boundaries).
 
 Check semantics (shared, FIXTURES.md §B):
-- rows with null turn_idx are excluded (they already fired type/required),
+- rows with null (or uncastable — see kernels.order_key_int64) turn_idx are
+  excluded (they already fired type/required),
 - unique: adjacent equal turn_idx per conv (over all remaining rows),
-- mono: over rows with VALID ts, in turn order, ts must be strictly
-  increasing; violations attribute to the regressing row's turn_idx.
+- mono: over rows with VALID ts, in turn order, ts must never DECREASE —
+  a violation is ``ts < prev_ts`` at a different turn; equal consecutive ts
+  pass (matches the oracle's ``WHERE ts < lag(ts)``); violations attribute
+  to the regressing row's turn_idx.
 """
 
 from __future__ import annotations
@@ -34,6 +37,8 @@ from ..constraints.kernels import (
     VIOLATION_SCHEMA,
     group_check_table,
     merge_boundaries,
+    order_key_int64,
+    ts_key_int64,
     _np,
 )
 
@@ -90,21 +95,27 @@ class SortedRunChecker:
         conv_arr = batch[gc.group_key]
         if isinstance(conv_arr, pa.ChunkedArray):
             conv_arr = conv_arr.combine_chunks()
-        # null group keys are excluded like null order keys: those rows already
-        # fired required/type kernels, and a null key would poison the
-        # adjacent-equality masks below (pc.equal yields null, not False)
-        keep_mask = pc.and_(pc.is_valid(batch[gc.order_by]),
-                            pc.is_valid(conv_arr))
+        # null/uncastable group and order keys are excluded: those rows
+        # already fired required/type kernels, and a null key would poison
+        # the adjacent-equality masks below (pc.equal yields null, not False)
+        tid_arr = order_key_int64(batch[gc.order_by])
+        keep_mask = pc.and_(pc.is_valid(tid_arr), pc.is_valid(conv_arr))
         if not pc.all(keep_mask).as_py():
             batch = batch.filter(keep_mask)
+            tid_arr = tid_arr.filter(keep_mask)
             conv_arr = batch[gc.group_key]
             if isinstance(conv_arr, pa.ChunkedArray):
                 conv_arr = conv_arr.combine_chunks()
         n = batch.num_rows
         if n == 0:
             return CHECK_OUT_SCHEMA.empty_table()
-        tid = _np(batch[gc.order_by].cast(pa.int64()))
-        ts = _np(batch[gc.ts_column].cast(pa.int64(), safe=False)).astype(np.float64)
+        tid = _np(tid_arr)
+        if gc.check_mono and gc.ts_column in batch.column_names:
+            ts = _np(ts_key_int64(batch[gc.ts_column])).astype(np.float64)
+        else:
+            # unique-only spec: ts isn't projected — mono never fires and
+            # boundary records carry no valid-ts fields (NaN/-1 sentinels)
+            ts = np.full(n, np.nan)
 
         # blocks arrive sorted by (conv, tid)
         same = _np(pc.equal(conv_arr.slice(1), conv_arr.slice(0, n - 1))) \
@@ -312,7 +323,8 @@ def make_bucket_checker(gc: GroupCheck):
 def add_salt_column(gc: GroupCheck):
     """map_batches fn adding ``_salt = turn_idx // salt_span`` (null → -1)."""
     def fn(batch: pa.Table) -> pa.Table:
-        tid = _np(batch[gc.order_by].cast(pa.float64(), safe=False))
+        # order_key_int64 nulls uncastable keys; _np turns those into NaN
+        tid = _np(order_key_int64(batch[gc.order_by])).astype(np.float64)
         from ..rayutil import strip_meta
 
         salt = np.floor_divide(np.nan_to_num(tid, nan=-float(gc.salt_span)),
