@@ -92,7 +92,9 @@ def _transcripts_for(sf_dir: str) -> tuple:
     n_convs = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}.get(name, 300)
     if n_convs not in _TX_CACHE:
         out = f"/tmp/graft_transcripts/{n_convs}"
-        marker = os.path.join(out, "meta.json")
+        # generate_transcripts is itself resumable (plan-token-checked shard
+        # reuse) — no marker file needed here; the per-process _TX_CACHE
+        # keeps reference_stats from rebuilding within a process
         gen = generate_transcripts(out, n_convs=n_convs,
                                    n_files=max(4, n_convs // 1000))
         spec = spec_with_drift(reference_stats(n_convs))
@@ -1474,14 +1476,10 @@ def q_event_deltas(sf_dir: str) -> pa.Table:
     (ordered by ts, event_id; first event per user → null). One hash-bucket
     groupby keeps whole users per bucket; in-bucket it's one sort + one
     vectorized diff — the canonical lag/lead shape at any scale."""
-    import ray
-
-    avail = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    n_buckets = 4 * avail
-
     from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
-    add_bucket = _add_bucket_fn("user_id", n_buckets)
+    from jsonschema_validator_ray.rayutil import default_buckets
+
+    add_bucket = _add_bucket_fn("user_id", default_buckets())
 
     def lag_bucket(group: pa.Table) -> pa.Table:
         empty = pa.table({"event_id": pa.array([], pa.int64()),
@@ -1927,15 +1925,11 @@ def q_ntile_events(sf_dir: str) -> pa.Table:
     event_id) — the rank-window family member next to per-group top-k.
     One hash-bucket shuffle; in-bucket one lexsort + the SQL NTILE split
     (first n%k tiles get the extra row), fully vectorized."""
-    import ray
-
     K = 4
-    avail = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    n_buckets = 4 * avail
-
     from jsonschema_validator_ray.ops.aggregates import _add_bucket_fn
-    add_bucket = _add_bucket_fn("event_type", n_buckets)
+    from jsonschema_validator_ray.rayutil import default_buckets
+
+    add_bucket = _add_bucket_fn("event_type", default_buckets())
 
     def tile_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:

@@ -145,12 +145,9 @@ def top_k(ds, key: str, k: int, *, descending: bool = True,
 
 
 def _hash_buckets(n_buckets: int) -> int:
-    import ray
-    if n_buckets > 0:
-        return n_buckets
-    avail = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    return 4 * avail
+    from ..rayutil import default_buckets
+
+    return default_buckets(n_buckets)
 
 
 def _add_bucket_fn(key: str, n_buckets: int):

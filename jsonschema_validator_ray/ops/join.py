@@ -97,12 +97,9 @@ def reduce_side_hash_join(left_ds, right_ds, key: str, *,
 
 
 def _default_buckets(n_buckets: int) -> int:
-    import ray
-    if n_buckets > 0:
-        return n_buckets
-    avail = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    return 4 * avail
+    from ..rayutil import default_buckets
+
+    return default_buckets(n_buckets)
 
 
 def asof_join(left_ds, right_ds, *, on: str, right_on: str,

@@ -27,26 +27,45 @@ SEED_MIX = np.uint64(2654435769)   # seed is spread across the hash space —
 _MOD = np.uint64(1) << np.uint64(32)  # a raw +seed would barely move the set
 
 
+def _threshold(fraction: float) -> np.uint64:
+    """Keep threshold = ROUND(fraction * 2^32), matching the SQL oracle's
+    ``CAST(fraction * 4294967296 AS BIGINT)`` (DuckDB CAST rounds; Python
+    ``int()`` truncates — off by one at e.g. fraction=0.1, review r4)."""
+    return np.uint64(int(round(fraction * float(1 << 32))))
+
+
 def _keep_mask_from_ints(ids: np.ndarray, fraction: float,
                          seed: int) -> np.ndarray:
     h = (ids.astype(np.uint64) * KNUTH + np.uint64(seed) * SEED_MIX) % _MOD
-    return h < np.uint64(int(fraction * float(1 << 32)))
+    return h < _threshold(fraction)
 
 
 def hash_sample(ds, key_column: str, fraction: float, seed: int = 42):
     """Deterministic keyed sample: keep rows whose Knuth-hashed key falls
     under ``fraction``. Integer keys use the SQL-reproducible multiplicative
-    hash; other dtypes hash via the vectorized 64-bit column hash."""
+    hash; other dtypes hash via the vectorized 64-bit column hash.
+
+    Null keys are DROPPED — exactly the SQL predicate's semantics (a NULL
+    key makes the WHERE expression NULL) and the only deterministic choice
+    (NaN→uint64 is an undefined cast; review r4)."""
+    import pyarrow.compute as pc
+
     def keep(batch: pa.Table) -> pa.Table:
         col = batch[key_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+            col = batch[key_column]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
         if pa.types.is_integer(col.type):
             ids = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             mask = _keep_mask_from_ints(ids, fraction, seed)
         else:
             h = (hash64(col) + np.uint64(seed) * SEED_MIX) % _MOD
-            mask = h < np.uint64(int(fraction * float(1 << 32)))
+            mask = h < _threshold(fraction)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -63,8 +82,7 @@ def random_sample(ds, fraction: float, seed: int = 42,
         for name in cols:
             acc ^= hash64(batch[name])
         h = (acc * KNUTH + np.uint64(seed) * SEED_MIX) % _MOD
-        return batch.filter(pa.array(
-            h < np.uint64(int(fraction * float(1 << 32)))))
+        return batch.filter(pa.array(h < _threshold(fraction)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -78,30 +96,36 @@ def stratified_sample(ds, group_column: str, key_column: str, k: int,
     (``row_number() OVER (PARTITION BY g ORDER BY knuth(key), key) <= k``).
 
     ONE hash-bucket groupby (whole groups per bucket — string group keys
-    fine), in-group vectorized rank: np.unique group codes + lexsort +
-    segmented arange. Only k rows per group leave the shuffle. Returns a
-    Dataset of the kept rows + ``rk`` (1-based rank within group)."""
-    import ray
+    fine), in-group vectorized rank: dictionary-encoded group codes +
+    lexsort + segmented arange. Only k rows per group leave the shuffle.
+    Returns a Dataset of the kept rows + ``rk`` (1-based rank within group).
 
+    Null semantics (review r4): a null GROUP value forms its own stratum
+    (matching SQL ``PARTITION BY``); null KEY rows are dropped — SQL ranks
+    them last with a nondeterministic row_number tiebreak, so there is no
+    deterministic selection to reproduce."""
+    import pyarrow.compute as pc
 
-    if n_buckets <= 0:
-        avail = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        n_buckets = 4 * avail
+    from ..rayutil import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
 
     from .aggregates import _add_bucket_fn
     add_bucket = _add_bucket_fn(group_column, n_buckets)
 
     def bucket_sample(group: pa.Table) -> pa.Table:
         body = group.drop_columns(["_bucket"])
+        vk = pc.is_valid(body[key_column])
+        if not pc.all(vk).as_py():
+            body = body.filter(vk)
         if body.num_rows == 0:
             return body.append_column("rk", pa.array([], pa.int64()))
-        g = body[group_column].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
+        codes = body[group_column].combine_chunks().dictionary_encode() \
+            .indices.fill_null(-1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         key = body[key_column].combine_chunks() \
             .to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (key * KNUTH + np.uint64(seed) * SEED_MIX) % _MOD
-        _, codes = np.unique(g, return_inverse=True)
         order = np.lexsort((key, h, codes))
         cs = codes[order]
         starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))

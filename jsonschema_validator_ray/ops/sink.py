@@ -7,6 +7,16 @@ re-executes only unwritten blocks on resume, and re-running a completed
 job writes nothing. A ``_manifest.json`` records the file list + row
 counts; ``ray.data.read_parquet(out_dir)`` round-trips the dataset.
 
+Content-addressing contract (review r4): the sink cannot distinguish a
+RE-EXECUTED block (the resume case it exists for) from a DISTINCT block
+whose bytes happen to be identical — two byte-identical blocks commit ONE
+part, and the manifest's ``n_rows`` counts the deduplicated file set. Real
+corpora never produce byte-identical multi-row blocks; a constant-valued
+dataset split into equal blocks would. If exact multiplicity matters,
+carry a distinguishing column (e.g. a source offset) through the write.
+Crash recovery: tmp files are ``_``-prefixed (parquet readers ignore
+them) and swept by the next run before writing.
+
 This is the generic form of the flagship pipeline's per-partition output
 (`pipelines/validate.run_partitioned`): never one giant file, safe to
 re-run, partition-skippable.
@@ -45,10 +55,31 @@ def _commit_part(table: pa.Table, out_dir: str) -> tuple[str, bool]:
     path = os.path.join(out_dir, f"part-{digest}.parquet")
     skipped = os.path.exists(path)
     if not skipped:
-        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        # "_"-prefixed tmp basename: parquet/Ray directory readers skip
+        # '_'/'.'-prefixed files, so a crash mid-write can't leave a
+        # truncated file that breaks the documented read-back (review r4)
+        tmp = os.path.join(
+            out_dir,
+            f"_part-{digest}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, path)
     return path, skipped
+
+
+def _sweep_stale_tmps(out_dir: str) -> int:
+    """Remove ``_*.tmp`` leftovers from a previous crashed run (their blocks
+    re-execute and commit atomically; the orphans are dead weight). Runs on
+    the driver before the write starts; current-run tmps can't be present."""
+    n = 0
+    for root, _dirs, names in os.walk(out_dir):
+        for name in names:
+            if name.startswith("_") and name.endswith(".tmp"):
+                try:
+                    os.unlink(os.path.join(root, name))
+                    n += 1
+                except OSError:
+                    pass
+    return n
 
 
 def _write_manifest(out_dir: str, manifest: dict) -> None:
@@ -64,6 +95,7 @@ def write_partitioned_parquet(ds, out_dir: str) -> dict:
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    _sweep_stale_tmps(out_dir)
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -108,13 +140,19 @@ def write_hive_partitioned(ds, out_dir: str, partition_col: str) -> dict:
     exactly like `write_partitioned_parquet`.
 
     Assumes enum-scale partition cardinality (the per-batch split loops
-    over values PRESENT in the batch, never rows). Returns a manifest
+    over values PRESENT in the batch, never rows). Rows with a NULL
+    partition value land in the Hive convention's
+    ``<col>=__HIVE_DEFAULT_PARTITION__/`` directory — previously they were
+    silently dropped (review r4). Returns a manifest
     ``{partitions: {value: n_rows}, files, n_skipped}``.
     """
     import pyarrow.compute as pc
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    _sweep_stale_tmps(out_dir)
+
+    NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
     def write_block(batch: pa.Table) -> pa.Table:
         empty = {"partition": pa.array([], pa.string()),
@@ -127,15 +165,21 @@ def write_hive_partitioned(ds, out_dir: str, partition_col: str) -> dict:
             if isinstance(batch[partition_col], pa.ChunkedArray) \
             else batch[partition_col]
         rows = {"partition": [], "path": [], "n_rows": [], "skipped": []}
-        for v in pc.unique(col.drop_null()).to_pylist():
-            part = batch.filter(pc.equal(col, v))
-            pdir = os.path.join(out_dir, f"{partition_col}={v}")
+
+        def commit(part: pa.Table, label: str) -> None:
+            pdir = os.path.join(out_dir, f"{partition_col}={label}")
             os.makedirs(pdir, exist_ok=True)
             path, skipped = _commit_part(part, pdir)
-            rows["partition"].append(str(v))
+            rows["partition"].append(label)
             rows["path"].append(path)
             rows["n_rows"].append(part.num_rows)
             rows["skipped"].append(skipped)
+
+        for v in pc.unique(col.drop_null()).to_pylist():
+            commit(batch.filter(pc.equal(col, v)), str(v))
+        nulls = batch.filter(pc.is_null(col))
+        if nulls.num_rows:
+            commit(nulls, NULL_PART)
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
     results = [t for t in ray.get(

@@ -41,13 +41,13 @@ class SketchState:
                              else batch["conv_id"])
             uniq = uniq.drop_null()
             if len(uniq):
-                self.conv_hll.update_hashes(hash64(uniq.to_pylist()))
+                self.conv_hll.update_hashes(hash64(uniq))
         if "tool" in batch.column_names:
             uniq = pc.unique(batch["tool"].combine_chunks()
                              if isinstance(batch["tool"], pa.ChunkedArray)
                              else batch["tool"]).drop_null()
             if len(uniq):
-                self.tool_hll.update_hashes(hash64(uniq.to_pylist()))
+                self.tool_hll.update_hashes(hash64(uniq))
         if "text" in batch.column_names:
             lengths = pc.utf8_length(batch["text"]).drop_null()
             if len(lengths):

@@ -57,7 +57,14 @@ class TDigest:
         q = cum / total
         k = (self.compression / (2.0 * np.pi)) * np.arcsin(2.0 * np.clip(q, 0, 1) - 1.0)
         bucket = np.floor(k - k[0]).astype(np.int64)
-        # force first/last points into their own clusters for exact extremes
+        # force first/last SORTED points into singleton clusters (the
+        # t-digest extreme-isolation rule): exact min/max centroids anchor
+        # the tail interpolation instead of leaning solely on the _min/_max
+        # clamps (review r4 — the comment predated the implementation)
+        if bucket.size >= 2:
+            inner = bucket[1:-1] + 1
+            last = (inner[-1] + 1) if inner.size else 1
+            bucket = np.concatenate([[0], inner, [last]])
         nb = bucket[-1] + 1 if bucket.size else 0
         sums = np.bincount(bucket, weights=means * weights, minlength=nb)
         wsum = np.bincount(bucket, weights=weights, minlength=nb)

@@ -1,0 +1,119 @@
+"""Round-4 IO/sampling review regressions stay fixed: null-partition rows in
+the hive sink, stale-tmp crash recovery, SQL-matching sample thresholds,
+null-key sampling semantics, and t-digest extreme isolation."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_hive_sink_null_partition_rows_kept(ray_session, tmp_path):
+    """Rows with a NULL partition value land in __HIVE_DEFAULT_PARTITION__
+    instead of being silently dropped (review r4)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sink import write_hive_partitioned
+
+    t = pa.table({
+        "lang": pa.array(["en", None, "de", None], pa.string()),
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = str(tmp_path / "hive")
+    m = write_hive_partitioned(ray.data.from_arrow(t), out, "lang")
+    assert m["partitions"].get("__HIVE_DEFAULT_PARTITION__") == 2
+    assert sum(m["partitions"].values()) == 4
+    back = ray.data.read_parquet(out).count()
+    assert back == 4
+
+
+def test_sink_sweeps_stale_tmp_files(ray_session, tmp_path):
+    """A truncated _*.tmp left by a crashed writer is swept on the next run
+    and never breaks the documented read-back (review r4)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sink import write_partitioned_parquet
+
+    out = str(tmp_path / "parts")
+    os.makedirs(out)
+    stale = os.path.join(out, "_part-deadbeef.123.abcd1234.tmp")
+    with open(stale, "wb") as f:
+        f.write(b"PAR1 truncated garbage")
+    t = pa.table({"x": pa.array(range(10), pa.int64())})
+    m = write_partitioned_parquet(ray.data.from_arrow(t), out)
+    assert not os.path.exists(stale)
+    assert m["n_rows"] == 10
+    assert ray.data.read_parquet(out).count() == 10
+
+
+def test_sample_threshold_matches_sql_cast():
+    """The keep threshold ROUNDS like the oracle's CAST(f*2^32 AS BIGINT);
+    Python int() truncation was off by one at f=0.1 (review r4)."""
+    import duckdb
+
+    from jsonschema_validator_ray.ops.sampling import _threshold
+
+    for f in (0.1, 0.25, 0.33, 0.5, 0.9):
+        sql = duckdb.sql(
+            f"SELECT CAST({f} * 4294967296 AS BIGINT)").fetchone()[0]
+        assert int(_threshold(f)) == int(sql), f
+
+
+def test_hash_sample_drops_null_keys(ray_session):
+    """Null keys are dropped (SQL predicate semantics) for both the integer
+    and the hashed-string paths — no NaN→uint64 undefined casts."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sampling import hash_sample
+
+    t = pa.table({
+        "k_int": pa.array([1, None, 3, None, 5] * 200, pa.int64()),
+        "k_str": pa.array(["a", None, "c", None, "e"] * 200, pa.string()),
+    })
+    for col in ("k_int", "k_str"):
+        out = hash_sample(ray.data.from_arrow(t), col, 1.0).take_all()
+        assert len(out) == 600          # fraction=1.0 keeps every non-null
+        assert all(r[col] is not None for r in out)
+
+
+def test_stratified_sample_null_semantics(ray_session):
+    """Null GROUP values form their own stratum (SQL PARTITION BY); null
+    KEY rows are dropped (review r4)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sampling import stratified_sample
+
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + [None] * 5 + ["b"] * 5, pa.string()),
+        "k": pa.array(list(range(5)) + list(range(5, 9)) + [None]
+                      + list(range(9, 14)), pa.int64()),
+    })
+    out = stratified_sample(ray.data.from_arrow(t), "g", "k", k=2) \
+        .take_all()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["k"])
+    assert set(by_g) == {"a", "b", None}
+    assert all(len(v) == 2 for v in by_g.values())
+    assert all(k is not None for v in by_g.values() for k in v)
+
+
+def test_tdigest_extreme_isolation():
+    """First/last sorted points compress into singleton clusters, so the
+    extreme centroids are the exact min/max (review r4 — the comment
+    predated the implementation)."""
+    from jsonschema_validator_ray.state.tdigest import TDigest
+
+    d = TDigest(compression=50)
+    vals = np.arange(1000, dtype=np.float64)
+    d.update(vals)
+    d._compress()
+    assert d.means[0] == 0.0 and d.weights[0] == 1.0
+    assert d.means[-1] == 999.0 and d.weights[-1] == 1.0
+    assert abs(d.quantile(0.5) - 499.5) < 5.0
+    assert d.quantile(0.0) == 0.0 and d.quantile(1.0) == 999.0
