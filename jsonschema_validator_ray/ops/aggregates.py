@@ -202,8 +202,17 @@ def grouped_quantiles(ds, key: str, value: str, qs: Sequence[float],
         ends = np.append(starts[1:], n)
         rows = {key: k_arr.take(pa.array(starts, pa.int64())),
                 "n": pa.array(ends - starts, pa.int64())}
-        qmat = np.stack([np.quantile(v[s:e], qs)
-                         for s, e in zip(starts, ends)])
+
+        def seg_q(s0, e0):
+            # SQL quantile_cont IGNORES nulls (while n stays count(*));
+            # feeding NaN through np.quantile poisoned every quantile of a
+            # group containing one null (review r4)
+            seg = v[s0:e0]
+            seg = seg[seg == seg]
+            return np.quantile(seg, qs) if seg.size \
+                else np.full(len(qs), np.nan)
+
+        qmat = np.stack([seg_q(s, e) for s, e in zip(starts, ends)])
         for j, qn in enumerate(qnames):
             rows[qn] = pa.array(qmat[:, j], pa.float64())
         return pa.table(rows)
@@ -304,7 +313,10 @@ def sessionize_counts(ds, user_col: str, ts_col: str, order_col: str,
         run_starts = np.flatnonzero(~same_user)
         counts = np.add.reduceat(new_session.astype(np.int64), run_starts)
         users = user.take(pa.array(run_starts, pa.int64()))
-        return pa.table({user_col: users.cast(pa.int64(), safe=False),
+        # return the user values in their INPUT type — the unconditional
+        # int64 cast crashed on string user ids and nothing here needs
+        # integer users (review r4)
+        return pa.table({user_col: users,
                          "n_sessions": pa.array(counts, pa.int64())})
 
     out = ds.map_batches(add_bucket, batch_format="pyarrow",

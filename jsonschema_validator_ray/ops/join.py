@@ -311,7 +311,12 @@ def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
         hi = np.searchsorted(comp_p, dk_r * band + np.searchsorted(uniq, t1))
         out = out.append_column("n_points", pa.array(hi - lo, pa.int64()))
         if value is not None:
-            pv = pt["_pv"].to_numpy(zero_copy_only=False)[order]
+            # null point values decay to NaN in to_numpy and would poison
+            # the cumsum (ArrowInvalid on the int64 cast; review r4) — SQL
+            # SUM ignores nulls, so they contribute 0 while n_points keeps
+            # its COUNT(*) semantics
+            pv = np.nan_to_num(
+                pt["_pv"].to_numpy(zero_copy_only=False)[order], nan=0.0)
             cum = np.concatenate([[0], np.cumsum(pv)])
             out = out.append_column("sum_value",
                                     pa.array(cum[hi] - cum[lo], pa.int64()))
@@ -319,6 +324,9 @@ def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
 
     return tagged.groupby("_jb").map_groups(agg_bucket,
                                             batch_format="pyarrow")
+
+
+_BLOOM_KEEP_CACHE: dict = {}
 
 
 def bloom_semi_join(left_ds, right_ds, left_key: str, right_key: str,
@@ -377,12 +385,29 @@ def bloom_semi_join(left_ds, right_ds, left_key: str, right_key: str,
     exact_ref = ray.put(np.array(sorted(exact), np.int64))
 
     def keep(batch: pa.Table) -> pa.Table:
-        bloom = BloomFilter.from_bytes(ray.get(bits_ref), k=k)
-        ex = ray.get(exact_ref)
+        # reconstructing the filter copies m_bits/8 bytes — do it once per
+        # worker per broadcast, not once per batch (review r4); single-entry
+        # cache keyed by the object ref, same idiom as dedup's pair index
+        ck = bits_ref.hex()
+        cached = _BLOOM_KEEP_CACHE.get(ck)
+        if cached is None:
+            _BLOOM_KEEP_CACHE.clear()
+            cached = (BloomFilter.from_bytes(ray.get(bits_ref), k=k),
+                      ray.get(exact_ref))
+            _BLOOM_KEEP_CACHE[ck] = cached
+        bloom, ex = cached
         col = batch[left_key]
-        maybe = bloom.contains(col)
-        vals = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-                else col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        carr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        # null keys NEVER match EXISTS (pinned semantics): mask them out of
+        # the bloom survivors explicitly — the hash of a null is arbitrary
+        maybe = bloom.contains(col) \
+            & pc.is_valid(carr).to_numpy(zero_copy_only=False)
+        # fill nulls BEFORE to_numpy: a single null decays the whole array
+        # to float64 and keys above 2^53 lose exactness in the verify
+        # compare (review r4); filled zeros never reach cand (masked above)
+        vals = carr.cast(pa.int64()).fill_null(0) \
+            .to_numpy(zero_copy_only=False)
         member = maybe.copy()
         if maybe.any():             # exact-verify ONLY the bloom survivors
             cand = vals[maybe]

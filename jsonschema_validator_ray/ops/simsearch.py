@@ -25,7 +25,9 @@ def _to_matrix(col) -> np.ndarray:
         return np.zeros((0, 0), np.float64)
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
-        flat = col.values.to_numpy(zero_copy_only=False)
+        # flatten() is SLICE-AWARE; .values ignores the slice offset and
+        # crashes the reshape on any sliced column (review r4)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
         return flat.reshape(n, dim).astype(np.float64, copy=False)
     offsets = col.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offsets)
@@ -67,8 +69,11 @@ def brute_force_topk(ds, query_vectors: np.ndarray, id_column: str,
             cand = np.flatnonzero(mask)
             if cand.size == 0:
                 continue
-            # local top-k: only these rows can reach the global answer
-            take = cand[np.argsort(-s[cand], kind="stable")[:k]]
+            # local top-k: only these rows can reach the global answer.
+            # lexsort (cos desc, id asc) — position-order tiebreak would
+            # drop the SMALLEST id on ties at the k boundary and make the
+            # result depend on block partitioning (review r4)
+            take = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
             out_q += [qi] * take.size
             out_id += ids[take].tolist()
             out_cos += s[take].tolist()
@@ -111,9 +116,15 @@ def train_ivf_centroids(ds, vec_column: str, n_centroids: int = 16,
         if total > sample_rows:
             frac = min(1.0, 2.0 * sample_rows / total)
             src = hash_sample(src, id_column, frac, seed=seed)
-    sample = pa.concat_tables(ray.get(
-        src.limit(sample_rows).to_arrow_refs()),
-        promote_options="default")
+        # keep EVERY hash survivor (~2x sample_rows): a limit() here would
+        # keep the first sample_rows in dataset order and re-introduce the
+        # leading-files bias the hash sample exists to remove (review r4)
+        sample = pa.concat_tables(ray.get(src.to_arrow_refs()),
+                                  promote_options="default")
+    else:
+        sample = pa.concat_tables(ray.get(
+            src.limit(sample_rows).to_arrow_refs()),
+            promote_options="default")
     if id_column is not None:
         # block-arrival order is NOT deterministic (parallel read tasks);
         # sorting the sample by id makes the k-means init — and therefore
@@ -172,7 +183,8 @@ def ivf_topk(ds, query_vectors: np.ndarray, id_column: str, vec_column: str,
             if cand.size == 0:
                 continue
             s = mat[cand] @ qm[qi]
-            take = cand[np.argsort(-s, kind="stable")[:k]]
+            # same (cos desc, id asc) local tiebreak as brute_force_topk
+            take = cand[np.lexsort((ids[cand], -s))[:k]]
             out_q += [qi] * take.size
             out_id += ids[take].tolist()
             out_cos += (mat[take] @ qm[qi]).tolist()

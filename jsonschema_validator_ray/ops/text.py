@@ -42,7 +42,7 @@ def add_bpeish_token_count(ds, column: str = "text", out: str = "n_bpe_tokens"):
     (the pre-tokenizer split most BPE vocabularies start from)."""
     class Stage:
         def __init__(self):
-            self.pat = re.compile(r"\w+|[^\w\s]")
+            self.pat = _BPEISH   # module-level compile; one pattern source
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch[column].to_pylist()
@@ -130,32 +130,35 @@ def add_fingerprint(ds, column: str = "text", out: str = "fingerprint",
     Bw = np.uint64(pow(1000003, window - 1, 1 << 64))
 
     def fn(batch: pa.Table) -> pa.Table:
-        np.seterr(over="ignore")  # uint64 wraparound is the hash semantics
         out_vals = np.zeros(batch.num_rows, np.uint64)
         texts = batch[column].to_pylist()
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            b = np.frombuffer(t.encode()[:4096], np.uint8).astype(np.uint64)
-            if b.size < window:
-                h = np.uint64(0)
-                for x in b:
-                    h = h * B + x
-                out_vals[i] = h
-                continue
-            # rolling hash over all windows, vectorized via cumulative trick
-            powers = np.empty(window, np.uint64)
-            powers[window - 1] = 1
-            for j in range(window - 2, -1, -1):
-                powers[j] = powers[j + 1] * B
-            first = np.uint64((b[:window] * powers).sum())
-            hashes = np.empty(b.size - window + 1, np.uint64)
-            hashes[0] = first
-            h = first
-            for j in range(1, hashes.size):
-                h = (h - b[j - 1] * Bw) * B + b[j + window - 1]
-                hashes[j] = h
-            out_vals[i] = hashes.min()
+        # errstate CONTEXT, not np.seterr: a bare seterr would permanently
+        # disable overflow reporting for every other stage sharing the
+        # worker process (review r4); uint64 wraparound IS the hash here
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(texts):
+                if not t:
+                    continue
+                b = np.frombuffer(t.encode()[:4096], np.uint8).astype(np.uint64)
+                if b.size < window:
+                    h = np.uint64(0)
+                    for x in b:
+                        h = h * B + x
+                    out_vals[i] = h
+                    continue
+                # rolling hash over all windows, vectorized via cumulative trick
+                powers = np.empty(window, np.uint64)
+                powers[window - 1] = 1
+                for j in range(window - 2, -1, -1):
+                    powers[j] = powers[j + 1] * B
+                first = np.uint64((b[:window] * powers).sum())
+                hashes = np.empty(b.size - window + 1, np.uint64)
+                hashes[0] = first
+                h = first
+                for j in range(1, hashes.size):
+                    h = (h - b[j - 1] * Bw) * B + b[j + window - 1]
+                    hashes[j] = h
+                out_vals[i] = hashes.min()
         return batch.append_column(out, pa.array(out_vals, pa.uint64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
