@@ -1093,6 +1093,30 @@ def q_embedding_neardup_ivf(sf_dir: str) -> pa.Table:
                      "cos": pc.round(t["cos"], ndigits=4)})
 
 
+def q_semdedup_embeddings(sf_dir: str) -> pa.Table:
+    """SELF-ORACLE (embedding_neardup_ivf precedent, documented there):
+    SemDeDup keeper selection — drop every vector with an earlier-id
+    cosine-neighbor ≥ 0.45, pairs generated cluster-locally with the same
+    deterministic 3-probe IVF whose recall is 1.0 on these corpora, so the
+    dropped set must EQUAL the exact all-pairs SQL derivation."""
+    from jsonschema_validator_ray.ops.dedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, "vec_id", "embedding", threshold=0.45,
+                    n_centroids=8, n_assign=3)
+
+
+def q_chunk_dedup_documents(sf_dir: str) -> pa.Table:
+    """Cross-document exact span dedup: 3-word chunks, global first
+    occurrence kept, per-doc reassembled text compared by md5."""
+    from jsonschema_validator_ray.ops.dedup import chunk_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(chunk_dedup(ds, "doc_id", "text", window=3))
+    return out.select(["doc_id", "n_chunks", "n_kept", "clean_md5"]) \
+        .sort_by("doc_id")
+
+
 def q_asof_join_events_orders(sf_dir: str) -> pa.Table:
     """Backward AS-OF join: each event matched to the SAME user's latest
     order at-or-before the event timestamp (``ops.join.asof_join`` — one
@@ -2244,6 +2268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_search_embeddings": q_ivf_search_embeddings,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
         "order_window_events": q_order_window_events,
         "value_quantiles_by_event_type": q_value_quantiles_by_event_type,
@@ -3139,6 +3165,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        # SELF-ORACLE (same IVF recall-1.0 precedent as above): SemDeDup's
+        # dropped set = vectors with ANY earlier-id neighbor ≥ threshold —
+        # exactly derivable from the all-pairs join the IVF path reproduces.
+        "semdedup_embeddings": """
+            SELECT DISTINCT b.vec_id AS dropped_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY dropped_id
+        """,
+        "chunk_dedup_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ' '), 1) - 1
+                           AS wi,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, wi // 3 AS ci,
+                       string_agg(w, ' ' ORDER BY wi) AS chunk
+                FROM words GROUP BY doc_id, wi // 3
+            ), ranked AS (
+                SELECT doc_id, ci, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, ci) AS rn
+                FROM chunks
+            ), per_doc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                       md5(coalesce(string_agg(chunk, ' ' ORDER BY ci)
+                                        FILTER (rn = 1), '')) AS clean_md5
+                FROM ranked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_chunks, 0) AS n_chunks,
+                   coalesce(p.n_kept, 0) AS n_kept,
+                   coalesce(p.clean_md5, md5('')) AS clean_md5
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "sliding_window_events": """
             SELECT event_id,

@@ -1289,6 +1289,171 @@ def exact_dedup_keepers(ds, id_column: str, text_column: str):
         Count(alias_name="n_copies"))
 
 
+def chunk_dedup(ds, id_column: str, text_column: str, window: int = 3):
+    """Cross-document exact SPAN dedup (the sub-document granularity of
+    MassiveText/RefinedWeb-style repeated-passage removal): each document is
+    cut into non-overlapping ``window``-word chunks; a chunk occurrence
+    survives only if it is the GLOBAL first occurrence of that exact chunk
+    text in ``(doc_id, chunk_idx)`` order; every document is re-assembled
+    from its surviving chunks. Returns a Dataset of
+    ``(id, n_chunks, n_kept, clean_md5)`` per document — md5 of the
+    re-joined text so the oracle compares content without shipping it.
+
+    Scale shape (100 TB): TWO hash-bucket shuffles, neither carrying the
+    corpus twice —
+    - shuffle 1 moves only ``(h1, h2, doc_id, chunk_idx)`` rows (two
+      independent 64-bit polars hashes per chunk, collision-negligible;
+      ~32 bytes/chunk, no chunk text), bucketed by h1; inside a bucket one
+      lexsort finds every non-first occurrence per (h1, h2) and emits the
+      DROPPED coordinates only;
+    - shuffle 2 co-locates each document's text row with its dropped
+      coordinates (single shared schema, ci = -1 tags the text row) and
+      rebuilds per doc.
+    Null/empty text ⇒ one ``''`` chunk to match SQL ``string_split`` (null
+    text ⇒ 0 chunks, md5(''))."""
+    import hashlib
+
+    import polars as pl
+    import ray
+
+    from ..rayutil import strip_meta
+    from ..stages.groupcheck import np_column_hash
+
+    avail = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    n_buckets = 4 * avail
+
+    def chunk_lists(col) -> tuple[list, np.ndarray]:
+        """Per-row chunk text lists + per-row chunk counts (SQL
+        string_split parity: '' splits to [''] → one '' chunk)."""
+        texts = col.to_pylist()
+        out: list[list[str]] = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            w = t.split(" ")
+            out.append([" ".join(w[i:i + window])
+                        for i in range(0, len(w), window)])
+        return out, np.array([len(c) for c in out], np.int64)
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        chunks, counts = chunk_lists(batch[text_column])
+        flat = [c for doc in chunks for c in doc]
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64) \
+            if isinstance(batch[id_column], pa.ChunkedArray) \
+            else batch[id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = np.repeat(ids, counts)
+        ci = np.concatenate([np.arange(n, dtype=np.int64)
+                             for n in counts]) if len(flat) \
+            else np.zeros(0, np.int64)
+        s = pl.Series(flat, dtype=pl.String)
+        h1 = s.hash(seed=42).to_numpy().astype(np.uint64)
+        h2 = s.hash(seed=1337).to_numpy().astype(np.uint64)
+        return pa.table({
+            "_bucket": pa.array((h1 % np.uint64(n_buckets)).astype(np.int64),
+                                pa.int64()),
+            "h1": pa.array(h1.astype(np.int64), pa.int64()),
+            "h2": pa.array(h2.astype(np.int64), pa.int64()),
+            "doc": pa.array(doc, pa.int64()),
+            "ci": pa.array(ci, pa.int64()),
+        })
+
+    def dropped_rows(group: pa.Table) -> pa.Table:
+        h1 = group["h1"].to_numpy(zero_copy_only=False)
+        h2 = group["h2"].to_numpy(zero_copy_only=False)
+        doc = group["doc"].to_numpy(zero_copy_only=False)
+        ci = group["ci"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ci, doc, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.ones(len(order), bool)
+        if len(order) > 1:
+            first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        drop = order[~first]
+        return pa.table({"doc": pa.array(doc[drop], pa.int64()),
+                         "ci": pa.array(ci[drop], pa.int64()),
+                         "text": pa.nulls(drop.size, pa.string())})
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({"doc": batch[id_column].cast(pa.int64()),
+                      "ci": pa.nulls(batch.num_rows, pa.int64())
+                      .fill_null(-1),
+                      "text": batch[text_column].cast(pa.string())})
+        h = (np_column_hash(t["doc"]) % np.uint64(n_buckets)).astype(np.int64)
+        return strip_meta(t).append_column(
+            "_dbucket", pa.array(h, pa.int64()))
+
+    def route_drops(batch: pa.Table) -> pa.Table:
+        h = (np_column_hash(batch["doc"])
+             % np.uint64(n_buckets)).astype(np.int64)
+        return strip_meta(batch).append_column(
+            "_dbucket", pa.array(h, pa.int64()))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        ci = group["ci"].to_numpy(zero_copy_only=False)
+        is_doc = ci == -1
+        docs = group.filter(pa.array(is_doc))
+        chunks, counts = chunk_lists(docs["text"])
+        doc_ids = docs["doc"].to_numpy(zero_copy_only=False)
+        dmask = ~is_doc
+        ddoc = group["doc"].to_numpy(zero_copy_only=False)[dmask]
+        dci = ci[dmask]
+        # per-doc dropped-ci lookup, vectorized: sort drops by (doc, ci)
+        # once and slice per doc via searchsorted
+        dorder = np.lexsort((dci, ddoc))
+        ddoc, dci = ddoc[dorder], dci[dorder]
+        ids_out, n_chunks, n_kept, md5s = [], [], [], []
+        for i, d in enumerate(doc_ids):
+            lo, hi = np.searchsorted(ddoc, [d, d + 1])
+            gone = set(dci[lo:hi].tolist())
+            keep = [c for j, c in enumerate(chunks[i]) if j not in gone]
+            ids_out.append(int(d))
+            n_chunks.append(int(counts[i]))
+            n_kept.append(len(keep))
+            md5s.append(hashlib.md5(" ".join(keep).encode()).hexdigest())
+        return pa.table({id_column: pa.array(ids_out, pa.int64()),
+                         "n_chunks": pa.array(n_chunks, pa.int64()),
+                         "n_kept": pa.array(n_kept, pa.int64()),
+                         "clean_md5": pa.array(md5s, pa.string())})
+
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    drops = hashed.groupby("_bucket").map_groups(dropped_rows,
+                                                 batch_format="pyarrow")
+    tagged = ds.map_batches(doc_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    routed = drops.map_batches(route_drops, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return tagged.union(routed).groupby("_dbucket") \
+        .map_groups(rebuild, batch_format="pyarrow")
+
+
+def semdedup(ds, id_column: str, vec_column: str, threshold: float = 0.45,
+             n_centroids: int = 16, n_assign: int = 2) -> pa.Table:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding corpus, compare only WITHIN clusters, and drop
+    every vector that has an earlier-id neighbor at cosine ≥ ``threshold``
+    (the paper keeps one exemplar per semantic-duplicate set; smallest id is
+    the deterministic exemplar rule used across this engine's dedup ops).
+
+    Built on ``embedding_neardup_ivf``'s multi-probe cluster-local pair
+    generation (``n_assign`` nearest centroids per vector close the
+    cross-cluster misses single-assignment SemDeDup accepts). Returns the
+    sorted ``(dropped_id)`` table; kept set = corpus minus dropped.
+    Partitioning assumption: semantic duplicates share at least one of
+    their ``n_assign`` probe clusters — the same assumption (and on the
+    gate corpora, measured recall 1.0) as ``embedding_neardup_ivf``."""
+    pairs = embedding_neardup_ivf(ds, id_column, vec_column,
+                                  threshold=threshold,
+                                  n_centroids=n_centroids,
+                                  n_assign=n_assign)
+    dropped = np.unique(
+        pairs["id_b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    return pa.table({"dropped_id": pa.array(dropped, pa.int64())})
+
+
 # --- embedding near-dup ----------------------------------------------------
 
 def embedding_near_duplicates(ds, id_column: str, vec_column: str,

@@ -1,0 +1,91 @@
+"""chunk_dedup (cross-document exact span dedup) and semdedup (SemDeDup
+cluster-local embedding keeper selection) — planted-case semantics."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_chunk_dedup_keeps_global_first_occurrence(ray_session):
+    """A chunk repeated across docs survives only at its smallest
+    (doc_id, chunk_idx); repeats inside ONE doc are dropped too."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import chunk_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c x y z",          # chunks: "a b c", "x y z"
+            "a b c q q q",          # "a b c" dropped (doc 1 has it)
+            "q q q q q q",          # first "q q q" dropped (doc 2 has it),
+        ]),                         # second "q q q" dropped (same doc, ci 0)
+    })
+    out = chunk_dedup(ray.data.from_arrow(t), "doc_id", "text",
+                      window=3).take_all()
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["n_chunks"] == 2 and by[1]["n_kept"] == 2
+    assert by[1]["clean_md5"] == _md5("a b c x y z")
+    assert by[2]["n_chunks"] == 2 and by[2]["n_kept"] == 1
+    assert by[2]["clean_md5"] == _md5("q q q")
+    assert by[3]["n_chunks"] == 2 and by[3]["n_kept"] == 0
+    assert by[3]["clean_md5"] == _md5("")
+
+
+def test_chunk_dedup_trailing_partial_and_null(ray_session):
+    """The trailing <window-word span is its own chunk (SQL wi//W parity);
+    null text yields 0 chunks and md5('')."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import chunk_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c d", None]),    # chunks: "a b c", "d"
+    })
+    out = chunk_dedup(ray.data.from_arrow(t), "doc_id", "text",
+                      window=3).take_all()
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["n_chunks"] == 2 and by[1]["n_kept"] == 2
+    assert by[1]["clean_md5"] == _md5("a b c d")
+    assert by[2]["n_chunks"] == 0 and by[2]["n_kept"] == 0
+    assert by[2]["clean_md5"] == _md5("")
+
+
+def test_semdedup_drops_later_ids_only(ray_session):
+    """Each semantic-duplicate set keeps exactly its smallest id: two
+    planted near-identical groups -> later members dropped, the orthogonal
+    singleton kept."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8)
+    base_b -= base_b @ base_a / (base_a @ base_a) * base_a  # orthogonalize
+    lone = np.eye(8)[5] * base_a.std()        # near-orthogonal singleton
+    lone -= lone @ base_a / (base_a @ base_a) * base_a
+    lone -= lone @ base_b / (base_b @ base_b) * base_b
+    vecs = {
+        1: base_a, 4: base_a + 1e-3, 9: base_a - 1e-3,      # group A
+        2: base_b, 7: base_b * 1.5,                          # group B
+        3: lone,
+    }
+    ids = sorted(vecs)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([vecs[i].tolist() for i in ids],
+                              pa.list_(pa.float64())),
+    })
+    out = semdedup(ray.data.from_arrow(t), "vec_id", "embedding",
+                   threshold=0.95, n_centroids=2, n_assign=2)
+    assert out["dropped_id"].to_pylist() == [4, 7, 9]
