@@ -1093,6 +1093,19 @@ def q_embedding_neardup_ivf(sf_dir: str) -> pa.Table:
                      "cos": pc.round(t["cos"], ndigits=4)})
 
 
+def q_weighted_sample_documents(sf_dir: str) -> pa.Table:
+    """A-Res weighted sample: 50 docs selected with probability ∝ length,
+    deterministic hash uniforms — SQL reproduces the exact selection."""
+    from jsonschema_validator_ray.ops.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    t = weighted_sample(ds, "doc_id", "n_chars", 50, seed=7)
+    return pa.table({
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "score_r6": pc.round(t["score"], ndigits=6),
+    }).sort_by("doc_id")
+
+
 def q_semdedup_embeddings(sf_dir: str) -> pa.Table:
     """SELF-ORACLE (embedding_neardup_ivf precedent, documented there):
     SemDeDup keeper selection — drop every vector with an earlier-id
@@ -2269,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "weighted_sample_documents": q_weighted_sample_documents,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
         "order_window_events": q_order_window_events,
@@ -3165,6 +3179,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "weighted_sample_documents": """
+            SELECT doc_id, round(score, 6) AS score_r6 FROM (
+                SELECT doc_id,
+                       ln((((doc_id * 2654435761 + 7 * 2654435769)
+                            % 4294967296) + 1) / 4294967297.0)
+                           / n_chars AS score
+                FROM documents WHERE n_chars > 0
+                ORDER BY score DESC, doc_id LIMIT 50)
+            ORDER BY doc_id
         """,
         # SELF-ORACLE (same IVF recall-1.0 precedent as above): SemDeDup's
         # dropped set = vectors with ANY earlier-id neighbor ≥ threshold —

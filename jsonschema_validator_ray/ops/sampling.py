@@ -87,6 +87,55 @@ def random_sample(ds, fraction: float, seed: int = 42,
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def weighted_sample(ds, key_column: str, weight_column: str, k: int,
+                    seed: int = 42) -> pa.Table:
+    """Weighted sampling WITHOUT coordination — the A-Res scheme of
+    Efraimidis & Spirakis (2006): each row gets score ``ln(u) / w`` with a
+    DETERMINISTIC per-key uniform ``u = (knuth(key)+1) / (2^32+1)``, and the
+    sample is the global top-``k`` scores (heavier rows get scores nearer 0,
+    hence higher selection probability ∝ w). Because ``u`` derives from the
+    same Knuth multiplicative hash as ``hash_sample``, the selection is
+    stable across runs/blocks AND reproducible in plain SQL (same libm
+    ``ln``/division on the same doubles — bit-identical ordering).
+
+    Distributed shape: one streaming score ``map_batches`` → the partial
+    top-k merge of ``aggregates.top_k`` (k rows per block reach the driver,
+    no shuffle). Rows with null or non-positive weight are dropped —
+    ``ln(u)/w`` is undefined / sign-flipped there, matching the SQL
+    ``WHERE w > 0``. Returns the k sampled rows + ``score`` (round before
+    hashing comparisons)."""
+    import pyarrow.compute as pc
+
+    from .aggregates import top_k
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch[weight_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ok = pc.and_kleene(pc.is_valid(col),
+                           pc.greater(col.cast(pa.float64()),
+                                      pa.scalar(0.0)))
+        batch = batch.filter(ok.fill_null(False))
+        keys = batch[key_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64) \
+            if isinstance(batch[key_column], pa.ChunkedArray) \
+            else batch[key_column].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (keys * KNUTH + np.uint64(seed) * SEED_MIX) % _MOD
+        u = (h.astype(np.float64) + 1.0) / 4294967297.0
+        w = batch[weight_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64) \
+            if isinstance(batch[weight_column], pa.ChunkedArray) \
+            else batch[weight_column].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return batch.append_column(
+            "score", pa.array(np.log(u) / w, pa.float64()))
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return top_k(scored, "score", k, descending=True, tiebreak=key_column)
+
+
 def stratified_sample(ds, group_column: str, key_column: str, k: int,
                       seed: int = 42, n_buckets: int = 0):
     """Per-group deterministic sample — per-source caps / balanced subsets

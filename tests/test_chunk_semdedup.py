@@ -89,3 +89,28 @@ def test_semdedup_drops_later_ids_only(ray_session):
     out = semdedup(ray.data.from_arrow(t), "vec_id", "embedding",
                    threshold=0.95, n_centroids=2, n_assign=2)
     assert out["dropped_id"].to_pylist() == [4, 7, 9]
+
+
+def test_weighted_sample_deterministic_and_weight_biased(ray_session):
+    """A-Res selection is identical across runs, drops null/zero weights,
+    and heavy rows are selected far more often than light ones."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sampling import weighted_sample
+
+    n = 2000
+    t = pa.table({
+        "id": pa.array(list(range(n)), pa.int64()),
+        # even ids weigh 100x odd ids; two poisoned rows must be dropped
+        "w": pa.array([None if i == 0 else 0.0 if i == 1 else
+                       (100.0 if i % 2 == 0 else 1.0)
+                       for i in range(n)], pa.float64()),
+    })
+    out1 = weighted_sample(ray.data.from_arrow(t), "id", "w", 200, seed=3)
+    out2 = weighted_sample(ray.data.from_arrow(t), "id", "w", 200, seed=3)
+    ids1 = out1["id"].to_pylist()
+    assert ids1 == out2["id"].to_pylist()          # deterministic
+    assert 0 not in ids1 and 1 not in ids1         # null/zero weight dropped
+    n_heavy = sum(1 for i in ids1 if i % 2 == 0)
+    assert n_heavy > 170                           # ~198 expected at 100:1
