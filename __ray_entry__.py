@@ -1093,6 +1093,34 @@ def q_embedding_neardup_ivf(sf_dir: str) -> pa.Table:
                      "cos": pc.round(t["cos"], ndigits=4)})
 
 
+def q_mode_event_type_by_user(sf_dir: str) -> pa.Table:
+    """Per-user modal event type (ties -> smallest type string)."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = _collect(grouped_mode(ds, "user_id", "event_type"))
+    return pa.table({
+        "user_id": out["user_id"].cast(pa.int64()),
+        "mode": out["mode"],
+        "n": out["n"].cast(pa.int64()),
+    }).sort_by("user_id")
+
+
+def q_corr_lineitem(sf_dir: str) -> pa.Table:
+    """Per-returnflag Pearson corr(quantity, extendedprice) — algebraic
+    moments partial+final, no shuffle."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    return pa.table({
+        "l_returnflag": out["l_returnflag"],
+        "n": out["n"],
+        "corr_r6": pc.round(out["corr"], ndigits=6),
+    }).sort_by("l_returnflag")
+
+
 def q_weighted_sample_documents(sf_dir: str) -> pa.Table:
     """A-Res weighted sample: 50 docs selected with probability ∝ length,
     deterministic hash uniforms — SQL reproduces the exact selection."""
@@ -2283,6 +2311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "semdedup_embeddings": q_semdedup_embeddings,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "mode_event_type_by_user": q_mode_event_type_by_user,
+        "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
         "order_window_events": q_order_window_events,
@@ -3179,6 +3209,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "mode_event_type_by_user": """
+            SELECT user_id, mode, n FROM (
+                SELECT user_id, event_type AS mode,
+                       CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC,
+                                                   event_type) AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "corr_lineitem": """
+            SELECT l_returnflag,
+                   CAST(count(CASE WHEN l_quantity IS NOT NULL
+                              AND l_extendedprice IS NOT NULL
+                              THEN 1 END) AS BIGINT) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_r6
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "weighted_sample_documents": """
             SELECT doc_id, round(score, 6) AS score_r6 FROM (

@@ -162,6 +162,106 @@ def _add_bucket_fn(key: str, n_buckets: int):
     return add_bucket
 
 
+def grouped_mode(ds, key: str, value: str, n_buckets: int = 0):
+    """Per-group MODE (most frequent value, ties → smallest value — the
+    deterministic tiebreak SQL expresses as
+    ``row_number() OVER (PARTITION BY key ORDER BY cnt DESC, value)``).
+
+    Scale shape: per-batch ``(key, value, count)`` pre-aggregation shrinks
+    the shuffle to distinct-pair rows, ONE hash-bucket groupby on the key
+    co-locates each key's pairs, and the in-bucket argmax is a sort + run
+    scan (no Python per group). Works for string or integer keys/values."""
+    from ..rayutil import default_buckets
+    n_buckets = default_buckets(n_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key, value])
+        both = pc.and_kleene(pc.is_valid(sel[key]), pc.is_valid(sel[value]))
+        sel = sel.filter(both.fill_null(False))
+        g = pa.TableGroupBy(sel, [key, value]).aggregate([([], "count_all")])
+        t = pa.table({key: g[key], value: g[value],
+                      "cnt": g["count_all"].cast(pa.int64())})
+        from ..rayutil import strip_meta
+        from ..stages.groupcheck import np_column_hash
+        h = (np_column_hash(t[key]) % np.uint64(n_buckets)).astype(np.int64)
+        return strip_meta(t).append_column("_bucket",
+                                           pa.array(h, pa.int64()))
+
+    def bucket_mode(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        if body.num_rows == 0:
+            return pa.table({key: body[key], "mode": body[value],
+                             "n": pa.array([], pa.int64())})
+        folded = pa.TableGroupBy(body, [key, value]) \
+            .aggregate([("cnt", "sum")])
+        srt = folded.sort_by([(key, "ascending"),
+                              ("cnt_sum", "descending"),
+                              (value, "ascending")])
+        karr = srt[key].combine_chunks() \
+            if isinstance(srt[key], pa.ChunkedArray) else srt[key]
+        n = len(karr)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = ~pc.equal(karr.slice(1), karr.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+        top = srt.filter(pa.array(first))
+        return pa.table({key: top[key], "mode": top[value],
+                         "n": top["cnt_sum"].cast(pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_mode, batch_format="pyarrow")
+
+
+def grouped_corr(ds, key: str, x: str, y: str) -> pa.Table:
+    """Per-group Pearson correlation via MERGEABLE MOMENTS — the algebraic
+    aggregate shape: each batch emits per-key ``(n, Σx, Σy, Σx², Σy², Σxy)``
+    partials (one vectorized Arrow groupby per batch, float64), the driver
+    folds the tiny partial table and finishes
+    ``(nΣxy − ΣxΣy) / √((nΣx²−Σx²ᵗᵒᵗ)(nΣy²−Σy²ᵗᵒᵗ))``. No shuffle at any
+    size — partial rows are ``distinct keys × blocks``.
+
+    Rows where either coordinate is NULL are skipped (SQL ``corr``
+    semantics); single-point or zero-variance groups yield NULL."""
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key, x, y])
+        both = pc.and_kleene(pc.is_valid(sel[x]), pc.is_valid(sel[y]))
+        sel = sel.filter(both.fill_null(False))
+        xf = sel[x].cast(pa.float64())
+        yf = sel[y].cast(pa.float64())
+        t = pa.table({key: sel[key], "x": xf, "y": yf,
+                      "xx": pc.multiply(xf, xf), "yy": pc.multiply(yf, yf),
+                      "xy": pc.multiply(xf, yf)})
+        return pa.TableGroupBy(t, key).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+
+    import ray
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    final = pa.TableGroupBy(parts, key).aggregate(
+        [("x_count", "sum"), ("x_sum", "sum"), ("y_sum", "sum"),
+         ("xx_sum", "sum"), ("yy_sum", "sum"), ("xy_sum", "sum")])
+    n = final["x_count_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    sx = final["x_sum_sum"].to_numpy(zero_copy_only=False)
+    sy = final["y_sum_sum"].to_numpy(zero_copy_only=False)
+    sxx = final["xx_sum_sum"].to_numpy(zero_copy_only=False)
+    syy = final["yy_sum_sum"].to_numpy(zero_copy_only=False)
+    sxy = final["xy_sum_sum"].to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        corr = np.where(denom > 0, (n * sxy - sx * sy) / denom, np.nan)
+    corr_arr = pa.array(corr, pa.float64())
+    corr_arr = pc.if_else(pc.is_nan(corr_arr),
+                          pa.nulls(len(corr), pa.float64()), corr_arr)
+    return pa.table({key: final[key],
+                     "n": final["x_count_sum"].cast(pa.int64()),
+                     "corr": corr_arr}).sort_by(key)
+
+
 def grouped_quantiles(ds, key: str, value: str, qs: Sequence[float],
                       n_buckets: int = 0):
     """EXACT grouped quantiles (linear interpolation, = SQL
