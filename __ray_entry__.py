@@ -1093,6 +1093,98 @@ def q_embedding_neardup_ivf(sf_dir: str) -> pa.Table:
                      "cos": pc.round(t["cos"], ndigits=4)})
 
 
+def q_percent_rank_events(sf_dir: str) -> pa.Table:
+    """percent_rank of value within event_type for every event — one
+    hash-bucket shuffle, vectorized in-bucket rank."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_percent_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = _collect(grouped_percent_rank(ds, "event_type", "value",
+                                        "event_id"))
+    return pa.table({
+        "event_id": out["event_id"].cast(pa.int64()),
+        "event_type": out["event_type"],
+        "prk_r6": pc.round(out["prk"], ndigits=6),
+    }).sort_by("event_id")
+
+
+def q_order_window_overlaps(sf_dir: str) -> pa.Table:
+    """Interval-overlap aggregate join: per order, how many 7-day order
+    windows of the SAME customer overlap it (self included) —
+    ``ops.join.interval_overlap_join``: one shuffle, two compound
+    searchsorted scans per bucket, |orders| rows out."""
+    from jsonschema_validator_ray.ops.join import interval_overlap_join
+
+    week_us = 7 * 86400 * 10**6
+
+    def mk_windows(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].cast(pa.int64())
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "w_start": d,
+            "w_end": pc.add(d, pa.scalar(week_us, pa.int64()))})
+
+    def windows():
+        return _read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(mk_windows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    out = _collect(interval_overlap_join(
+        windows(), windows(), on="o_custkey",
+        a_start="w_start", a_end="w_end",
+        b_start="w_start", b_end="w_end",
+        a_schema=pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("w_start", pa.int64()),
+                            ("w_end", pa.int64())])))
+    return pa.table({
+        "o_orderkey": out["o_orderkey"].cast(pa.int64()),
+        "n_overlaps": out["n_overlaps"].cast(pa.int64()),
+    }).sort_by("o_orderkey")
+
+
+def q_user_activity_full_outer(sf_dir: str) -> pa.Table:
+    """FULL OUTER join of two pre-aggregated sides: per-id event count vs
+    order count — ids live on either or both sides, nulls preserved.
+    Both sides combine per-batch partials inside the bucket (left_fn /
+    right_fn), so only result-scale rows leave the shuffle."""
+    from jsonschema_validator_ray.ops.join import reduce_side_hash_join
+
+    def part(key_in: str, alias: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = pa.table({"uid": batch[key_in].cast(pa.int64()),
+                          "one": pa.array(np.ones(batch.num_rows,
+                                                  np.int64))})
+            g = pa.TableGroupBy(t, "uid").aggregate([("one", "sum")])
+            return pa.table({"uid": g["uid"],
+                             alias: g["one_sum"].cast(pa.int64())})
+        return fn
+
+    def combine(alias: str):
+        def fn(t: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(t, "uid").aggregate([(alias, "sum")])
+            return pa.table({"uid": g["uid"],
+                             alias: g[f"{alias}_sum"].cast(pa.int64())})
+        return fn
+
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        part("user_id", "n_events"), batch_format="pyarrow",
+        zero_copy_batch=True)
+    od = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        part("o_custkey", "n_orders"), batch_format="pyarrow",
+        zero_copy_batch=True)
+    out = _collect(reduce_side_hash_join(
+        ev, od, "uid", join_type="full outer",
+        left_fn=combine("n_events"), right_fn=combine("n_orders")))
+    return pa.table({
+        "uid": out["uid"].cast(pa.int64()),
+        "n_events": out["n_events"].cast(pa.int64()),
+        "n_orders": out["n_orders"].cast(pa.int64()),
+    }).sort_by("uid")
+
+
 def q_mode_event_type_by_user(sf_dir: str) -> pa.Table:
     """Per-user modal event type (ties -> smallest type string)."""
     from jsonschema_validator_ray.ops.aggregates import grouped_mode
@@ -2312,6 +2404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": q_semdedup_embeddings,
         "weighted_sample_documents": q_weighted_sample_documents,
         "mode_event_type_by_user": q_mode_event_type_by_user,
+        "order_window_overlaps": q_order_window_overlaps,
+        "percent_rank_events": q_percent_rank_events,
+        "user_activity_full_outer": q_user_activity_full_outer,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3209,6 +3304,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "percent_rank_events": """
+            SELECT event_id, event_type,
+                   round(percent_rank() OVER (PARTITION BY event_type
+                                              ORDER BY value), 6) AS prk_r6
+            FROM events WHERE value IS NOT NULL
+            ORDER BY event_id
+        """,
+        "order_window_overlaps": """
+            WITH w AS (
+                SELECT o_orderkey, o_custkey,
+                       o_orderdate AS s,
+                       o_orderdate + INTERVAL 7 DAY AS e
+                FROM orders)
+            SELECT a.o_orderkey, CAST(count(*) AS BIGINT) AS n_overlaps
+            FROM w a JOIN w b
+              ON a.o_custkey = b.o_custkey
+             AND b.s < a.e AND b.e > a.s
+            GROUP BY a.o_orderkey ORDER BY a.o_orderkey
+        """,
+        "user_activity_full_outer": """
+            SELECT coalesce(e.uid, o.uid) AS uid, e.n_events, o.n_orders
+            FROM (SELECT user_id AS uid, CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1) e
+            FULL OUTER JOIN
+                 (SELECT o_custkey AS uid,
+                         CAST(count(*) AS BIGINT) AS n_orders
+                  FROM orders GROUP BY 1) o
+              ON e.uid = o.uid
+            ORDER BY uid
         """,
         "mode_event_type_by_user": """
             SELECT user_id, mode, n FROM (

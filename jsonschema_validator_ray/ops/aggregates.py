@@ -213,6 +213,61 @@ def grouped_mode(ds, key: str, value: str, n_buckets: int = 0):
         .groupby("_bucket").map_groups(bucket_mode, batch_format="pyarrow")
 
 
+def grouped_percent_rank(ds, key: str, value: str, id_col: str,
+                         n_buckets: int = 0):
+    """SQL ``percent_rank() OVER (PARTITION BY key ORDER BY value)`` =
+    ``(rank − 1) / (n − 1)`` with min-rank ties, 0.0 for single-row
+    partitions. Returns ``(id_col, key, prk)`` for every row.
+
+    ONE hash-bucket shuffle (whole partitions per bucket), in-bucket a
+    single lexsort + two run scans (key segments for n, (key, value) runs
+    for the tie-min rank) — no Python per group. Rows with a NULL value are
+    dropped (their SQL rank depends on NULLS FIRST/LAST dialect defaults);
+    NULL keys form their own partition."""
+    from ..rayutil import default_buckets
+    n_buckets = default_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(key, n_buckets)
+
+    def bucket_prk(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        body = body.filter(pc.is_valid(body[value]))
+        n = body.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             key: body[key],
+                             "prk": pa.array([], pa.float64())})
+        karr = body[key].combine_chunks() \
+            if isinstance(body[key], pa.ChunkedArray) else body[key]
+        codes = karr.dictionary_encode().indices.fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = body[value].cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, codes))
+        cs, vs = codes[order], vals[order]
+        new_key = np.ones(n, bool)
+        new_key[1:] = cs[1:] != cs[:-1]
+        seg_starts = np.flatnonzero(new_key)
+        seg_sizes = np.diff(np.append(seg_starts, n))
+        pos = np.arange(n, dtype=np.int64) \
+            - np.repeat(seg_starts, seg_sizes)
+        new_run = new_key.copy()
+        new_run[1:] |= vs[1:] != vs[:-1]
+        ri = np.flatnonzero(new_run)
+        rank0 = np.repeat(pos[ri], np.diff(np.append(ri, n)))
+        denom = np.repeat(seg_sizes, seg_sizes).astype(np.float64) - 1.0
+        prk = np.where(denom > 0, rank0 / np.maximum(denom, 1.0), 0.0)
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        return pa.table({
+            id_col: body[id_col].cast(pa.int64()),
+            key: body[key],
+            "prk": pa.array(prk[inv], pa.float64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_prk, batch_format="pyarrow")
+
+
 def grouped_corr(ds, key: str, x: str, y: str) -> pa.Table:
     """Per-group Pearson correlation via MERGEABLE MOMENTS — the algebraic
     aggregate shape: each batch emits per-key ``(n, Σx, Σy, Σx², Σy², Σxy)``

@@ -34,7 +34,8 @@ def _pad_to(batch: pa.Table, schema: pa.Schema) -> pa.Table:
 
 def reduce_side_hash_join(left_ds, right_ds, key: str, *,
                           n_buckets: int = 0, group_fn=None,
-                          join_type: str = "inner", right_fn=None):
+                          join_type: str = "inner", right_fn=None,
+                          left_fn=None):
     """Join two Datasets on an integer ``key``; returns a Dataset of joined
     rows (or of ``group_fn``'s per-bucket output). Column names other than
     ``key`` must be disjoint across sides.
@@ -43,9 +44,10 @@ def reduce_side_hash_join(left_ds, right_ds, key: str, *,
     ``left outer``, ``left semi``, ``left anti``, ...) — outer semantics
     hold globally because BOTH sides of one key land in exactly one bucket,
     so a left row with no right match is unmatched in its bucket too.
-    ``right_fn`` (optional) pre-transforms each bucket's right-side slice
-    before the join — e.g. combining per-batch partial aggregates down to
-    one row per key so the join output stays result-scale."""
+    ``right_fn`` / ``left_fn`` (optional) pre-transform each bucket's side
+    slice before the join — e.g. combining per-batch partial aggregates down
+    to one row per key so the join output stays result-scale (both sides can
+    be pre-aggregated for outer joins of two aggregates)."""
     import ray
 
     from ..stages.groupcheck import np_column_hash
@@ -87,6 +89,8 @@ def reduce_side_hash_join(left_ds, right_ds, key: str, *,
         is_l = pc.equal(group["_side"], 0)
         lt = group.filter(is_l).select(l_names)
         rt = group.filter(pc.invert(is_l)).select([key] + r_names)
+        if left_fn is not None:
+            lt = left_fn(lt)
         if right_fn is not None:
             rt = right_fn(rt)
         j = lt.join(rt, keys=key, join_type=join_type)
@@ -321,6 +325,106 @@ def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
             out = out.append_column("sum_value",
                                     pa.array(cum[hi] - cum[lo], pa.int64()))
         return out
+
+    return tagged.groupby("_jb").map_groups(agg_bucket,
+                                            batch_format="pyarrow")
+
+
+def interval_overlap_join(a_ds, b_ds, *, on: str, a_start: str, a_end: str,
+                          b_on: str | None = None, b_start: str = "",
+                          b_end: str = "", n_buckets: int = 0,
+                          a_schema: pa.Schema | None = None):
+    """Interval × interval OVERLAP aggregate join: for each A interval
+    ``[a_start, a_end)`` count the same-key B intervals it overlaps
+    (``b_start < a_end AND b_end > a_start``). Emits every A column plus
+    ``n_overlaps`` — the aggregate form keeps the output |A|-scale however
+    dense the overlap graph (a materialized pair join is quadratic in the
+    worst case).
+
+    Shape (same as ``range_agg_join``): one hash-bucket groupby co-locates
+    each key's A and B rows; in-bucket the count decomposes into two
+    monotone scans — ``#(b_start < a_end) − #(b_end ≤ a_start)`` — each
+    resolved with one ``np.searchsorted`` over a dense (key_rank,
+    bound_rank) compound. O((A+B) log B) per bucket, no Python loop.
+    Keys/bounds must be integer-castable and non-null (null rows dropped in
+    the tag stages, matching SQL join-predicate semantics)."""
+    from ..stages.groupcheck import np_column_hash
+
+    b_on = b_on or on
+    n_buckets = _default_buckets(n_buckets)
+    schema_a = a_schema if a_schema is not None else a_ds.schema()
+    assert not {"_jb", "_side", "_k", "_s", "_e"} & set(schema_a.names)
+    payload_schema = pa.schema(
+        list(zip(schema_a.names, schema_a.types))
+        + [("_k", pa.int64()), ("_s", pa.int64()), ("_e", pa.int64())])
+
+    def tag(side: int, key: str, s_col: str, e_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.and_(
+                pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[s_col])),
+                pc.is_valid(batch[e_col])))
+            k = batch[key].cast(pa.int64())
+            body = batch if side == 0 else pa.table({})
+            t = pa.table({"_k": k, "_s": batch[s_col].cast(pa.int64()),
+                          "_e": batch[e_col].cast(pa.int64())})
+            if side == 0:
+                for n in schema_a.names:
+                    t = t.append_column(n, body[n])
+            jb = (np_column_hash(k) % np.uint64(n_buckets)).astype(np.int64)
+            out = _pad_to(t, payload_schema)
+            out = out.add_column(0, "_side", pa.array(
+                np.full(t.num_rows, side, np.int8), pa.int8()))
+            return out.add_column(0, "_jb", pa.array(jb, pa.int64()))
+        return fn
+
+    tagged = a_ds.map_batches(tag(0, on, a_start, a_end),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        b_ds.map_batches(tag(1, b_on, b_start, b_end),
+                         batch_format="pyarrow", zero_copy_batch=True))
+
+    def agg_bucket(group: pa.Table) -> pa.Table:
+        is_a = pc.equal(group["_side"], 0)
+        at = group.filter(is_a)
+        if at.num_rows == 0:
+            return pa.table({n: pa.nulls(0, t) for n, t in
+                             zip(schema_a.names, schema_a.types)}
+                            | {"n_overlaps": pa.nulls(0, pa.int64())})
+        bt = group.filter(pc.invert(is_a))
+        out = at.select(list(schema_a.names))
+        if bt.num_rows == 0:
+            return out.append_column(
+                "n_overlaps",
+                pa.array(np.zeros(at.num_rows, np.int64), pa.int64()))
+        bk = bt["_k"].to_numpy()
+        bs = bt["_s"].to_numpy()
+        be = bt["_e"].to_numpy()
+        ak = at["_k"].to_numpy()
+        as_ = at["_s"].to_numpy()
+        ae = at["_e"].to_numpy()
+        dkeys = np.unique(np.concatenate([bk, ak]))
+        dk_a = np.searchsorted(dkeys, ak)
+        # compound 1: sorted (key, b_start) — count b_start < a_end per key
+        uniq_s = np.unique(bs)
+        band_s = np.int64(uniq_s.size + 1)
+        o1 = np.lexsort((bs, bk))
+        comp_s = np.searchsorted(dkeys, bk[o1]) * band_s \
+            + np.searchsorted(uniq_s, bs[o1])
+        lo_k = np.searchsorted(comp_s, dk_a * band_s)           # key start
+        c1 = np.searchsorted(
+            comp_s, dk_a * band_s + np.searchsorted(uniq_s, ae)) - lo_k
+        # compound 2: sorted (key, b_end) — count b_end <= a_start per key
+        uniq_e = np.unique(be)
+        band_e = np.int64(uniq_e.size + 1)
+        o2 = np.lexsort((be, bk))
+        comp_e = np.searchsorted(dkeys, bk[o2]) * band_e \
+            + np.searchsorted(uniq_e, be[o2])
+        lo_k2 = np.searchsorted(comp_e, dk_a * band_e)
+        c2 = np.searchsorted(
+            comp_e, dk_a * band_e
+            + np.searchsorted(uniq_e, as_, side="right")) - lo_k2
+        return out.append_column("n_overlaps",
+                                 pa.array(c1 - c2, pa.int64()))
 
     return tagged.groupby("_jb").map_groups(agg_bucket,
                                             batch_format="pyarrow")
