@@ -1177,7 +1177,11 @@ def q_user_activity_full_outer(sf_dir: str) -> pa.Table:
         zero_copy_batch=True)
     out = _collect(reduce_side_hash_join(
         ev, od, "uid", join_type="full outer",
-        left_fn=combine("n_events"), right_fn=combine("n_orders")))
+        left_fn=combine("n_events"), right_fn=combine("n_orders"),
+        left_schema=pa.schema([("uid", pa.int64()),
+                               ("n_events", pa.int64())]),
+        right_schema=pa.schema([("uid", pa.int64()),
+                                ("n_orders", pa.int64())])))
     return pa.table({
         "uid": out["uid"].cast(pa.int64()),
         "n_events": out["n_events"].cast(pa.int64()),

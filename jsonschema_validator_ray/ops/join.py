@@ -35,7 +35,8 @@ def _pad_to(batch: pa.Table, schema: pa.Schema) -> pa.Table:
 def reduce_side_hash_join(left_ds, right_ds, key: str, *,
                           n_buckets: int = 0, group_fn=None,
                           join_type: str = "inner", right_fn=None,
-                          left_fn=None):
+                          left_fn=None, left_schema: pa.Schema | None = None,
+                          right_schema: pa.Schema | None = None):
     """Join two Datasets on an integer ``key``; returns a Dataset of joined
     rows (or of ``group_fn``'s per-bucket output). Column names other than
     ``key`` must be disjoint across sides.
@@ -47,7 +48,12 @@ def reduce_side_hash_join(left_ds, right_ds, key: str, *,
     ``right_fn`` / ``left_fn`` (optional) pre-transform each bucket's side
     slice before the join — e.g. combining per-batch partial aggregates down
     to one row per key so the join output stays result-scale (both sides can
-    be pre-aggregated for outer joins of two aggregates)."""
+    be pre-aggregated for outer joins of two aggregates).
+
+    Pass ``left_schema`` / ``right_schema`` when a side is a derived
+    (mapped) Dataset: ``Dataset.schema()`` on one executes part of the
+    upstream pipeline as a probe — an explicit schema skips that re-execution
+    (same pattern as ``asof_join`` / ``range_agg_join``)."""
     import ray
 
     from ..stages.groupcheck import np_column_hash
@@ -57,8 +63,9 @@ def reduce_side_hash_join(left_ds, right_ds, key: str, *,
             if ray.is_initialized() else 4
         n_buckets = 4 * avail
 
-    l_schema = left_ds.schema()
-    r_schema = right_ds.schema()
+    l_schema = left_schema if left_schema is not None else left_ds.schema()
+    r_schema = right_schema if right_schema is not None \
+        else right_ds.schema()
     l_names = list(l_schema.names)
     r_names = [n for n in r_schema.names if n != key]
     union_schema = pa.schema(
