@@ -431,24 +431,13 @@ def sessionize_counts(ds, user_col: str, ts_col: str, order_col: str,
     Execution: hash-bucket groupby keeps WHOLE users per bucket (no session
     can straddle buckets), then one vectorized pass per bucket — the same
     shape as the uniqueness/monotonicity wide stage."""
-    import ray
-
     from ..rayutil import ensure_worker_importable
     ensure_worker_importable()
-    avail = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    n_buckets = 4 * avail
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
-        from ..stages.groupcheck import np_column_hash
-
-        h = (np_column_hash(batch[user_col])
-             % np.uint64(n_buckets)).astype(np.int64)
-        return strip_meta(batch).append_column("_bucket",
-                                               pa.array(h, pa.int64()))
+    n_buckets = _hash_buckets(0)
+    add_bucket = _add_bucket_fn(user_col, n_buckets)
 
     def count_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
         srt = group.sort_by([(user_col, "ascending"), (ts_col, "ascending"),
                              (order_col, "ascending")])
         n = srt.num_rows
@@ -735,13 +724,17 @@ def grouped_exact_distinct(ds, key: str, value: str,
         return strip_meta(t).append_column("_bucket", pa.array(h, pa.int64()))
 
     def count_bucket(group: pa.Table) -> pa.Table:
-        empty = {key: pa.array([], pa.string()),
-                 "n_distinct": pa.array([], pa.int64())}
+        # preserve the INPUT key type (the old unconditional string cast
+        # broke downstream type-based compares for integer keys; review r4,
+        # third batch) — the empty branch types its array off the group's
+        # schema, which is present even for zero rows
         if group.num_rows == 0:
-            return pa.table(empty)
+            return pa.table({
+                key: pa.array([], group.schema.field(key).type),
+                "n_distinct": pa.array([], pa.int64())})
         t = group.select([key, value]).group_by([key, value]).aggregate([])
         g = pa.TableGroupBy(t, key).aggregate([([], "count_all")])
-        return pa.table({key: g[key].cast(pa.string()),
+        return pa.table({key: g[key],
                          "n_distinct": g["count_all"].cast(pa.int64())})
 
     return ds.map_batches(pair_partial, batch_format="pyarrow",

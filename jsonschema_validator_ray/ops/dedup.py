@@ -253,7 +253,12 @@ def _emit_bucket_pairs(id_column: str, n_perms: int = 0,
                 b"".join(srt["sig8"].to_pylist()),
                 np.uint8).reshape(n, n_perms)
         if n == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
+            # full output schema incl. pb2 (the other emitters return their
+            # complete schema for the empty case; a pb2-less empty table
+            # would break the downstream pair-dedup groupby if Ray ever
+            # fed an empty group — review r4, third batch)
+            return pa.table({"pb2": pa.array([], pa.int64()),
+                             "id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
         new_run = np.empty(n, bool)
         new_run[0] = True
@@ -300,16 +305,12 @@ def minhash_lsh_candidate_pairs(ds, id_column: str, text_column: str,
     (id_a, id_b) rows (``dedup=False`` skips the cross-band dedup groupby
     and may return the same pair from several bands). No driver-side
     materialization anywhere."""
-    import ray
+    from ..rayutil import avail_cpus, default_buckets
 
-    if n_buckets <= 0:
-        avail = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        n_buckets = 4 * avail
-    avail2 = int(__import__("ray").cluster_resources().get("CPU", 4)) \
-        if __import__("ray").is_initialized() else 4
-    sigs = minhash_signatures(_spread_blocks(ds, 2 * avail2), id_column,
-                              text_column, n_perms, k, concurrency)
+    n_buckets = default_buckets(n_buckets)
+    sigs = minhash_signatures(_spread_blocks(ds, 2 * avail_cpus()),
+                              id_column, text_column, n_perms, k,
+                              concurrency)
     band_ds = minhash_band_rows(sigs, id_column, n_perms, bands, n_buckets,
                                 carry_signature=bool(est_threshold))
     pairs = band_ds.groupby("pb").map_groups(
@@ -626,9 +627,8 @@ def _jaccard_verify_pairs(ds, pairs_ds, id_column: str,
             return _shingle_hashes(t, k)
 
     if n_verify_parts <= 0:
-        avail = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        n_verify_parts = 2 * avail
+        from ..rayutil import avail_cpus
+        n_verify_parts = 2 * avail_cpus()
 
     pairs_mat = pairs_ds.materialize()
     pair_refs = pairs_mat.to_arrow_refs()
@@ -1034,15 +1034,11 @@ def simhash_near_duplicates(ds, id_column: str, text_column: str = "text",
     import ray
     from ray.data.aggregate import Min
 
-    if n_buckets <= 0:
-        avail = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        n_buckets = 4 * avail
+    from ..rayutil import avail_cpus, default_buckets
 
-    avail2 = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    with_sig = add_simhash(_spread_blocks(ds, 2 * avail2), text_column,
-                           "simhash", k)
+    n_buckets = default_buckets(n_buckets)
+    with_sig = add_simhash(_spread_blocks(ds, 2 * avail_cpus()),
+                           text_column, "simhash", k)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1198,9 +1194,8 @@ def connected_components(pairs: pa.Table, id_a: str = "id_a",
     import ray
 
     if n_buckets <= 0:
-        avail = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        n_buckets = 2 * avail
+        from ..rayutil import avail_cpus
+        n_buckets = 2 * avail_cpus()
 
     a = pairs[id_a].combine_chunks().to_numpy(zero_copy_only=False) \
         .astype(np.int64)
@@ -1316,12 +1311,10 @@ def chunk_dedup(ds, id_column: str, text_column: str, window: int = 3):
     import polars as pl
     import ray
 
-    from ..rayutil import strip_meta
+    from ..rayutil import default_buckets, strip_meta
     from ..stages.groupcheck import np_column_hash
 
-    avail = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    n_buckets = 4 * avail
+    n_buckets = default_buckets()
 
     def chunk_lists(col) -> tuple[list, np.ndarray]:
         """Per-row chunk text lists + per-row chunk counts (SQL
@@ -1575,13 +1568,22 @@ def embedding_neardup_ivf(ds, id_column: str, vec_column: str,
         ids = group[id_column].combine_chunks() \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, first = np.unique(ids, return_index=True)
-        vecs = [group["vec"][int(i)].as_py() for i in first]
         if uniq.size < 2:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "cos": pa.array([], pa.float64())})
-        dim = len(vecs[0]) // 4
-        mat = np.frombuffer(b"".join(vecs), np.float32) \
+        # vectorized blob decode straight off the Arrow buffers (the old
+        # per-row .as_py() loop was one Python access + bytes copy per doc
+        # — review r4, third batch); every vec blob is the same dim*4-byte
+        # float32 row, so one frombuffer + reshape decodes the whole bucket
+        sel = group["vec"].combine_chunks() \
+            .take(pa.array(first, pa.int64()))
+        bufs = sel.buffers()
+        voff = np.frombuffer(bufs[1], np.int32)[
+            sel.offset: sel.offset + len(sel) + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], np.uint8)[voff[0]:voff[-1]]
+        dim = int(voff[1] - voff[0]) // 4
+        mat = np.frombuffer(data.tobytes(), np.float32) \
             .reshape(uniq.size, dim).astype(np.float64)
         sims = mat @ mat.T
         r, c = np.triu_indices(uniq.size, k=1)
@@ -1770,6 +1772,26 @@ def ngram_hot_grams(grams_ds, hot_df: int, n_buckets: int,
     return pa.concat_tables(parts).sort_by("gh")
 
 
+def _hot_levels(hot: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ascending uint64 gram hashes, per-gram hot level) for the PPJoin
+    prefix broadcast. ``ngram_hot_grams`` sorts by the SIGNED int64 ``gh``
+    column; reinterpreted as uint64 that order is NOT ascending (hashes ≥
+    2^63 sort first), which silently broke the searchsorted lookup for half
+    the hash space and let hot grams keep level 0 — i.e. enter prefixes and
+    re-enable the O(df²) blowup the df pass exists to prevent (review r4,
+    third batch). Re-sort in uint64 space before broadcasting. Hot level =
+    1 + rank by (df, gh): the hottest gram sorts ABSOLUTELY last in the
+    global prefix order."""
+    hot_gh = hot["gh"].to_numpy().astype(np.uint64)
+    hot_df_arr = hot["df"].to_numpy()
+    srt = np.argsort(hot_gh, kind="stable")
+    hot_gh, hot_df_arr = hot_gh[srt], hot_df_arr[srt]
+    order = np.lexsort((hot_gh, hot_df_arr))
+    level = np.empty(len(hot_gh), np.int64)
+    level[order] = 1 + np.arange(len(hot_gh))
+    return hot_gh, level
+
+
 def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
                                   n: int = 3, threshold: float = 0.6,
                                   n_buckets: int = 0,
@@ -1800,10 +1822,9 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
     one-hot-trigram worst case emitted O(df²) rows at corpus scale."""
     import ray
 
-    if n_buckets <= 0:
-        avail = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        n_buckets = 4 * avail
+    from ..rayutil import default_buckets
+
+    n_buckets = default_buckets(n_buckets)
 
     grams_ds = ngram_gram_blobs(ds, id_column, text_column, n)
     # the hot-gram df scan only pays when df² can explode: below
@@ -1821,12 +1842,7 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
     else:
         hot = ngram_hot_grams(grams_ds, hot_df, n_buckets,
                               sample_fraction=hot_sample_fraction)
-    hot_gh = hot["gh"].to_numpy().astype(np.uint64)          # sorted by gh
-    # hot level: 1 + rank by (df, gh) — hottest gram sorts ABSOLUTELY last
-    order = np.lexsort((hot_gh, hot["df"].to_numpy()))
-    level = np.empty(len(hot_gh), np.int64)
-    level[order] = 1 + np.arange(len(hot_gh))
-    hot_ref = ray.put((hot_gh, level))
+    hot_ref = ray.put(_hot_levels(hot))
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         """PPJoin prefix selection, flattened across the batch (VERDICT r3

@@ -322,12 +322,13 @@ def range_agg_join(range_ds, point_ds, *, on: str, point_on: str,
         hi = np.searchsorted(comp_p, dk_r * band + np.searchsorted(uniq, t1))
         out = out.append_column("n_points", pa.array(hi - lo, pa.int64()))
         if value is not None:
-            # null point values decay to NaN in to_numpy and would poison
-            # the cumsum (ArrowInvalid on the int64 cast; review r4) — SQL
-            # SUM ignores nulls, so they contribute 0 while n_points keeps
-            # its COUNT(*) semantics
-            pv = np.nan_to_num(
-                pt["_pv"].to_numpy(zero_copy_only=False)[order], nan=0.0)
+            # fill nulls on the ARROW side so the numpy array stays int64:
+            # a null decays to_numpy to float64, the cumsum then drifts past
+            # 2^53 and the int64 re-cast is wrong or raises (review r4,
+            # third batch) — SQL SUM ignores nulls, so they contribute 0
+            # while n_points keeps its COUNT(*) semantics
+            pv = pc.fill_null(pt["_pv"], 0) \
+                .to_numpy(zero_copy_only=False)[order]
             cum = np.concatenate([[0], np.cumsum(pv)])
             out = out.append_column("sum_value",
                                     pa.array(cum[hi] - cum[lo], pa.int64()))
@@ -354,7 +355,14 @@ def interval_overlap_join(a_ds, b_ds, *, on: str, a_start: str, a_end: str,
     resolved with one ``np.searchsorted`` over a dense (key_rank,
     bound_rank) compound. O((A+B) log B) per bucket, no Python loop.
     Keys/bounds must be integer-castable and non-null (null rows dropped in
-    the tag stages, matching SQL join-predicate semantics)."""
+    the tag stages, matching SQL join-predicate semantics).
+
+    Intervals are interpreted as SETS: a degenerate row (``end ≤ start``,
+    the empty interval) overlaps nothing — such B rows are dropped in the
+    tag stage and such A rows report 0 (the count decomposition below is
+    only valid for well-formed intervals; the raw SQL predicate
+    ``b_start < a_end AND b_end > a_start`` can still fire for ill-formed
+    rows, a documented divergence — review r4, third batch)."""
     from ..stages.groupcheck import np_column_hash
 
     b_on = b_on or on
@@ -370,6 +378,9 @@ def interval_overlap_join(a_ds, b_ds, *, on: str, a_start: str, a_end: str,
             batch = batch.filter(pc.and_(
                 pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[s_col])),
                 pc.is_valid(batch[e_col])))
+            if side == 1:       # empty B intervals overlap nothing
+                batch = batch.filter(pc.less(batch[s_col].cast(pa.int64()),
+                                             batch[e_col].cast(pa.int64())))
             k = batch[key].cast(pa.int64())
             body = batch if side == 0 else pa.table({})
             t = pa.table({"_k": k, "_s": batch[s_col].cast(pa.int64()),
@@ -430,8 +441,9 @@ def interval_overlap_join(a_ds, b_ds, *, on: str, a_start: str, a_end: str,
         c2 = np.searchsorted(
             comp_e, dk_a * band_e
             + np.searchsorted(uniq_e, as_, side="right")) - lo_k2
+        n_ov = np.where(ae > as_, c1 - c2, 0)   # empty A intervals → 0
         return out.append_column("n_overlaps",
-                                 pa.array(c1 - c2, pa.int64()))
+                                 pa.array(n_ov, pa.int64()))
 
     return tagged.groupby("_jb").map_groups(agg_bucket,
                                             batch_format="pyarrow")

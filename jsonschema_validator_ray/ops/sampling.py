@@ -100,10 +100,13 @@ def weighted_sample(ds, key_column: str, weight_column: str, k: int,
 
     Distributed shape: one streaming score ``map_batches`` → the partial
     top-k merge of ``aggregates.top_k`` (k rows per block reach the driver,
-    no shuffle). Rows with null or non-positive weight are dropped —
-    ``ln(u)/w`` is undefined / sign-flipped there, matching the SQL
-    ``WHERE w > 0``. Returns the k sampled rows + ``score`` (round before
-    hashing comparisons)."""
+    no shuffle). Rows with a null key or null/non-positive weight are
+    dropped — ``ln(u)/w`` is undefined / sign-flipped there, matching the
+    SQL ``WHERE w > 0`` (null-key parity with ``hash_sample``). Integer
+    keys use the SQL-reproducible Knuth hash; other key types hash via the
+    vectorized 64-bit column hash (deterministic, not SQL-expressible).
+    Returns the k sampled rows + ``score`` (round before hashing
+    comparisons)."""
     import pyarrow.compute as pc
 
     from .aggregates import top_k
@@ -112,16 +115,21 @@ def weighted_sample(ds, key_column: str, weight_column: str, k: int,
         col = batch[weight_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        ok = pc.and_kleene(pc.is_valid(col),
-                           pc.greater(col.cast(pa.float64()),
-                                      pa.scalar(0.0)))
+        # drop null KEYS too: NaN→uint64 is an undefined cast (platform-
+        # dependent garbage u, breaking the reproducibility contract);
+        # matches hash_sample/stratified_sample null-key semantics
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(col), pc.is_valid(batch[key_column])),
+            pc.greater(col.cast(pa.float64()), pa.scalar(0.0)))
         batch = batch.filter(ok.fill_null(False))
-        keys = batch[key_column].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(np.uint64) \
+        kcol = batch[key_column].combine_chunks() \
             if isinstance(batch[key_column], pa.ChunkedArray) \
-            else batch[key_column].to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        h = (keys * KNUTH + np.uint64(seed) * SEED_MIX) % _MOD
+            else batch[key_column]
+        if pa.types.is_integer(kcol.type):
+            keys = kcol.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (keys * KNUTH + np.uint64(seed) * SEED_MIX) % _MOD
+        else:               # string/other keys: vectorized 64-bit hash
+            h = (hash64(kcol) + np.uint64(seed) * SEED_MIX) % _MOD
         u = (h.astype(np.float64) + 1.0) / 4294967297.0
         w = batch[weight_column].combine_chunks() \
             .to_numpy(zero_copy_only=False).astype(np.float64) \

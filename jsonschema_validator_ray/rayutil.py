@@ -119,16 +119,20 @@ def clean_read_schema(path: str, columns=None):
     return pa.schema([full.field(c) for c in (columns or full.names)])
 
 
+def avail_cpus() -> int:
+    """Available cluster CPUs (4 when Ray isn't up — the test default)."""
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+
+
 def default_buckets(n_buckets: int = 0) -> int:
     """Shared hash-bucket count policy: an explicit positive value wins,
     otherwise ~4 buckets per available CPU (whole-group-per-bucket shuffles
     want enough buckets to spread skew but not so many that per-group task
     overhead dominates). The single definition for every bucketed operator
     (review r4 — five copies drifted before this)."""
-    import ray
-
     if n_buckets > 0:
         return n_buckets
-    avail = int(ray.cluster_resources().get("CPU", 4)) \
-        if ray.is_initialized() else 4
-    return 4 * avail
+    return 4 * avail_cpus()
