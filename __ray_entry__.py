@@ -1202,6 +1202,37 @@ def q_mode_event_type_by_user(sf_dir: str) -> pa.Table:
     }).sort_by("user_id")
 
 
+def q_latest_event_per_user(sf_dir: str) -> pa.Table:
+    """Latest-row-per-group: each user's most recent event (max ts, ties ->
+    smallest event_id) — grouped_argmax's per-batch combiner means the
+    shuffle moves <= one row per user per batch."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_argmax
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    out = _collect(grouped_argmax(ds, "user_id", "ts", tiebreak="event_id"))
+    return pa.table({
+        "user_id": out["user_id"].cast(pa.int64()),
+        "event_id": out["event_id"].cast(pa.int64()),
+        "ts": out["ts"],
+        "event_type": out["event_type"],
+    }).sort_by("user_id")
+
+
+def q_vocab_entropy_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language Shannon entropy of the word distribution (corpus
+    diversity): token explode + (lang, word) pre-aggregation per batch,
+    one vocabulary-sized shuffle, segmented-bincount entropy in-bucket."""
+    from jsonschema_validator_ray.ops.text import vocab_entropy
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = _collect(vocab_entropy(ds, "lang", "text"))
+    return pa.table({
+        "lang": out["lang"],
+        "entropy_r6": pc.round(out["entropy"], ndigits=6),
+        "n_words": out["n_words"].cast(pa.int64()),
+    }).sort_by("lang")
+
+
 def q_corr_lineitem(sf_dir: str) -> pa.Table:
     """Per-returnflag Pearson corr(quantity, extendedprice) — algebraic
     moments partial+final, no shuffle."""
@@ -2408,6 +2439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": q_semdedup_embeddings,
         "weighted_sample_documents": q_weighted_sample_documents,
         "mode_event_type_by_user": q_mode_event_type_by_user,
+        "latest_event_per_user": q_latest_event_per_user,
+        "vocab_entropy_by_lang": q_vocab_entropy_by_lang,
         "order_window_overlaps": q_order_window_overlaps,
         "percent_rank_events": q_percent_rank_events,
         "user_activity_full_outer": q_user_activity_full_outer,
@@ -3350,6 +3383,29 @@ def oracle_sql() -> dict[str, str]:
                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL
                 GROUP BY user_id, event_type)
             WHERE rn = 1 ORDER BY user_id
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id) AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "vocab_entropy_by_lang": """
+            WITH w AS (SELECT lang,
+                              unnest(string_split(text, ' ')) AS w
+                       FROM documents
+                       WHERE lang IS NOT NULL AND text IS NOT NULL),
+            cnt AS (SELECT lang, w, CAST(count(*) AS DOUBLE) AS c
+                    FROM w GROUP BY lang, w),
+            tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY lang)
+            SELECT cnt.lang AS lang,
+                   round(-sum((c / t) * log2(c / t)), 6) AS entropy_r6,
+                   CAST(max(t) AS BIGINT) AS n_words
+            FROM cnt JOIN tot USING (lang)
+            GROUP BY cnt.lang ORDER BY lang
         """,
         "corr_lineitem": """
             SELECT l_returnflag,

@@ -150,6 +150,64 @@ def _hash_buckets(n_buckets: int) -> int:
     return default_buckets(n_buckets)
 
 
+def _argmax_rows(table: pa.Table, key: str, order_col: str,
+                 tiebreak: str | None) -> pa.Table:
+    """Keep each key's single best row: max ``order_col``, ties broken by
+    the smallest ``tiebreak`` value. Type-generic (string or numeric keys)
+    — one Arrow sort + a vectorized run-boundary mask, no per-row Python."""
+    if table.num_rows == 0:
+        return table
+    keys = [(key, "ascending"), (order_col, "descending")]
+    if tiebreak is not None:
+        keys.append((tiebreak, "ascending"))
+    srt = table.sort_by(keys)
+    karr = srt[key]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    n = len(karr)
+    first = np.ones(n, bool)
+    if n > 1:
+        first[1:] = ~pc.equal(karr.slice(1), karr.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+    return srt.filter(pa.array(first))
+
+
+def grouped_argmax(ds, key: str, order_col: str, *,
+                   tiebreak: str | None = None, n_buckets: int = 0):
+    """Latest-row-per-group (the ``row_number() OVER (PARTITION BY key
+    ORDER BY order_col DESC, tiebreak) = 1`` window): each key's whole row
+    at its maximum ``order_col``, deterministic under ties via ``tiebreak``
+    (ascending).
+
+    Scale shape — this is grouped_top_k(k=1) with a COMBINER: the per-batch
+    partial keeps at most one row per key per batch, so the hash-bucket
+    shuffle moves ≤ #keys × #batches rows instead of the full table; the
+    in-bucket final repeats the same argmax. Works for string or integer
+    keys (no int64-cast restriction — the run-boundary scan is Arrow-typed).
+    Null keys / null order values are dropped in the partial stage."""
+    from ..rayutil import ensure_worker_importable, strip_meta
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.groupcheck import np_column_hash
+
+        mask = pc.and_kleene(pc.is_valid(batch[key]),
+                             pc.is_valid(batch[order_col])).fill_null(False)
+        t = _argmax_rows(strip_meta(batch.filter(mask)), key, order_col,
+                         tiebreak)
+        h = (np_column_hash(t[key]) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(h, pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        return _argmax_rows(group.drop_columns(["_bucket"]), key, order_col,
+                            tiebreak)
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(final, batch_format="pyarrow")
+
+
 def _add_bucket_fn(key: str, n_buckets: int):
     def add_bucket(batch: pa.Table) -> pa.Table:
         from ..rayutil import strip_meta

@@ -405,3 +405,79 @@ def redact_pattern(ds, column: str, pattern: str = r"[0-9]+",
                 col, pattern=pattern).cast(pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_entropy(ds, key: str, column: str = "text", n_buckets: int = 0):
+    """Per-group Shannon entropy (bits) of the space-token vocabulary
+    distribution — the corpus-diversity statistic a training-data pipeline
+    uses to spot template-generated or low-diversity slices.
+
+    Tokenization matches the repo-wide convention (``split_pattern(col,
+    " ")`` ↔ DuckDB ``string_split(col, ' ')``, empties kept). Scale shape:
+    the per-batch partial explodes tokens and pre-aggregates to distinct
+    ``(key, word, count)`` rows (Arrow group-by, no per-row Python), so the
+    hash-bucket shuffle moves vocabulary-sized rows, not token-sized; the
+    in-bucket final folds counts once more and computes each key's entropy
+    with one segmented ``bincount`` pass. Null keys/texts are dropped.
+
+    Returns columns ``(key, entropy, n_words)``.
+    """
+    from ..rayutil import default_buckets, ensure_worker_importable, \
+        strip_meta
+    ensure_worker_importable()
+    n_buckets = default_buckets(n_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.groupcheck import np_column_hash
+
+        sel = batch.select([key, column])
+        mask = pc.and_kleene(pc.is_valid(sel[key]),
+                             pc.is_valid(sel[column])).fill_null(False)
+        sel = sel.filter(mask)
+        words = pc.split_pattern(sel[column], " ")
+        lens = pc.list_value_length(words).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        karr = sel[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        rep = karr.take(pa.array(
+            np.repeat(np.arange(len(lens), dtype=np.int64), lens)))
+        t = pa.table({key: rep, "w": pc.list_flatten(words)})
+        g = pa.TableGroupBy(t, [key, "w"]).aggregate([([], "count_all")])
+        out = pa.table({key: g[key], "w": g["w"],
+                        "c": g["count_all"].cast(pa.int64())})
+        h = (np_column_hash(out[key]) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return strip_meta(out).append_column("_bucket",
+                                             pa.array(h, pa.int64()))
+
+    def final(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        if body.num_rows == 0:
+            return pa.table({key: body[key],
+                             "entropy": pa.array([], pa.float64()),
+                             "n_words": pa.array([], pa.int64())})
+        folded = pa.TableGroupBy(body, [key, "w"]).aggregate([("c", "sum")])
+        srt = folded.sort_by([(key, "ascending")])
+        karr = srt[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        c = srt["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(karr)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = ~pc.equal(karr.slice(1), karr.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+        gid = np.cumsum(first) - 1
+        tot = np.bincount(gid, weights=c)
+        p = c / tot[gid]
+        ent = np.bincount(gid, weights=-p * np.log2(p))
+        idx = np.flatnonzero(first)
+        return pa.table({key: karr.take(pa.array(idx, pa.int64())),
+                         "entropy": pa.array(ent, pa.float64()),
+                         "n_words": pa.array(tot.astype(np.int64),
+                                             pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(final, batch_format="pyarrow")

@@ -51,3 +51,47 @@ def test_grouped_corr_matches_numpy(ray_session):
     assert abs(by["skipnull"][1] - 1.0) < 1e-12
     assert by["a"][0] == 200
     assert abs(by["a"][1] - np.corrcoef(x, y)[0, 1]) < 1e-9
+
+
+def test_grouped_argmax_ties_nulls_and_string_keys(ray_session):
+    """Planted case: max order wins; ties -> smallest tiebreak; null key /
+    null order rows dropped; string keys supported (no int64 cast)."""
+    import pyarrow as pa
+    import ray
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_argmax
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "b", None, "c"],
+        "o": [1, 3, 3, 7, None, 9, 2],
+        "tb": [10, 12, 11, 1, 2, 3, 4],
+        "payload": ["p0", "p1", "p2", "p3", "p4", "p5", "p6"],
+    })
+    rows = grouped_argmax(ray.data.from_arrow(t), "g", "o",
+                          tiebreak="tb").take_all()
+    got = {r["g"]: (r["o"], r["tb"], r["payload"]) for r in rows}
+    assert got == {"a": (3, 11, "p2"),   # tie at o=3 -> smaller tb wins
+                   "b": (7, 1, "p3"),    # null o row dropped
+                   "c": (2, 4, "p6")}
+
+
+def test_vocab_entropy_known_distribution(ray_session):
+    """g1: 4 tokens 'x x y z' -> H = -(1/2 log 1/2 + 2 * 1/4 log 1/4)
+    = 1.5 bits; g2: uniform 2-token vocab -> 1.0 bit; split across two
+    rows to exercise the cross-batch fold."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from jsonschema_validator_ray.ops.text import vocab_entropy
+
+    t = pa.table({
+        "g": ["g1", "g1", "g2", "g2", None],
+        "text": ["x x", "y z", "u", "v", "ignored"],
+    })
+    rows = vocab_entropy(ray.data.from_arrow(t), "g", "text").take_all()
+    got = {r["g"]: (r["entropy"], r["n_words"]) for r in rows}
+    assert set(got) == {"g1", "g2"}
+    assert math.isclose(got["g1"][0], 1.5) and got["g1"][1] == 4
+    assert math.isclose(got["g2"][0], 1.0) and got["g2"][1] == 2
