@@ -1233,6 +1233,98 @@ def q_vocab_entropy_by_lang(sf_dir: str) -> pa.Table:
     }).sort_by("lang")
 
 
+def q_ks_drift_events(sf_dir: str) -> pa.Table:
+    """Exact two-sample KS between purchase-event and view-event value
+    distributions: distinct-value fold -> one global range sort -> tiny
+    per-block summary pass -> cross-block prefix offsets -> vectorized
+    per-block CDF-gap pass (ops.stats.ks_two_sample)."""
+    from jsonschema_validator_ray.ops.stats import ks_two_sample
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from jsonschema_validator_ray.rayutil import strip_meta
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["purchase", "view"]))
+        sel = batch.filter(keep.fill_null(False))
+        side = pc.equal(sel["event_type"], "purchase").cast(pa.int64())
+        return strip_meta(pa.table({"value": sel["value"], "side": side}))
+
+    r = ks_two_sample(ds.map_batches(tag, batch_format="pyarrow",
+                                     zero_copy_batch=True), "value", "side")
+    return pa.table({"ks_stat_r6": pa.array([round(r["ks_stat"], 6)],
+                                            pa.float64()),
+                     "n_a": pa.array([r["n_a"]], pa.int64()),
+                     "n_b": pa.array([r["n_b"]], pa.int64())})
+
+
+def q_pack_documents(sf_dir: str) -> pa.Table:
+    """Greedy first-fit sequence packing of documents into 2048-char bins,
+    partition-local by doc_id // 500 (ops.pack.pack_sequences); the oracle
+    reproduces the identical bins with a recursive CTE."""
+    from jsonschema_validator_ray.ops.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = _collect(pack_sequences(ds, "doc_id", "n_chars",
+                                  capacity=2048, part_size=500))
+    return pa.table({
+        "doc_id": out["doc_id"].cast(pa.int64()),
+        "grp": out["grp"].cast(pa.int64()),
+        "bin": out["bin"].cast(pa.int64()),
+        "fill": out["fill"].cast(pa.int64()),
+    }).sort_by("doc_id")
+
+
+def q_concat_packed_documents(sf_dir: str) -> pa.Table:
+    """Packed training sequences: greedy first-fit bins (capacity 2048
+    chars, partition-local by doc_id // 500) -> per-bin text concatenation
+    in ONE grp shuffle (ops.pack.concat_packed); md5 compared against the
+    recursive-CTE + string_agg oracle."""
+    import hashlib
+
+    from jsonschema_validator_ray.ops.pack import concat_packed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+    out = _collect(concat_packed(ds, "doc_id", "n_chars", "text",
+                                 capacity=2048, part_size=500))
+    md5 = [hashlib.md5(t.encode()).hexdigest()
+           for t in out["packed_text"].to_pylist()]   # bins-scale result
+    return pa.table({
+        "grp": out["grp"].cast(pa.int64()),
+        "bin": out["bin"].cast(pa.int64()),
+        "n_docs": out["n_docs"].cast(pa.int64()),
+        "packed_chars": out["packed_chars"].cast(pa.int64()),
+        "packed_md5": pa.array(md5, pa.string()),
+    }).sort_by([("grp", "ascending"), ("bin", "ascending")])
+
+
+def q_shuffle_positions_documents(sf_dir: str) -> pa.Table:
+    """Deterministic seeded global shuffle for training epochs: each doc's
+    position = global rank of a bijective 64-bit hash mix of its id
+    (ops.stats.assign_global_rank — one range sort + cross-block prefix
+    offsets). Unique keys by construction (odd multiplier mod 2^64), so
+    the rank is SQL-exact."""
+    from jsonschema_validator_ray.ops.stats import assign_global_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyfn(batch: pa.Table) -> pa.Table:
+        from jsonschema_validator_ray.rayutil import strip_meta
+        ids = batch["doc_id"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = ids * np.uint64(2654435761)   # odd multiplier: bijective mod 2^64
+        return strip_meta(batch).append_column(
+            "skey", pa.array(k, pa.uint64()))
+
+    out = _collect(assign_global_rank(
+        ds.map_batches(keyfn, batch_format="pyarrow", zero_copy_batch=True),
+        "skey"))
+    return pa.table({
+        "doc_id": out["doc_id"].cast(pa.int64()),
+        "pos": out["pos"].cast(pa.int64()),
+    }).sort_by("doc_id")
+
+
 def q_corr_lineitem(sf_dir: str) -> pa.Table:
     """Per-returnflag Pearson corr(quantity, extendedprice) — algebraic
     moments partial+final, no shuffle."""
@@ -2441,6 +2533,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type_by_user": q_mode_event_type_by_user,
         "latest_event_per_user": q_latest_event_per_user,
         "vocab_entropy_by_lang": q_vocab_entropy_by_lang,
+        "ks_drift_events": q_ks_drift_events,
+        "pack_documents": q_pack_documents,
+        "concat_packed_documents": q_concat_packed_documents,
+        "shuffle_positions_documents": q_shuffle_positions_documents,
         "order_window_overlaps": q_order_window_overlaps,
         "percent_rank_events": q_percent_rank_events,
         "user_activity_full_outer": q_user_activity_full_outer,
@@ -3406,6 +3502,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(t) AS BIGINT) AS n_words
             FROM cnt JOIN tot USING (lang)
             GROUP BY cnt.lang ORDER BY lang
+        """,
+        "ks_drift_events": """
+            WITH pts AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS a,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('purchase', 'view')),
+            agg AS (SELECT v, CAST(sum(a) AS DOUBLE) AS ca,
+                           CAST(sum(b) AS DOUBLE) AS cb
+                    FROM pts GROUP BY v),
+            cum AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+                           sum(cb) OVER (ORDER BY v) AS cum_b
+                    FROM agg),
+            tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM agg)
+            SELECT round(max(abs(cum_a / na - cum_b / nb)), 6) AS ks_stat_r6,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+            FROM cum, tot GROUP BY na, nb
+        """,
+        "pack_documents": """
+            WITH RECURSIVE ranked AS (
+                SELECT doc_id, n_chars, doc_id // 500 AS grp,
+                       row_number() OVER (PARTITION BY doc_id // 500
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+            packed AS (
+                SELECT grp, rn, doc_id, n_chars,
+                       CAST(0 AS BIGINT) AS bin, n_chars AS fill
+                FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT r.grp, r.rn, r.doc_id, r.n_chars,
+                       CASE WHEN p.fill + r.n_chars <= 2048 THEN p.bin
+                            ELSE p.bin + 1 END,
+                       CASE WHEN p.fill + r.n_chars <= 2048
+                            THEN p.fill + r.n_chars ELSE r.n_chars END
+                FROM packed p
+                JOIN ranked r ON r.grp = p.grp AND r.rn = p.rn + 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(grp AS BIGINT) AS grp, bin,
+                   CAST(fill AS BIGINT) AS fill
+            FROM packed ORDER BY doc_id
+        """,
+        "concat_packed_documents": """
+            WITH RECURSIVE ranked AS (
+                SELECT doc_id, n_chars, doc_id // 500 AS grp,
+                       row_number() OVER (PARTITION BY doc_id // 500
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+            packed AS (
+                SELECT grp, rn, doc_id, n_chars,
+                       CAST(0 AS BIGINT) AS bin, n_chars AS fill
+                FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT r.grp, r.rn, r.doc_id, r.n_chars,
+                       CASE WHEN p.fill + r.n_chars <= 2048 THEN p.bin
+                            ELSE p.bin + 1 END,
+                       CASE WHEN p.fill + r.n_chars <= 2048
+                            THEN p.fill + r.n_chars ELSE r.n_chars END
+                FROM packed p
+                JOIN ranked r ON r.grp = p.grp AND r.rn = p.rn + 1)
+            SELECT CAST(p.grp AS BIGINT) AS grp,
+                   p.bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(length(string_agg(d.text, ' ' ORDER BY d.doc_id))
+                        AS BIGINT) AS packed_chars,
+                   md5(string_agg(d.text, ' ' ORDER BY d.doc_id))
+                       AS packed_md5
+            FROM packed p JOIN documents d USING (doc_id)
+            GROUP BY p.grp, p.bin ORDER BY grp, bin
+        """,
+        "shuffle_positions_documents": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                                 % 18446744073709551616) AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id
         """,
         "corr_lineitem": """
             SELECT l_returnflag,

@@ -1,0 +1,116 @@
+"""Exact two-sample KS (ops/stats.py) and greedy sequence packing
+(ops/pack.py) — planted-case semantics including block-boundary ties and
+oversized items."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_ks_two_sample_known_value(ray_session):
+    """A = {1,2,3,4}, B = {3,4,5,6}: max CDF gap is at v=2 (2/4 vs 0/4)
+    = 0.5."""
+    import ray
+
+    from jsonschema_validator_ray.ops.stats import ks_two_sample
+
+    t = pa.table({"v": [1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0],
+                  "side": [1, 1, 1, 1, 0, 0, 0, 0]})
+    r = ks_two_sample(ray.data.from_arrow(t), "v", "side")
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert math.isclose(r["ks_stat"], 0.5)
+
+
+def test_ks_two_sample_matches_numpy_many_blocks(ray_session):
+    """Heavy ties + many blocks (override_num_blocks forces the sorted
+    data across block boundaries, exercising the next-vmin deferral)."""
+    import ray
+
+    from jsonschema_validator_ray.ops.stats import ks_two_sample
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 25, 4000).astype(float)        # heavy ties
+    b = (rng.integers(0, 25, 3000) + rng.integers(0, 3, 3000)) \
+        .astype(float)
+    v = np.concatenate([a, b])
+    side = np.concatenate([np.ones(a.size, np.int64),
+                           np.zeros(b.size, np.int64)])
+    ds = ray.data.from_arrow(pa.table({"v": v, "side": side})) \
+        .repartition(16)
+    r = ks_two_sample(ds, "v", "side")
+
+    # reference: evaluate CDF gap after ties at each distinct value
+    allv = np.unique(v)
+    ca = np.searchsorted(np.sort(a), allv, side="right") / a.size
+    cb = np.searchsorted(np.sort(b), allv, side="right") / b.size
+    assert math.isclose(r["ks_stat"], float(np.abs(ca - cb).max()),
+                        rel_tol=1e-12)
+    assert r["n_a"] == a.size and r["n_b"] == b.size
+
+
+def test_ks_two_sample_empty_side_raises(ray_session):
+    import ray
+
+    from jsonschema_validator_ray.ops.stats import ks_two_sample
+
+    t = pa.table({"v": [1.0, 2.0], "side": [1, 1]})
+    with pytest.raises(ValueError, match="one sample is empty"):
+        ks_two_sample(ray.data.from_arrow(t), "v", "side")
+
+
+def test_pack_sequences_greedy_rule_and_oversize(ray_session):
+    """Capacity 10: sizes [4,4,4] -> bins [0,0,1]; an oversized item (12)
+    claims its own bin (first row keeps bin 0 even when > capacity); a
+    partition boundary (part_size) resets bins."""
+    import ray
+
+    from jsonschema_validator_ray.ops.pack import pack_sequences
+
+    t = pa.table({"id": [0, 1, 2, 3, 4, 100, 101],
+                  "sz": [4, 4, 4, 12, 1, 9, 2]})
+    rows = pack_sequences(ray.data.from_arrow(t), "id", "sz",
+                          capacity=10, part_size=100).take_all()
+    got = {r["id"]: (r["grp"], r["bin"], r["fill"]) for r in rows}
+    assert got == {
+        0: (0, 0, 4), 1: (0, 0, 8),   # 4+4 fits
+        2: (0, 1, 4),                 # 8+4 > 10 -> new bin
+        3: (0, 2, 12),                # oversized -> own bin
+        4: (0, 3, 1),                 # 12+1 > 10 -> new bin
+        100: (1, 0, 9),               # new partition resets bins
+        101: (1, 1, 2),               # 9+2 > 10 -> new bin
+    }
+
+
+def test_concat_packed_text_and_separator_accounting(ray_session):
+    """Bins [0: 'aa'+'bb', 1: 'cccc'] at capacity 4 (sizes 2,2,4);
+    separator joins but does not count against capacity."""
+    import ray
+
+    from jsonschema_validator_ray.ops.pack import concat_packed
+
+    t = pa.table({"id": [0, 1, 2], "sz": [2, 2, 4],
+                  "txt": ["aa", "bb", "cccc"]})
+    rows = concat_packed(ray.data.from_arrow(t), "id", "sz", "txt",
+                         capacity=4, part_size=100).take_all()
+    got = {(r["grp"], r["bin"]): (r["n_docs"], r["packed_text"],
+                                  r["packed_chars"]) for r in rows}
+    assert got == {(0, 0): (2, "aa bb", 5), (0, 1): (1, "cccc", 4)}
+
+
+def test_assign_global_rank_many_blocks(ray_session):
+    """Rank over 16 blocks equals argsort rank; 1-based; all rows kept."""
+    import ray
+
+    from jsonschema_validator_ray.ops.stats import assign_global_rank
+
+    rng = np.random.default_rng(3)
+    keys = rng.permutation(5000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys,
+                                       "row": np.arange(5000)})) \
+        .repartition(16)
+    rows = assign_global_rank(ds, "k").take_all()
+    assert len(rows) == 5000
+    for r in rows[:200]:
+        assert r["pos"] == r["k"] + 1   # keys are a permutation of 0..4999
