@@ -1325,6 +1325,77 @@ def q_shuffle_positions_documents(sf_dir: str) -> pa.Table:
     }).sort_by("doc_id")
 
 
+def q_jsonl_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """JSONL source/sink losslessness: documents -> write_json shards ->
+    read_json -> aggregate recomputed from the REREAD rows (text length
+    recomputed, not carried) — equal to the oracle over the original
+    table iff the JSONL roundtrip preserved every row and string."""
+    from jsonschema_validator_ray.sources.files import read_jsonl, \
+        write_jsonl
+
+    path = "/tmp/graft_files/jsonl_documents"
+    write_jsonl(_read(sf_dir, "documents",
+                      ["doc_id", "lang", "text"]), path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from jsonschema_validator_ray.rayutil import strip_meta
+        return strip_meta(pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "sum_ids": pa.array([pc.sum(batch["doc_id"]).as_py() or 0],
+                                pa.int64()),
+            "sum_text_chars": pa.array(
+                [pc.sum(pc.utf8_length(batch["text"])).as_py() or 0],
+                pa.int64()),
+            "n_langs_max": pa.array(
+                [pc.count_distinct(batch["lang"]).as_py() or 0],
+                pa.int64()),
+        }))
+
+    parts = _collect(read_jsonl(path).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    return pa.table({
+        "n_docs": pa.array([pc.sum(parts["n_docs"]).as_py()], pa.int64()),
+        "sum_ids": pa.array([pc.sum(parts["sum_ids"]).as_py()], pa.int64()),
+        "sum_text_chars": pa.array(
+            [pc.sum(parts["sum_text_chars"]).as_py()], pa.int64()),
+    })
+
+
+def q_csv_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """CSV source/sink losslessness on the typed columns (ints + strings;
+    quoting-safe): documents -> write_csv shards -> read_csv -> per-lang
+    counts/sums recomputed from the reread rows."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_aggregate
+    from jsonschema_validator_ray.sources.files import read_csv, write_csv
+
+    path = "/tmp/graft_files/csv_documents"
+    write_csv(_read(sf_dir, "documents",
+                    ["doc_id", "lang", "source", "n_chars"]), path)
+    out = _collect(grouped_aggregate(
+        read_csv(path), ["lang"],
+        [("doc_id", "count", "n_docs"), ("n_chars", "sum", "sum_chars")]))
+    return pa.table({
+        "lang": out["lang"],
+        "n_docs": out["n_docs"].cast(pa.int64()),
+        "sum_chars": out["sum_chars"].cast(pa.int64()),
+    }).sort_by("lang")
+
+
+def q_mad_outliers_events(sf_dir: str) -> pa.Table:
+    """Robust per-type outlier flagging: |value - median| > 3 * MAD
+    (ops.aggregates.mad_outlier_filter — two exact grouped-median passes
+    broadcast into a streaming filter; bit-exact vs quantile_cont SQL)."""
+    from jsonschema_validator_ray.ops.aggregates import mad_outlier_filter
+
+    out = _collect(mad_outlier_filter(
+        lambda: _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", k=3.0))
+    return pa.table({
+        "event_id": out["event_id"].cast(pa.int64()),
+        "event_type": out["event_type"],
+    }).sort_by("event_id")
+
+
 def q_corr_lineitem(sf_dir: str) -> pa.Table:
     """Per-returnflag Pearson corr(quantity, extendedprice) — algebraic
     moments partial+final, no shuffle."""
@@ -2537,6 +2608,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": q_pack_documents,
         "concat_packed_documents": q_concat_packed_documents,
         "shuffle_positions_documents": q_shuffle_positions_documents,
+        "jsonl_roundtrip_documents": q_jsonl_roundtrip_documents,
+        "csv_roundtrip_documents": q_csv_roundtrip_documents,
+        "mad_outliers_events": q_mad_outliers_events,
         "order_window_overlaps": q_order_window_overlaps,
         "percent_rank_events": q_percent_rank_events,
         "user_activity_full_outer": q_user_activity_full_outer,
@@ -3582,6 +3656,33 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
                                  % 18446744073709551616) AS BIGINT) AS pos
             FROM documents ORDER BY doc_id
+        """,
+        "jsonl_roundtrip_documents": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+            FROM documents
+        """,
+        "csv_roundtrip_documents": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "mad_outliers_events": """
+            WITH med AS (SELECT event_type,
+                                quantile_cont(value, 0.5) AS m
+                         FROM events WHERE value IS NOT NULL
+                         GROUP BY event_type),
+            mad AS (SELECT e.event_type,
+                           quantile_cont(abs(e.value - med.m), 0.5) AS s
+                    FROM events e JOIN med USING (event_type)
+                    WHERE e.value IS NOT NULL GROUP BY e.event_type)
+            SELECT e.event_id, e.event_type
+            FROM events e
+            JOIN med USING (event_type) JOIN mad USING (event_type)
+            WHERE e.value IS NOT NULL
+              AND abs(e.value - med.m) > 3.0 * mad.s
+            ORDER BY e.event_id
         """,
         "corr_lineitem": """
             SELECT l_returnflag,

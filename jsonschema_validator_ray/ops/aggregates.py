@@ -922,3 +922,74 @@ def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
         return pa.concat_tables(outs)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mad_outlier_filter(ds_factory, key: str, value: str, k: float = 3.0,
+                       n_buckets: int = 0):
+    """Robust per-group outlier filter: keep rows where
+    ``|value - median| > k * MAD`` (MAD = median absolute deviation, the
+    robust sigma). Three passes by necessity — each threshold is a global
+    order statistic of its group: (1) exact grouped median, broadcast;
+    (2) exact grouped median of |value - median| over a streaming absdev
+    derivation (no shuffle beyond grouped_quantiles' own bucket pass);
+    (3) broadcast (median, MAD) into a vectorized streaming filter. The
+    broadcast tables are key-domain sized and ship once via closure
+    capture. Null keys/values drop (SQL inner-join semantics); a zero-MAD
+    group (>=50% of values identical) flags every value not equal to its
+    median, matching the strict ``>`` in the SQL oracle.
+    """
+    import ray
+
+    def _kv(ds_q, col):
+        t = pa.concat_tables(
+            [b for b in ray.get(ds_q.materialize().to_arrow_refs())
+             if b.num_rows], promote_options="default").drop_null()
+        return t[key].combine_chunks(), \
+            t[col].to_numpy(zero_copy_only=False)
+
+    med_keys, med_vals = _kv(
+        grouped_quantiles(ds_factory(), key, value, [0.5],
+                          n_buckets=n_buckets), "q50")
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
+        pos = pc.index_in(batch[key], value_set=med_keys)
+        posv = pos.to_numpy(zero_copy_only=False)
+        valid = pc.and_(pc.is_valid(pos), pc.is_valid(batch[value])) \
+            .to_numpy(zero_copy_only=False)
+        vi = np.flatnonzero(valid)
+        vals = batch[value].to_numpy(zero_copy_only=False)[vi] \
+            .astype(np.float64)
+        dev = np.abs(vals - med_vals[posv[vi].astype(np.int64)])
+        karr = batch[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        return strip_meta(pa.table({
+            key: karr.take(pa.array(vi, pa.int64())),
+            "absdev": pa.array(dev, pa.float64())}))
+
+    mad_keys, mad_vals = _kv(
+        grouped_quantiles(ds_factory().map_batches(
+            absdev, batch_format="pyarrow", zero_copy_batch=True),
+            key, "absdev", [0.5], n_buckets=n_buckets), "q50")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        pos_med = pc.index_in(batch[key], value_set=med_keys)
+        pos_mad = pc.index_in(batch[key], value_set=mad_keys)
+        valid = pc.and_(pc.and_(pc.is_valid(pos_med), pc.is_valid(pos_mad)),
+                        pc.is_valid(batch[value])) \
+            .to_numpy(zero_copy_only=False)
+        mask = np.zeros(batch.num_rows, bool)
+        vi = np.flatnonzero(valid)
+        if vi.size:
+            p_med = pos_med.to_numpy(zero_copy_only=False)[vi] \
+                .astype(np.int64)
+            p_mad = pos_mad.to_numpy(zero_copy_only=False)[vi] \
+                .astype(np.int64)
+            vals = batch[value].to_numpy(zero_copy_only=False)[vi] \
+                .astype(np.float64)
+            mask[vi] = np.abs(vals - med_vals[p_med]) > k * mad_vals[p_mad]
+        return batch.filter(pa.array(mask))
+
+    return ds_factory().map_batches(keep, batch_format="pyarrow",
+                                    zero_copy_batch=True)

@@ -114,3 +114,21 @@ def test_assign_global_rank_many_blocks(ray_session):
     assert len(rows) == 5000
     for r in rows[:200]:
         assert r["pos"] == r["k"] + 1   # keys are a permutation of 0..4999
+
+
+def test_mad_outlier_filter_planted(ray_session):
+    """Group A: values [1..7, 100] -> median 4.5, MAD 2.0; only 100
+    exceeds 4.5 + 3*2.0. Zero-MAD group B flags its single non-median
+    value."""
+    import ray
+
+    from jsonschema_validator_ray.ops.aggregates import mad_outlier_filter
+
+    t = pa.table({
+        "g": ["A"] * 8 + ["B"] * 5,
+        "id": list(range(13)),
+        "v": [1.0, 2, 3, 4, 5, 6, 7, 100] + [5.0, 5, 5, 5, 9],
+    })
+    rows = mad_outlier_filter(
+        lambda: ray.data.from_arrow(t), "g", "v", k=3.0).take_all()
+    assert sorted((r["g"], r["id"]) for r in rows) == [("A", 7), ("B", 12)]
