@@ -1381,6 +1381,22 @@ def q_csv_roundtrip_documents(sf_dir: str) -> pa.Table:
     }).sort_by("lang")
 
 
+def q_spearman_lineitem(sf_dir: str) -> pa.Table:
+    """Exact tie-aware Spearman rank correlation of quantity vs
+    extendedprice (ops.stats.spearman_corr: two average-rank derivations
+    via sorted-block prefix offsets, two reduce-side rank joins, mergeable
+    Pearson moments)."""
+    from jsonschema_validator_ray.ops.stats import spearman_corr
+
+    r = spearman_corr(
+        lambda: _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
+        "l_quantity", "l_extendedprice")
+    return pa.table({
+        "spearman_r6": pa.array([round(r["spearman"], 6)], pa.float64()),
+        "n": pa.array([r["n"]], pa.int64()),
+    })
+
+
 def q_mad_outliers_events(sf_dir: str) -> pa.Table:
     """Robust per-type outlier flagging: |value - median| > 3 * MAD
     (ops.aggregates.mad_outlier_filter — two exact grouped-median passes
@@ -2611,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_documents": q_jsonl_roundtrip_documents,
         "csv_roundtrip_documents": q_csv_roundtrip_documents,
         "mad_outliers_events": q_mad_outliers_events,
+        "spearman_lineitem": q_spearman_lineitem,
         "order_window_overlaps": q_order_window_overlaps,
         "percent_rank_events": q_percent_rank_events,
         "user_activity_full_outer": q_user_activity_full_outer,
@@ -3667,6 +3684,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "spearman_lineitem": """
+            WITH base AS (
+                SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL),
+            r AS (SELECT rank() OVER (ORDER BY x)
+                         + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                         rank() OVER (ORDER BY y)
+                         + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+                  FROM base)
+            SELECT round(corr(rx, ry), 6) AS spearman_r6,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r
         """,
         "mad_outliers_events": """
             WITH med AS (SELECT event_type,

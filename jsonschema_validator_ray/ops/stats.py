@@ -151,3 +151,96 @@ def assign_global_rank(ds, sort_col: str, out: str = "pos",
         out_refs.append(blk_rank.remote(refs[i], offset))
         offset += summaries[i][2]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def _avg_rank_ds(ds, col: str, out: str):
+    """Distinct-value average ranks (the tie-aware rank Spearman needs):
+    ``avg_rank(v) = (#values < v) + (count(v) + 1) / 2`` (1-based). One
+    ``groupby(col).count`` fold to distinct values, one range sort of the
+    distinct table, then the sorted-block prefix-offset pass (distinct
+    keys, so no cross-block tie handling needed). Returns a Dataset of
+    ``(col, out)``."""
+    import ray
+    from ray.data.aggregate import Count
+
+    folded = ds.select_columns([col]).groupby(col) \
+        .aggregate(Count(alias_name="cnt"))
+    refs = folded.sort(col).materialize().to_arrow_refs()
+
+    @ray.remote
+    def blk_summary(t: pa.Table):
+        if t.num_rows == 0:
+            return (None, 0)
+        return (t[col][0].as_py(), int(pc.sum(t["cnt"]).as_py() or 0))
+
+    summaries = ray.get([blk_summary.remote(r) for r in refs])
+    order = sorted((i for i, s in enumerate(summaries) if s[0] is not None),
+                   key=lambda i: summaries[i][0])
+
+    @ray.remote
+    def blk_rank(t: pa.Table, offset: int) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        before = offset + np.cumsum(cnt) - cnt
+        return pa.table({col: t[col],
+                         out: pa.array(before + (cnt + 1.0) / 2.0,
+                                       pa.float64())})
+
+    out_refs, offset = [], 0
+    for i in order:
+        out_refs.append(blk_rank.remote(refs[i], offset))
+        offset += summaries[i][1]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def spearman_corr(ds_factory, x: str, y: str) -> dict:
+    """Exact Spearman rank correlation with proper tie handling (average
+    ranks) — Pearson correlation of the two rank variables.
+
+    Composition of existing primitives, all scale-shaped: two average-rank
+    derivations (distinct fold → range sort → prefix offsets), two
+    reduce-side hash joins shipping ranks back to rows by value (the rank
+    tables are distinct-value sized, so no broadcast assumption), then the
+    mergeable-moments Pearson fold (zero shuffle). Rows with a null in
+    either column are excluded before ranking (SQL WHERE parity).
+
+    Returns ``{"spearman": float, "n": int}``.
+    """
+    from .aggregates import grouped_corr
+    from .join import reduce_side_hash_join
+
+    def base():
+        def dropnulls(batch: pa.Table) -> pa.Table:
+            from ..rayutil import strip_meta
+            sel = batch.select([x, y])
+            both = pc.and_kleene(pc.is_valid(sel[x]), pc.is_valid(sel[y]))
+            return strip_meta(sel.filter(both.fill_null(False)))
+        return ds_factory().map_batches(dropnulls, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    sample = base().limit(1).take_all()
+    if not sample:
+        raise ValueError("spearman_corr: no non-null (x, y) rows")
+    xt = pa.array([sample[0][x]]).type
+    yt = pa.array([sample[0][y]]).type
+    base_schema = pa.schema([(x, xt), (y, yt)])
+
+    rx = _avg_rank_ds(base(), x, "rx")
+    ry = _avg_rank_ds(base(), y, "ry")
+    j1 = reduce_side_hash_join(
+        base(), rx, x,
+        left_schema=base_schema,
+        right_schema=pa.schema([(x, xt), ("rx", pa.float64())]))
+    j2 = reduce_side_hash_join(
+        j1, ry, y,
+        left_schema=pa.schema([(x, xt), (y, yt), ("rx", pa.float64())]),
+        right_schema=pa.schema([(y, yt), ("ry", pa.float64())]))
+
+    def addkey(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
+        return strip_meta(batch).append_column(
+            "_k", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()))
+
+    out = grouped_corr(j2.map_batches(addkey, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       "_k", "rx", "ry")
+    return {"spearman": out["corr"][0].as_py(), "n": out["n"][0].as_py()}

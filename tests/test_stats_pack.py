@@ -132,3 +132,33 @@ def test_mad_outlier_filter_planted(ray_session):
     rows = mad_outlier_filter(
         lambda: ray.data.from_arrow(t), "g", "v", k=3.0).take_all()
     assert sorted((r["g"], r["id"]) for r in rows) == [("A", 7), ("B", 12)]
+
+
+def test_spearman_corr_matches_scipy_formula(ray_session):
+    """Tie-heavy planted data: Spearman = Pearson of average ranks,
+    verified against a direct numpy computation."""
+    import ray
+
+    from jsonschema_validator_ray.ops.stats import spearman_corr
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 10, 800).astype(float)          # heavy ties
+    y = x * 2 + rng.integers(0, 5, 800)                 # monotone-ish + ties
+
+    def avg_rank(a):
+        order = np.argsort(a, kind="stable")
+        r = np.empty(a.size, float)
+        sa = a[order]
+        starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+        ends = np.r_[starts[1:], sa.size]
+        for s, e in zip(starts, ends):
+            r[order[s:e]] = (s + e + 1) / 2.0           # 1-based avg rank
+        return r
+
+    rx, ry = avg_rank(x), avg_rank(y)
+    expected = np.corrcoef(rx, ry)[0, 1]
+    got = spearman_corr(
+        lambda: ray.data.from_arrow(pa.table({"x": x, "y": y}))
+        .repartition(8), "x", "y")
+    assert got["n"] == 800
+    assert abs(got["spearman"] - expected) < 1e-9
