@@ -1383,9 +1383,9 @@ def q_csv_roundtrip_documents(sf_dir: str) -> pa.Table:
 
 def q_spearman_lineitem(sf_dir: str) -> pa.Table:
     """Exact tie-aware Spearman rank correlation of quantity vs
-    extendedprice (ops.stats.spearman_corr: two average-rank derivations
-    via sorted-block prefix offsets, two reduce-side rank joins, mergeable
-    Pearson moments)."""
+    extendedprice (ops.stats.spearman_corr: JOIN-FREE — broadcast x-rank
+    lookup + one sorted-distinct scan emitting partial moments; the cross
+    moment folds as sum_y ry * (sum of rx over y's rows))."""
     from jsonschema_validator_ray.ops.stats import spearman_corr
 
     r = spearman_corr(

@@ -162,3 +162,23 @@ def test_spearman_corr_matches_scipy_formula(ray_session):
         .repartition(8), "x", "y")
     assert got["n"] == 800
     assert abs(got["spearman"] - expected) < 1e-9
+
+
+def test_spearman_corr_side_swap_and_cap(ray_session):
+    """x wider than the cap -> sides swap (corr is symmetric); both wider
+    -> actionable error."""
+    import ray
+
+    from jsonschema_validator_ray.ops.stats import spearman_corr
+
+    rng = np.random.default_rng(9)
+    x = rng.permutation(400).astype(float)        # 400 distinct
+    y = (x // 100).astype(float)                  # 4 distinct
+    t = pa.table({"x": x, "y": y})
+    full = spearman_corr(lambda: ray.data.from_arrow(t), "x", "y")
+    swapped = spearman_corr(lambda: ray.data.from_arrow(t), "x", "y",
+                            broadcast_cap_rows=10)   # forces y as lookup
+    assert abs(full["spearman"] - swapped["spearman"]) < 1e-12
+    with pytest.raises(ValueError, match="broadcast_cap_rows"):
+        spearman_corr(lambda: ray.data.from_arrow(t), "x", "y",
+                      broadcast_cap_rows=2)
