@@ -1397,6 +1397,27 @@ def q_spearman_lineitem(sf_dir: str) -> pa.Table:
     })
 
 
+def q_dense_hourly_events(sf_dir: str) -> pa.Table:
+    """Gap-filled hourly counts (time-series densify/resample): empty
+    hours appear with n=0 (ops.aggregates.dense_time_counts — per-batch
+    bucket partials, calendar-sized driver fold, np.arange calendar)."""
+    from jsonschema_validator_ray.ops.aggregates import dense_time_counts
+
+    return dense_time_counts(_read(sf_dir, "events", ["ts"]), "ts",
+                             unit="hour")
+
+
+def q_zscore_flags_events(sf_dir: str) -> pa.Table:
+    """Per-type z-score outlier counts (feature-scaling QA): mergeable
+    moments fold -> broadcast (mean, stddev_pop) -> streaming flag count
+    (ops.aggregates.grouped_zscore_flags, zero shuffle)."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_zscore_flags
+
+    return grouped_zscore_flags(
+        lambda: _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", k=2.0)
+
+
 def q_mad_outliers_events(sf_dir: str) -> pa.Table:
     """Robust per-type outlier flagging: |value - median| > 3 * MAD
     (ops.aggregates.mad_outlier_filter — two exact grouped-median passes
@@ -2628,6 +2649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_documents": q_csv_roundtrip_documents,
         "mad_outliers_events": q_mad_outliers_events,
         "spearman_lineitem": q_spearman_lineitem,
+        "dense_hourly_events": q_dense_hourly_events,
+        "zscore_flags_events": q_zscore_flags_events,
         "order_window_overlaps": q_order_window_overlaps,
         "percent_rank_events": q_percent_rank_events,
         "user_activity_full_outer": q_user_activity_full_outer,
@@ -3698,6 +3721,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(corr(rx, ry), 6) AS spearman_r6,
                    CAST(count(*) AS BIGINT) AS n
             FROM r
+        """,
+        "dense_hourly_events": """
+            WITH d AS (SELECT date_trunc('hour', ts) AS bucket,
+                              count(*) AS cnt
+                       FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM d),
+            cal AS (SELECT unnest(generate_series(lo, hi,
+                                                  INTERVAL 1 HOUR))
+                        AS bucket FROM b)
+            SELECT cal.bucket AS bucket,
+                   CAST(COALESCE(cnt, 0) AS BIGINT) AS n
+            FROM cal LEFT JOIN d USING (bucket) ORDER BY bucket
+        """,
+        "zscore_flags_events": """
+            WITH m AS (SELECT event_type, avg(value) AS mu,
+                              stddev_pop(value) AS sd
+                       FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY event_type)
+            SELECT e.event_type AS event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN abs(e.value - mu) > 2.0 * sd
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+            FROM events e JOIN m USING (event_type)
+            WHERE e.value IS NOT NULL
+            GROUP BY e.event_type ORDER BY event_type
         """,
         "mad_outliers_events": """
             WITH med AS (SELECT event_type,

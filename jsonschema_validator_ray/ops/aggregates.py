@@ -993,3 +993,123 @@ def mad_outlier_filter(ds_factory, key: str, value: str, k: float = 3.0,
 
     return ds_factory().map_batches(keep, batch_format="pyarrow",
                                     zero_copy_batch=True)
+
+
+def dense_time_counts(ds, ts_col: str, unit: str = "hour") -> pa.Table:
+    """Gap-filled time-bucket counts (the resample/densify step a
+    time-series pipeline runs before plotting or windowing): counts per
+    ``unit`` bucket INCLUDING empty buckets between the observed min and
+    max. Per-batch ``(bucket, cnt)`` partials fold driver-side (the bucket
+    domain is calendar-sized — hours over years is ~10^4 rows — so the
+    final fold is a driver table like ``events_per_day``'s, not a
+    shuffle); the dense calendar comes from one ``np.arange`` over
+    datetime64. Null timestamps are dropped. Returns ``(bucket, n)``."""
+    import ray
+
+    step = {"day": np.timedelta64(24 * 3600 * 10**6, "us"),
+            "hour": np.timedelta64(3600 * 10**6, "us"),
+            "minute": np.timedelta64(60 * 10**6, "us")}[unit]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
+        col = batch[ts_col].drop_null()
+        b = pc.floor_temporal(col, unit=unit)
+        t = pa.table({"bucket": b})
+        g = pa.TableGroupBy(t, "bucket").aggregate([([], "count_all")])
+        return strip_meta(pa.table({
+            "bucket": g["bucket"],
+            "cnt": g["count_all"].cast(pa.int64())}))
+
+    parts = pa.concat_tables(
+        [t for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .materialize().to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    if parts.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.timestamp("us")),
+                         "n": pa.array([], pa.int64())})
+    folded = pa.TableGroupBy(parts, "bucket").aggregate([("cnt", "sum")])
+    buckets = folded["bucket"].combine_chunks() \
+        .cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+    counts = folded["cnt_sum"].to_numpy(zero_copy_only=False)
+    cal = np.arange(buckets.min(), buckets.max() + step, step)
+    n = np.zeros(cal.size, np.int64)
+    n[((buckets - cal[0]) // step).astype(np.int64)] = counts
+    return pa.table({"bucket": pa.array(cal, pa.timestamp("us")),
+                     "n": pa.array(n, pa.int64())})
+
+
+def grouped_zscore_flags(ds_factory, key: str, value: str,
+                         k: float = 2.0):
+    """Per-group z-score outlier counts: for each key, the row count and
+    how many rows sit beyond ``k`` population standard deviations of the
+    group mean. Pass 1 folds mergeable moments ``(n, Σv, Σv²)`` per batch
+    (zero shuffle, driver-final like `grouped_corr`); pass 2 broadcasts
+    ``(mean, stddev_pop)`` into a streaming vectorized flag count. Null
+    keys/values drop (SQL inner-join parity). Returns a driver-side
+    ``pa.Table`` of ``(key, n, n_out)``."""
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
+        sel = batch.select([key, value])
+        both = pc.and_kleene(pc.is_valid(sel[key]), pc.is_valid(sel[value]))
+        sel = sel.filter(both.fill_null(False))
+        v = sel[value].cast(pa.float64())
+        t = pa.table({key: sel[key], "n": pa.array(
+            np.ones(sel.num_rows, np.int64), pa.int64()),
+            "s": v, "s2": pc.multiply(v, v)})
+        g = pa.TableGroupBy(t, key).aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")])
+        return strip_meta(pa.table({key: g[key], "n": g["n_sum"],
+                                    "s": g["s_sum"], "s2": g["s2_sum"]}))
+
+    parts = pa.concat_tables(
+        [t for t in ray.get(
+            ds_factory().map_batches(moments, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+            .materialize().to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    folded = pa.TableGroupBy(parts, key).aggregate(
+        [("n", "sum"), ("s", "sum"), ("s2", "sum")]).drop_null()
+    keys = folded[key].combine_chunks()
+    nn = folded["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mu = folded["s_sum"].to_numpy(zero_copy_only=False) / nn
+    sd = np.sqrt(np.maximum(
+        folded["s2_sum"].to_numpy(zero_copy_only=False) / nn - mu * mu, 0.0))
+
+    def flags(batch: pa.Table) -> pa.Table:
+        from ..rayutil import strip_meta
+        pos = pc.index_in(batch[key], value_set=keys)
+        valid = pc.and_(pc.is_valid(pos), pc.is_valid(batch[value])) \
+            .to_numpy(zero_copy_only=False)
+        vi = np.flatnonzero(valid)
+        if vi.size == 0:
+            return strip_meta(pa.table({
+                key: keys.slice(0, 0),
+                "n": pa.array([], pa.int64()),
+                "n_out": pa.array([], pa.int64())}))
+        p = pos.to_numpy(zero_copy_only=False)[vi].astype(np.int64)
+        v = batch[value].to_numpy(zero_copy_only=False)[vi] \
+            .astype(np.float64)
+        out = (np.abs(v - mu[p]) > k * sd[p]).astype(np.int64)
+        t = pa.table({key: keys.take(pa.array(p, pa.int64())),
+                      "n": pa.array(np.ones(vi.size, np.int64), pa.int64()),
+                      "n_out": pa.array(out, pa.int64())})
+        g = pa.TableGroupBy(t, key).aggregate([("n", "sum"),
+                                               ("n_out", "sum")])
+        return strip_meta(pa.table({key: g[key], "n": g["n_sum"],
+                                    "n_out": g["n_out_sum"]}))
+
+    fparts = pa.concat_tables(
+        [t for t in ray.get(
+            ds_factory().map_batches(flags, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+            .materialize().to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    g = pa.TableGroupBy(fparts, key).aggregate([("n", "sum"),
+                                                ("n_out", "sum")])
+    return pa.table({key: g[key], "n": g["n_sum"].cast(pa.int64()),
+                     "n_out": g["n_out_sum"].cast(pa.int64())}) \
+        .sort_by(key)

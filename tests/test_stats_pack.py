@@ -182,3 +182,32 @@ def test_spearman_corr_side_swap_and_cap(ray_session):
     with pytest.raises(ValueError, match="broadcast_cap_rows"):
         spearman_corr(lambda: ray.data.from_arrow(t), "x", "y",
                       broadcast_cap_rows=2)
+
+
+def test_dense_time_counts_fills_gaps(ray_session):
+    """Hours 0, 1 and 3 observed -> hour 2 emitted with n=0."""
+    import ray
+
+    from jsonschema_validator_ray.ops.aggregates import dense_time_counts
+
+    ts = pa.array(np.array(["2026-01-01T00:10", "2026-01-01T00:50",
+                            "2026-01-01T01:05", "2026-01-01T03:59"],
+                           "datetime64[us]"), pa.timestamp("us"))
+    t = dense_time_counts(
+        ray.data.from_arrow(pa.table({"ts": ts})), "ts", unit="hour")
+    assert t.num_rows == 4
+    assert t["n"].to_pylist() == [2, 1, 0, 1]
+
+
+def test_grouped_zscore_flags_planted(ray_session):
+    """Group with one 10-sigma point flags exactly that point."""
+    import ray
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_zscore_flags
+
+    v = np.concatenate([np.tile([9.0, 11.0], 50), [1000.0]])
+    t = pa.table({"g": ["a"] * v.size, "v": v})
+    out = grouped_zscore_flags(lambda: ray.data.from_arrow(t), "g", "v",
+                               k=2.0)
+    assert out["n"].to_pylist() == [101]
+    assert out["n_out"].to_pylist() == [1]
