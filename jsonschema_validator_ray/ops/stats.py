@@ -314,11 +314,18 @@ def spearman_corr(ds_factory, x: str, y: str,
         return ds_factory().map_batches(dropnulls, batch_format="pyarrow",
                                         zero_copy_batch=True)
 
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
     def rank_table(col, out):
-        tabs = [t for t in ray.get(_avg_rank_refs(base(), col, out))
-                if t.num_rows]
-        if sum(t.num_rows for t in tabs) > broadcast_cap_rows:
+        refs = _avg_rank_refs(base(), col, out)
+        # cap check BEFORE pulling blocks driver-side: an over-cap rank
+        # table never leaves the object store
+        if sum(ray.get([_nrows.remote(r) for r in refs])) \
+                > broadcast_cap_rows:
             return None
+        tabs = [t for t in ray.get(refs) if t.num_rows]
         return pa.concat_tables(tabs) if tabs else pa.table(
             {col: pa.array([], pa.float64()),
              out: pa.array([], pa.float64()),
