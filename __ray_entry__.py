@@ -1418,6 +1418,25 @@ def q_zscore_flags_events(sf_dir: str) -> pa.Table:
         "event_type", "value", k=2.0)
 
 
+def q_global_quantiles_lineitem(sf_dir: str) -> pa.Table:
+    """Exact global quantile_cont WITHOUT a full-data sort
+    (ops.stats.global_quantiles: (value, cnt) fold -> distinct-value-scale
+    range sort -> each block emits only the ranks covering a target —
+    at most 8 rows leave the workers)."""
+    from jsonschema_validator_ray.ops.stats import global_quantiles
+
+    r = global_quantiles(_read(sf_dir, "lineitem", ["l_extendedprice"]),
+                         "l_extendedprice", qs=(0.25, 0.5, 0.75, 0.99))
+    q = r["quantiles"]
+    return pa.table({
+        "q25": pa.array([round(q[0.25], 5)], pa.float64()),
+        "q50": pa.array([round(q[0.5], 5)], pa.float64()),
+        "q75": pa.array([round(q[0.75], 5)], pa.float64()),
+        "q99": pa.array([round(q[0.99], 5)], pa.float64()),
+        "n": pa.array([r["n"]], pa.int64()),
+    })
+
+
 def q_mad_outliers_events(sf_dir: str) -> pa.Table:
     """Robust per-type outlier flagging: |value - median| > 3 * MAD
     (ops.aggregates.mad_outlier_filter — two exact grouped-median passes
@@ -2651,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_lineitem": q_spearman_lineitem,
         "dense_hourly_events": q_dense_hourly_events,
         "zscore_flags_events": q_zscore_flags_events,
+        "global_quantiles_lineitem": q_global_quantiles_lineitem,
         "order_window_overlaps": q_order_window_overlaps,
         "percent_rank_events": q_percent_rank_events,
         "user_activity_full_outer": q_user_activity_full_outer,
@@ -3747,6 +3767,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN m USING (event_type)
             WHERE e.value IS NOT NULL
             GROUP BY e.event_type ORDER BY event_type
+        """,
+        "global_quantiles_lineitem": """
+            SELECT round(quantile_cont(l_extendedprice, 0.25), 5) AS q25,
+                   round(quantile_cont(l_extendedprice, 0.5), 5) AS q50,
+                   round(quantile_cont(l_extendedprice, 0.75), 5) AS q75,
+                   round(quantile_cont(l_extendedprice, 0.99), 5) AS q99,
+                   CAST(count(l_extendedprice) AS BIGINT) AS n
+            FROM lineitem
         """,
         "mad_outliers_events": """
             WITH med AS (SELECT event_type,

@@ -391,3 +391,56 @@ def spearman_corr(ds_factory, x: str, y: str,
     denom = math.sqrt(vx) * math.sqrt(vy)
     rho = float("nan") if denom == 0 else cov / denom
     return {"spearman": rho, "n": int(n)}
+
+
+def global_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.99)) -> dict:
+    """Exact global continuous quantiles (``quantile_cont`` parity) WITHOUT
+    a full-data sort: a per-batch ``(value, cnt)`` fold turns the sort
+    input from row-scale into distinct-value-scale, the sorted-distinct
+    scan assigns exact global rank prefixes, and each block emits ONLY the
+    ``(rank, value)`` rows that cover a needed target rank — at most
+    ``2·len(qs)`` rows leave the workers in total. The driver
+    linearly interpolates (``v[floor] + frac·(v[ceil] − v[floor])`` at
+    rank ``q·(n−1)``, 0-based — numpy ``method="linear"`` / SQL
+    ``quantile_cont`` semantics). Nulls drop (SQL aggregate parity).
+
+    Scale shape: the only all-to-all is the range sort of the folded
+    pairs — bounded by distinct values, not rows; everything after is a
+    tiny per-block pass plus an O(len(qs)) driver fold.
+
+    Returns ``{"quantiles": {q: value}, "n": int}``.
+    """
+    import ray
+
+    folded = ds.map_batches(_count_fold(col), batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    n = int(folded.sum("cnt") or 0)
+    if n == 0:
+        raise ValueError(f"global_quantiles: no non-null rows in {col!r}")
+    targets = np.asarray(qs, np.float64) * (n - 1)    # 0-based cont. ranks
+    need = np.unique(np.concatenate(
+        [np.floor(targets), np.ceil(targets)])).astype(np.int64)
+
+    def block_fn(karr, cum_before, cols):
+        # row i covers global 0-based ranks [lo[i], hi[i]]; a needed rank
+        # resolves in exactly one block (the scan emits each distinct
+        # value once, with its globally merged count)
+        lo = cum_before
+        hi = cum_before + cols["cnt"] - 1.0
+        i = np.searchsorted(lo, need, side="right") - 1
+        ok = (i >= 0) & (i < lo.size)
+        ok[ok] &= need[ok] <= hi[i[ok]]
+        vals = pc.take(karr, pa.array(i[ok], pa.int64())) \
+            .cast(pa.float64())
+        return pa.table({"rank": pa.array(need[ok], pa.int64()),
+                         "value": vals})
+
+    got = pa.concat_tables(
+        [t for t in ray.get(_sorted_distinct_scan(
+            folded, col, ["cnt"], block_fn)) if t.num_rows])
+    rankmap = dict(zip(got["rank"].to_pylist(), got["value"].to_pylist()))
+    out = {}
+    for q, t in zip(qs, targets):
+        f, c = int(np.floor(t)), int(np.ceil(t))
+        out[float(q)] = rankmap[f] + (t - f) * (rankmap[c] - rankmap[f])
+    return {"quantiles": out, "n": n}

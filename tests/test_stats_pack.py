@@ -211,3 +211,40 @@ def test_grouped_zscore_flags_planted(ray_session):
                                k=2.0)
     assert out["n"].to_pylist() == [101]
     assert out["n_out"].to_pylist() == [1]
+
+
+def test_global_quantiles_matches_numpy_linear(ray_session):
+    """Heavy ties across many blocks: exact quantile_cont / numpy
+    method='linear' parity, including nulls dropped."""
+    import ray
+
+    from jsonschema_validator_ray.ops.stats import global_quantiles
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 40, 5000).astype(float)        # heavy ties
+    vals = list(v) + [None] * 37
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals,
+                                                     pa.float64())})) \
+        .repartition(13)
+    qs = (0.0, 0.25, 0.5, 0.75, 0.99, 1.0)
+    r = global_quantiles(ds, "x", qs=qs)
+    assert r["n"] == v.size
+    for q in qs:
+        assert math.isclose(r["quantiles"][q],
+                            float(np.quantile(v, q, method="linear")),
+                            rel_tol=1e-12), q
+
+
+def test_global_quantiles_single_value_and_empty(ray_session):
+    import ray
+
+    from jsonschema_validator_ray.ops.stats import global_quantiles
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([5.0] * 9)}))
+    r = global_quantiles(ds, "x", qs=(0.1, 0.9))
+    assert r["quantiles"][0.1] == 5.0 and r["quantiles"][0.9] == 5.0
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([None, None],
+                                                        pa.float64())}))
+    with pytest.raises(ValueError, match="no non-null rows"):
+        global_quantiles(empty, "x")
