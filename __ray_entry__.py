@@ -1715,6 +1715,48 @@ def q_multimodal_audio_frames(sf_dir: str) -> pa.Table:
     })
 
 
+def q_multimodal_resize_images(sf_dir: str) -> pa.Table:
+    """Image decode → nearest-neighbor resize → PPM RE-ENCODE over an actor
+    pool — image-in/image-out normalization (every image leaves at 48×48).
+    SELF-ORACLED like the other multimodal queries: original decoded dims
+    are re-derived by the SQL oracle from the generator's size formula, and
+    ``payload_exact`` is BYTE equality of each Ray-resized PPM payload
+    against a driver-side decode→resize→encode recompute — the strongest
+    round-trip check (deterministic encode makes it possible)."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.multimodal import (
+        ImageResizeStage, _encode_ppm, decode_ppm, resize_images,
+        synthetic_media_table)
+
+    media = synthetic_media_table(96)
+    ds = ray.data.from_arrow(media)
+    out = _collect(resize_images(ds, target_w=48, target_h=48)) \
+        .sort_by("media_id")
+
+    stage = ImageResizeStage(target_w=48, target_h=48)
+    truth = {}
+    for mid, mtype, payload in zip(media["media_id"].to_pylist(),
+                                   media["media_type"].to_pylist(),
+                                   media["payload"].to_pylist()):
+        if mtype == "image":
+            truth[mid] = _encode_ppm(stage._resize_nn(decode_ppm(payload)))
+    keep = [i for i, t in enumerate(out["media_type"].to_pylist())
+            if t == "image"]
+    img = out.take(keep)
+    exact = [truth[mid] == p
+             for mid, p in zip(img["media_id"].to_pylist(),
+                               img["payload"].to_pylist())]
+    return pa.table({
+        "media_id": img["media_id"],
+        "width": pc.cast(img["width"], pa.int64()),
+        "height": pc.cast(img["height"], pa.int64()),
+        "orig_width": pc.cast(img["orig_width"], pa.int64()),
+        "orig_height": pc.cast(img["orig_height"], pa.int64()),
+        "payload_exact": pa.array(exact),
+    })
+
+
 def q_multimodal_video_frames(sf_dir: str) -> pa.Table:
     """Video frame-sampling over REAL y4m (YUV4MPEG2 C444) payloads — pure
     numpy decode, actor pool, small batches. SELF-ORACLED like the
@@ -2683,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_frames": q_multimodal_audio_frames,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_resize_images": q_multimodal_resize_images,
         "drift_events_type": q_drift_events_type,
     }
 
@@ -3029,6 +3072,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT range AS media_id, CAST(2 AS BIGINT) AS n_frames,
                    TRUE AS rms_exact
             FROM range(1, 96, 3) ORDER BY media_id
+        """,
+        "multimodal_resize_images": """
+            SELECT range AS media_id,
+                   CAST(48 AS BIGINT) AS width,
+                   CAST(48 AS BIGINT) AS height,
+                   64 + 32 * (range % 4) AS orig_width,
+                   64 + 32 * ((range + 1) % 4) AS orig_height,
+                   TRUE AS payload_exact
+            FROM range(0, 96, 3) ORDER BY media_id
         """,
         "multimodal_video_frames": """
             SELECT range AS media_id,

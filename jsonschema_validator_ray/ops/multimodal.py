@@ -311,6 +311,61 @@ class ImageFeatureStage:
         })
 
 
+class ImageResizeStage:
+    """Actor-pool stage: decode → nearest-neighbor resize to a fixed
+    ``(target_h, target_w)`` → RE-ENCODE as PPM. Image in, image out — the
+    training-prep normalize shape (every image leaves at one resolution),
+    unlike :class:`ImageFeatureStage` which pools to a feature vector.
+
+    The resize is an integer index-grid gather (pure numpy, no deps) and the
+    PPM re-encode is byte-deterministic, so downstream stages — and the gate
+    oracle — can verify outputs by exact payload comparison. Non-image rows
+    pass through untouched (width/height metadata updated only for images),
+    keeping the stage composable in a mixed-media pipeline."""
+
+    def __init__(self, target_w: int = 48, target_h: int = 48):
+        self.target_w = int(target_w)
+        self.target_h = int(target_h)
+
+    def _resize_nn(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        yi = np.arange(self.target_h) * h // self.target_h
+        xi = np.arange(self.target_w) * w // self.target_w
+        return img[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mtypes, payloads, ws, hs, ows, ohs = [], [], [], [], [], [], []
+        for mid, mtype, payload, w, h in zip(
+                batch["media_id"].to_pylist(), batch["media_type"].to_pylist(),
+                batch["payload"].to_pylist(), batch["width"].to_pylist(),
+                batch["height"].to_pylist()):
+            ids.append(mid)
+            mtypes.append(mtype)
+            if mtype != "image":
+                payloads.append(payload)
+                ws.append(w)
+                hs.append(h)
+                ows.append(w)
+                ohs.append(h)
+                continue
+            img = decode_image(payload, w, h)
+            payloads.append(_encode_ppm(self._resize_nn(img)))
+            ws.append(self.target_w)
+            hs.append(self.target_h)
+            # ORIGINAL decoded dims (payload header, not metadata columns)
+            ohs.append(int(img.shape[0]))
+            ows.append(int(img.shape[1]))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(mtypes, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "orig_width": pa.array(ows, pa.int32()),
+            "orig_height": pa.array(ohs, pa.int32()),
+        })
+
+
 class AudioFrameSampleStage:
     """Actor-pool stage: frame-sample an audio payload (decode resolution:
     soundfile → stdlib PCM WAV → stub waveform)."""
@@ -394,6 +449,17 @@ def extract_image_features(ds, target: int = 32, concurrency=(1, 4),
     ensure_worker_importable()
     return ds.map_batches(ImageFeatureStage,
                           fn_constructor_kwargs={"target": target},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def resize_images(ds, target_w: int = 48, target_h: int = 48,
+                  concurrency=(1, 4), batch_size: int = 64):
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    return ds.map_batches(ImageResizeStage,
+                          fn_constructor_kwargs={"target_w": target_w,
+                                                 "target_h": target_h},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
 

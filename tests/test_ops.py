@@ -157,6 +157,49 @@ def test_multimodal_stages(ray_session):
         [64 + 32 * (i % 4) for i in range(2, 30, 3)]
 
 
+def test_image_resize_stage(ray_session):
+    """resize_images: images leave at the target resolution as REAL PPM
+    payloads (byte-exact vs a local decode→resize→encode recompute);
+    non-image rows pass through untouched."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.multimodal import (
+        ImageResizeStage, _encode_ppm, decode_ppm, resize_images,
+        synthetic_media_table)
+
+    media = synthetic_media_table(30)
+    out = pa.concat_tables(ray.get(
+        resize_images(ray.data.from_arrow(media), target_w=40, target_h=24)
+        .to_arrow_refs())).sort_by("media_id")
+    assert out.num_rows == 30            # pass-through: nothing dropped
+
+    stage = ImageResizeStage(target_w=40, target_h=24)
+    orig = {m: (t, p) for m, t, p in zip(media["media_id"].to_pylist(),
+                                         media["media_type"].to_pylist(),
+                                         media["payload"].to_pylist())}
+    for mid, mtype, payload, w, h, ow, oh in zip(
+            out["media_id"].to_pylist(), out["media_type"].to_pylist(),
+            out["payload"].to_pylist(), out["width"].to_pylist(),
+            out["height"].to_pylist(), out["orig_width"].to_pylist(),
+            out["orig_height"].to_pylist()):
+        t0, p0 = orig[mid]
+        assert mtype == t0
+        if mtype == "image":
+            assert (w, h) == (40, 24)
+            img = decode_ppm(p0)
+            assert (ow, oh) == (img.shape[1], img.shape[0])
+            assert payload == _encode_ppm(stage._resize_nn(img))
+            assert decode_ppm(payload).shape == (24, 40, 3)
+        else:
+            assert payload == p0         # untouched bytes
+
+    # upscale works too (index-grid gather, both directions)
+    small = decode_ppm(orig[0][1])
+    up = ImageResizeStage(target_w=200, target_h=100)._resize_nn(small)
+    assert up.shape == (100, 200, 3)
+
+
 def test_fingerprint_shift_stability(ray_session):
     import ray
     import ray.data
