@@ -1145,6 +1145,53 @@ def q_order_window_overlaps(sf_dir: str) -> pa.Table:
     }).sort_by("o_orderkey")
 
 
+def q_table_diff_orders(sf_dir: str) -> pa.Table:
+    """Distributed table DIFF (``ops.join.table_diff``) — the
+    "did this migration change anything?" validation op: two deterministic
+    variants of `orders` (left drops keys %97==0; right drops %89==0 and
+    bumps price cents where %101==0) are diffed by primary key in ONE
+    hash-bucket shuffle; only differing keys leave the workers. Oracled by
+    a FULL OUTER JOIN with IS DISTINCT FROM column compares."""
+    import numpy as np
+
+    from jsonschema_validator_ray.ops.join import table_diff
+
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_custkey", pa.int64()),
+                        ("cents", pa.int64())])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], 100.0)), pa.int64()),
+        }, schema=schema)
+
+    def mk_left(batch: pa.Table) -> pa.Table:
+        t = to_cents(batch)
+        k = t["o_orderkey"].to_numpy()
+        return t.filter(pa.array(k % 97 != 0))
+
+    def mk_right(batch: pa.Table) -> pa.Table:
+        t = to_cents(batch)
+        k = t["o_orderkey"].to_numpy()
+        t = t.filter(pa.array(k % 89 != 0))
+        k = t["o_orderkey"].to_numpy()
+        bump = np.where(k % 101 == 0, 12345, 0)
+        return t.set_column(2, "cents", pa.array(
+            t["cents"].to_numpy() + bump, pa.int64()))
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    left = _read(sf_dir, "orders", cols).map_batches(
+        mk_left, batch_format="pyarrow", zero_copy_batch=True)
+    right = _read(sf_dir, "orders", cols).map_batches(
+        mk_right, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(table_diff(left, right, "o_orderkey",
+                              left_schema=schema))
+    return out.sort_by([("o_orderkey", "ascending")])
+
+
 def q_user_activity_full_outer(sf_dir: str) -> pa.Table:
     """FULL OUTER join of two pre-aggregated sides: per-id event count vs
     order count — ids live on either or both sides, nulls preserved.
@@ -2716,6 +2763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_window_overlaps": q_order_window_overlaps,
         "percent_rank_events": q_percent_rank_events,
         "user_activity_full_outer": q_user_activity_full_outer,
+        "table_diff_orders": q_table_diff_orders,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3642,6 +3690,30 @@ def oracle_sql() -> dict[str, str]:
               ON a.o_custkey = b.o_custkey
              AND b.s < a.e AND b.e > a.s
             GROUP BY a.o_orderkey ORDER BY a.o_orderkey
+        """,
+        "table_diff_orders": """
+            WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+                                 CAST(round(o_totalprice * 100) AS BIGINT)
+                                     AS cents
+                          FROM orders),
+            l AS (SELECT * FROM base WHERE k % 97 <> 0),
+            r AS (SELECT k, ck,
+                         cents + CASE WHEN k % 101 = 0 THEN 12345
+                                      ELSE 0 END AS cents
+                  FROM base WHERE k % 89 <> 0)
+            SELECT COALESCE(l.k, r.k) AS o_orderkey,
+                   CASE WHEN r.k IS NULL THEN 'only_left'
+                        WHEN l.k IS NULL THEN 'only_right'
+                        ELSE 'changed' END AS status,
+                   CASE WHEN l.k IS NULL OR r.k IS NULL THEN 0
+                        ELSE CAST(l.ck IS DISTINCT FROM r.ck AS BIGINT)
+                           + CAST(l.cents IS DISTINCT FROM r.cents
+                                  AS BIGINT) END AS n_changed_cols
+            FROM l FULL OUTER JOIN r ON l.k = r.k
+            WHERE l.k IS NULL OR r.k IS NULL
+               OR l.ck IS DISTINCT FROM r.ck
+               OR l.cents IS DISTINCT FROM r.cents
+            ORDER BY o_orderkey
         """,
         "user_activity_full_outer": """
             SELECT coalesce(e.uid, o.uid) AS uid, e.n_events, o.n_orders

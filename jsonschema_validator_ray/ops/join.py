@@ -543,3 +543,89 @@ def bloom_semi_join(left_ds, right_ds, left_key: str, right_key: str,
 
     return left_ds.map_batches(keep, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def table_diff(left_ds, right_ds, key: str, *, n_buckets: int = 0,
+               left_schema: pa.Schema | None = None):
+    """Distributed table DIFF by primary key: emits one row per differing
+    key with ``status`` in ``{'only_left', 'only_right', 'changed'}`` plus
+    ``n_changed_cols``; identical rows emit NOTHING — the
+    "did this migration/rewrite change anything?" validation op.
+
+    Both sides must share one schema (pass ``left_schema`` when the sides
+    are derived datasets — it is used for both, skipping schema probes).
+    ``key`` must be unique per side and integer-castable; null-key rows are
+    dropped in the tag stage (a null PK identifies nothing). Column-value
+    comparison is SQL ``IS DISTINCT FROM``: null == null, null != value.
+
+    Shape: one hash-bucket shuffle (all rows of a key land in one bucket),
+    then a vectorized in-bucket full-outer join + per-column equality scan;
+    ONLY differing keys leave the workers, so output is diff-scale however
+    large the inputs. 100-TB fit: equal tables cost one shuffle of the
+    compared columns and return ~nothing — prune to the columns under
+    comparison at the read for cheaper checks.
+    """
+    from ..stages.groupcheck import np_column_hash
+
+    n_buckets = _default_buckets(n_buckets)
+    schema = left_schema if left_schema is not None else left_ds.schema()
+    others = [n for n in schema.names if n != key]
+    assert not {"_jb", "_side", "_pres"} & set(schema.names)
+    payload = pa.schema([(key, pa.int64())]
+                        + [(n, schema.types[schema.names.index(n)])
+                           for n in others])
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch[key]))
+            batch = batch.set_column(
+                batch.column_names.index(key), key,
+                batch[key].cast(pa.int64()))
+            jb = (np_column_hash(batch[key]) % np.uint64(n_buckets)) \
+                .astype(np.int64)
+            out = _pad_to(batch, payload)
+            out = out.add_column(0, "_side", pa.array(
+                np.full(batch.num_rows, side, np.int8), pa.int8()))
+            return out.add_column(0, "_jb", pa.array(jb, pa.int64()))
+        return fn
+
+    tagged = left_ds.map_batches(tag(0), batch_format="pyarrow",
+                                 zero_copy_batch=True).union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    out_schema = pa.schema([(key, pa.int64()), ("status", pa.string()),
+                            ("n_changed_cols", pa.int64())])
+
+    def diff_bucket(group: pa.Table) -> pa.Table:
+        is_l = pc.equal(group["_side"], 0)
+        lt = group.filter(is_l).select([key] + others)
+        rt = group.filter(pc.invert(is_l)).select([key] + others)
+        ones_l = pa.array(np.ones(lt.num_rows, np.int8))
+        ones_r = pa.array(np.ones(rt.num_rows, np.int8))
+        lt = lt.append_column("_pres", ones_l)
+        rt = rt.rename_columns([key] + [c + "__r" for c in others]) \
+            .append_column("_pres_r", ones_r)
+        j = lt.join(rt, keys=key, join_type="full outer")
+        pl = pc.is_valid(j["_pres"]).to_numpy(zero_copy_only=False)
+        pr = pc.is_valid(j["_pres_r"]).to_numpy(zero_copy_only=False)
+        ndiff = np.zeros(j.num_rows, np.int64)
+        for c in others:
+            a, b = j[c], j[c + "__r"]
+            # IS DISTINCT FROM: equal → same; both null → same; else diff
+            same = pc.or_kleene(pc.equal(a, b),
+                                pc.and_(pc.is_null(a), pc.is_null(b)))
+            ndiff += pc.invert(pc.fill_null(same, False)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        changed = pl & pr & (ndiff > 0)
+        status = np.where(~pr, "only_left",
+                          np.where(~pl, "only_right", "changed"))
+        keep = changed | ~pl | ~pr
+        return pa.table({
+            key: j[key].to_numpy(zero_copy_only=False)[keep],
+            "status": pa.array(status[keep], pa.string()),
+            "n_changed_cols": np.where(pl & pr, ndiff, 0)[keep],
+        }, schema=out_schema)
+
+    return tagged.groupby("_jb").map_groups(diff_bucket,
+                                            batch_format="pyarrow")

@@ -1634,3 +1634,42 @@ def test_review_regressions_nulls_and_small_k(ray_session):
     cents, objs = kmeans_fit(lambda: ray.data.from_arrow(small),
                              k=8, iters=2)
     assert cents.shape[0] == 5 and len(objs) == 2
+
+
+def test_table_diff(ray_session):
+    """table_diff: only differing keys leave; IS DISTINCT FROM semantics
+    (null == null is same, null vs value is changed); null PKs dropped."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.join import table_diff
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, None], pa.int64()),
+        "a": pa.array([10, 20, 30, None, 50, 60], pa.int64()),
+        "b": pa.array(["x", "y", "z", "w", None, "v"], pa.string()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 2, 4, 5, 7], pa.int64()),
+        # k=1 identical; k=2 both cols changed; k=3 only_left;
+        # k=4 null==null same a, b changed; k=5 null->value changed b;
+        # k=7 only_right; left k=None dropped
+        "a": pa.array([10, 21, None, 50, 70], pa.int64()),
+        "b": pa.array(["x", "yy", "ww", "vv", "q"], pa.string()),
+    })
+    out = pa.concat_tables(ray.get(table_diff(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2), "k")
+        .materialize().to_arrow_refs())).sort_by("k")
+    got = {k: (s, n) for k, s, n in zip(out["k"].to_pylist(),
+                                        out["status"].to_pylist(),
+                                        out["n_changed_cols"].to_pylist())}
+    assert got == {2: ("changed", 2), 3: ("only_left", 0),
+                   4: ("changed", 1), 5: ("changed", 1),
+                   7: ("only_right", 0)}
+
+    # equal tables → empty diff
+    same = table_diff(ray.data.from_arrow(left),
+                      ray.data.from_arrow(left), "k")
+    assert sum(t.num_rows for t in
+               ray.get(same.materialize().to_arrow_refs())) == 0
