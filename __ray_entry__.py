@@ -624,6 +624,21 @@ def q_token_count_documents(sf_dir: str) -> pa.Table:
     }).sort_by("doc_id")
 
 
+def q_bpe_token_count_documents(sf_dir: str) -> pa.Table:
+    """BPE-ish pre-tokenizer token count (``\\w+|[^\\w\\s]`` word/punct
+    split) — vectorized Arrow RE2 `count_substring_regex`, the same regex
+    engine family as DuckDB's `regexp_extract_all`, so counts are
+    oracle-exact."""
+    from jsonschema_validator_ray.ops.text import add_bpeish_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(add_bpeish_token_count(ds))
+    return pa.table({
+        "doc_id": out["doc_id"],
+        "n_bpe_tokens": out["n_bpe_tokens"],
+    }).sort_by("doc_id")
+
+
 def q_lang_stats_documents(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.aggregates import grouped_aggregate
 
@@ -2764,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_events": q_percent_rank_events,
         "user_activity_full_outer": q_user_activity_full_outer,
         "table_diff_orders": q_table_diff_orders,
+        "bpe_token_count_documents": q_bpe_token_count_documents,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3024,6 +3040,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count_documents": """
             SELECT doc_id, length(text) AS n_chars_calc,
                    len(string_split(text, ' ')) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "bpe_token_count_documents": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "lang_stats_documents": """

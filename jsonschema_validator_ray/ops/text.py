@@ -38,18 +38,18 @@ _BPEISH = re.compile(r"\w+|[^\w\s]")
 
 
 def add_bpeish_token_count(ds, column: str = "text", out: str = "n_bpe_tokens"):
-    """BPE-ish token count: words + punctuation marks via a compiled regex
-    (the pre-tokenizer split most BPE vocabularies start from)."""
-    class Stage:
-        def __init__(self):
-            self.pat = _BPEISH   # module-level compile; one pattern source
+    """BPE-ish token count: words + punctuation runs via the regex split
+    most BPE vocabularies pre-tokenize with (``\\w+|[^\\w\\s]``). Counted
+    with the vectorized Arrow RE2 kernel (``count_substring_regex``) — the
+    same regex engine family as DuckDB, so SQL oracles match exactly; no
+    per-row Python loop. Null text counts 0 (not null), matching the
+    whitespace `add_token_count` convention."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[column],
+                                     _BPEISH.pattern).cast(pa.int64())
+        return batch.append_column(out, n.fill_null(0))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch[column].to_pylist()
-            counts = [len(self.pat.findall(t)) if t else 0 for t in texts]
-            return batch.append_column(out, pa.array(counts, pa.int64()))
-
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def add_quality_score(ds, column: str = "text"):

@@ -1673,3 +1673,25 @@ def test_table_diff(ray_session):
                       ray.data.from_arrow(left), "k")
     assert sum(t.num_rows for t in
                ray.get(same.materialize().to_arrow_refs())) == 0
+
+
+def test_bpeish_token_count(ray_session):
+    """Vectorized RE2 word/punct pre-tokenizer count: matches re.findall
+    on the same pattern for ASCII text; null text counts 0."""
+    import re
+
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.text import add_bpeish_token_count
+
+    texts = ["Hello, world!", "it's 3.14; ok?", "", None, "a  b\tc\nd", "..."]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = pa.concat_tables(ray.get(
+        add_bpeish_token_count(ray.data.from_arrow(t))
+        .materialize().to_arrow_refs())).sort_by("doc_id")
+    pat = re.compile(r"\w+|[^\w\s]", re.ASCII)
+    want = [len(pat.findall(x)) if x else 0 for x in texts]
+    assert out["n_bpe_tokens"].to_pylist() == want
+    assert want == [4, 9, 0, 0, 4, 3]
