@@ -570,7 +570,16 @@ def table_diff(left_ds, right_ds, key: str, *, n_buckets: int = 0,
     n_buckets = _default_buckets(n_buckets)
     schema = left_schema if left_schema is not None else left_ds.schema()
     others = [n for n in schema.names if n != key]
-    assert not {"_jb", "_side", "_pres"} & set(schema.names)
+    names = set(schema.names)
+    # reserve the tag/marker names AND the right-side rename suffix: a user
+    # column literally named '<col>__r' would collide with the renamed
+    # right side inside the bucket join
+    reserved = {"_jb", "_side", "_pres", "_pres_r"} \
+        | {c + "__r" for c in others}
+    clash = reserved & names
+    if clash:
+        raise ValueError(f"table_diff: column names {sorted(clash)} clash "
+                         "with internal tag/rename names")
     payload = pa.schema([(key, pa.int64())]
                         + [(n, schema.types[schema.names.index(n)])
                            for n in others])

@@ -270,6 +270,16 @@ def decode_video(payload: bytes, width: int | None = None,
     return _decode_video_stub(payload, width, height)
 
 
+def _resize_nn(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index-grid gather (pure numpy,
+    both directions) — shared by the feature and resize stages so the
+    sampling rule can never diverge between them."""
+    h, w = img.shape[:2]
+    yi = np.arange(target_h) * h // target_h
+    xi = np.arange(target_w) * w // target_w
+    return img[yi][:, xi]
+
+
 class ImageFeatureStage:
     """Actor-pool stage: decode → resize → mean-pool color features.
 
@@ -281,10 +291,7 @@ class ImageFeatureStage:
         self.target = target
 
     def _resize_nn(self, img: np.ndarray) -> np.ndarray:
-        h, w = img.shape[:2]
-        yi = (np.arange(self.target) * h // self.target)
-        xi = (np.arange(self.target) * w // self.target)
-        return img[yi][:, xi]
+        return _resize_nn(img, self.target, self.target)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, feats, dws, dhs = [], [], [], []
@@ -328,10 +335,7 @@ class ImageResizeStage:
         self.target_h = int(target_h)
 
     def _resize_nn(self, img: np.ndarray) -> np.ndarray:
-        h, w = img.shape[:2]
-        yi = np.arange(self.target_h) * h // self.target_h
-        xi = np.arange(self.target_w) * w // self.target_w
-        return img[yi][:, xi]
+        return _resize_nn(img, self.target_h, self.target_w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mtypes, payloads, ws, hs, ows, ohs = [], [], [], [], [], [], []
@@ -355,7 +359,7 @@ class ImageResizeStage:
             # ORIGINAL decoded dims (payload header, not metadata columns)
             ohs.append(int(img.shape[0]))
             ows.append(int(img.shape[1]))
-        return pa.table({
+        out = pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media_type": pa.array(mtypes, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
@@ -364,6 +368,13 @@ class ImageResizeStage:
             "orig_width": pa.array(ows, pa.int32()),
             "orig_height": pa.array(ohs, pa.int32()),
         })
+        # true pass-through composability: every OTHER input column (e.g.
+        # sample_rate / duration_ms for audio rows) rides along unchanged,
+        # so downstream audio/video stages still find their metadata
+        for name in batch.column_names:
+            if name not in out.column_names:
+                out = out.append_column(name, batch[name])
+        return out
 
 
 class AudioFrameSampleStage:

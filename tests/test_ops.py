@@ -1695,3 +1695,45 @@ def test_bpeish_token_count(ray_session):
     want = [len(pat.findall(x)) if x else 0 for x in texts]
     assert out["n_bpe_tokens"].to_pylist() == want
     assert want == [4, 9, 0, 0, 4, 3]
+
+
+def test_image_resize_passthrough_composable(ray_session):
+    """Review fix: resize must carry ALL input columns through (audio rows
+    keep sample_rate/duration_ms), so mixed-media pipelines compose."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.multimodal import (
+        resize_images, sample_audio_frames, synthetic_media_table)
+
+    ds = ray.data.from_arrow(synthetic_media_table(30))
+    resized = resize_images(ds, target_w=32, target_h=32)
+    aud = pa.concat_tables(ray.get(
+        sample_audio_frames(resized).to_arrow_refs()))
+    assert aud.num_rows == 10           # audio stage still works downstream
+    assert all(f > 0 for f in aud["n_frames"].to_pylist())
+
+
+def test_table_diff_name_clash_raises(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.join import table_diff
+
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "a": pa.array([1], pa.int64()),
+                  "a__r": pa.array([1], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="clash"):
+        table_diff(ds, ds, "k")
+
+
+def test_global_quantiles_validates_qs(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import global_quantiles
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1.0, 2.0])}))
+    with pytest.raises(ValueError, match="non-empty"):
+        global_quantiles(ds, "x", qs=())
+    with pytest.raises(ValueError, match=r"out of \[0, 1\]"):
+        global_quantiles(ds, "x", qs=(0.5, 1.5))
