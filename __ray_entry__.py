@@ -1207,6 +1207,118 @@ def q_table_diff_orders(sf_dir: str) -> pa.Table:
     return out.sort_by([("o_orderkey", "ascending")])
 
 
+def q_local_supplier_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
+    revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
+    nation in region ASIA, grouped by nation. Ray-first plan: (1) region ⋈
+    nation and the supplier dictionary resolve DRIVER-side (dictionary
+    scale, the `ref_check` broadcast assumption) into a suppkey→nationkey
+    lookup pruned to ASIA; (2) lineitem streams through a map stage that
+    drops non-ASIA-supplier rows and pre-aggregates exact e4-unit revenue
+    per (orderkey, supplier-nation); (3) reduce-side join #1 against the
+    date-pushdown orders scan re-keys partials to the customer; (4)
+    reduce-side join #2 against customer applies the same-nation filter
+    IN-BUCKET and folds revenue per nation — ≤25 rows leave each bucket;
+    (5) the driver attaches names and sorts. Two all-to-alls total, both
+    carrying pre-aggregated partials only."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from jsonschema_validator_ray.ops.join import reduce_side_hash_join
+    from jsonschema_validator_ray.rayutil import ensure_worker_importable
+    ensure_worker_importable()
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA")) \
+        ["r_regionkey"][0].as_py()
+    asia = nation.filter(pc.equal(nation["n_regionkey"], asia_rk))
+    asia_keys = set(asia["n_nationkey"].to_pylist())
+    name_of = dict(zip(asia["n_nationkey"].to_pylist(),
+                       asia["n_name"].to_pylist()))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(supp["s_suppkey"].to_numpy(), np.int64)
+    sn = np.asarray(supp["s_nationkey"].to_numpy(), np.int64)
+    order_ = np.argsort(sk)
+    sk, sn = sk[order_], sn[order_]          # sorted lookup, closure-shipped
+    asia_arr = np.array(sorted(asia_keys), np.int64)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_suppkey"].cast(pa.int64()).to_numpy()
+        pos = np.minimum(np.searchsorted(sk, k), sk.size - 1)
+        nat = np.where(sk[pos] == k, sn[pos], -1)
+        keep = np.isin(nat, asia_arr)        # prune BEFORE any shuffle
+        t = batch.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        g = pa.TableGroupBy(pa.table({
+            "o_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "s_nat": pa.array(nat[keep], pa.int64()),
+            "rev": rev}), ["o_orderkey", "s_nat"]).aggregate([("rev", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "s_nat": g["s_nat"],
+                         "rev": g["rev_sum"].cast(pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pads.field("o_orderdate") < _dt.datetime(1997, 1, 1)))) \
+        .map_batches(lambda b: b.select(["o_orderkey", "o_custkey"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_cust(j: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(j.select(["o_custkey", "s_nat", "rev"]),
+                            ["o_custkey", "s_nat"]).aggregate([("rev", "sum")])
+        return pa.table({"ck": g["o_custkey"].cast(pa.int64()),
+                         "s_nat": g["s_nat"],
+                         "rev": g["rev_sum"].cast(pa.int64())})
+
+    per_cust = reduce_side_hash_join(
+        orders, li, "o_orderkey", group_fn=to_cust,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("s_nat", pa.int64()),
+                                ("rev", pa.int64())])).materialize()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table(
+            {"ck": b["c_custkey"].cast(pa.int64()),
+             "c_nat": b["c_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def same_nation_fold(j: pa.Table) -> pa.Table:
+        t = j.filter(pc.equal(j["s_nat"], j["c_nat"]))
+        g = pa.TableGroupBy(t.select(["s_nat", "rev"]), "s_nat") \
+            .aggregate([("rev", "sum")])
+        return pa.table({"nat": g["s_nat"],
+                         "rev_part": g["rev_sum"].cast(pa.int64())})
+
+    parts = _collect(reduce_side_hash_join(
+        per_cust, cust, "ck", group_fn=same_nation_fold,
+        left_schema=pa.schema([("ck", pa.int64()), ("s_nat", pa.int64()),
+                               ("rev", pa.int64())]),
+        right_schema=pa.schema([("ck", pa.int64()),
+                                ("c_nat", pa.int64())])))
+    total = pa.TableGroupBy(parts, "nat").aggregate([("rev_part", "sum")])
+    names = [name_of[k] for k in total["nat"].to_pylist()]
+    out = pa.table({"n_name": pa.array(names, pa.string()),
+                    "rev_e4": total["rev_part_sum"].cast(pa.int64())})
+    return out.sort_by([("rev_e4", "descending"), ("n_name", "ascending")])
+
+
 def q_user_activity_full_outer(sf_dir: str) -> pa.Table:
     """FULL OUTER join of two pre-aggregated sides: per-id event count vs
     order count — ids live on either or both sides, nulls preserved.
@@ -2780,6 +2892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_full_outer": q_user_activity_full_outer,
         "table_diff_orders": q_table_diff_orders,
         "bpe_token_count_documents": q_bpe_token_count_documents,
+        "local_supplier_volume": q_local_supplier_volume,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3041,6 +3154,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars_calc,
                    len(string_split(text, ' ')) AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "local_supplier_volume": """
+            WITH asia AS (SELECT n_nationkey, n_name
+                          FROM nation JOIN region
+                               ON n_regionkey = r_regionkey
+                          WHERE r_name = 'ASIA')
+            SELECT a.n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT) AS rev_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN asia a ON s_nationkey = a.n_nationkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY a.n_name
+            ORDER BY rev_e4 DESC, n_name
         """,
         "bpe_token_count_documents": """
             SELECT doc_id,
