@@ -1207,6 +1207,27 @@ def q_table_diff_orders(sf_dir: str) -> pa.Table:
     return out.sort_by([("o_orderkey", "ascending")])
 
 
+def q_mixture_sample_documents(sf_dir: str) -> pa.Table:
+    """Dataset-mixture resampling (``ops.sampling.mixture_sample``) — the
+    LLM "data mixing" step: per-lang caps of min(available,
+    floor(400·target_share)), deterministic smallest-Knuth-rank keepers.
+    The de/es caps bind on availability at sf0.01 (70 < 80, 73 < 80),
+    exercising the capping branch. Oracle replays the identical rank +
+    LEAST(count, floor) caps in SQL."""
+    from jsonschema_validator_ray.ops.sampling import mixture_sample
+
+    out = _collect(mixture_sample(
+        lambda: _read(sf_dir, "documents", ["doc_id", "lang"]),
+        "lang", "doc_id",
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        total=400, seed=7))
+    return pa.table({
+        "lang": out["lang"],
+        "doc_id": out["doc_id"].cast(pa.int64()),
+        "rk": out["rk"],
+    }).sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+
+
 def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
     revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
@@ -2893,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff_orders": q_table_diff_orders,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "local_supplier_volume": q_local_supplier_volume,
+        "mixture_sample_documents": q_mixture_sample_documents,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3154,6 +3176,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars_calc,
                    len(string_split(text, ' ')) AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "mixture_sample_documents": """
+            WITH p(lang, share) AS (VALUES ('en', 0.4), ('de', 0.2),
+                                           ('es', 0.2), ('fr', 0.1),
+                                           ('zh', 0.1)),
+            cnt AS (SELECT lang, count(*) AS n FROM documents
+                    GROUP BY lang),
+            cap AS (SELECT c.lang,
+                           LEAST(c.n, CAST(floor(400 * p.share) AS BIGINT))
+                               AS cap
+                    FROM cnt c JOIN p ON c.lang = p.lang),
+            ranked AS (SELECT lang, doc_id,
+                              row_number() OVER (
+                                  PARTITION BY lang
+                                  ORDER BY (doc_id * 2654435761
+                                            + 7 * 2654435769) % 4294967296,
+                                           doc_id) AS rk
+                       FROM documents)
+            SELECT r.lang, r.doc_id, r.rk
+            FROM ranked r JOIN cap ON r.lang = cap.lang
+            WHERE r.rk <= cap.cap
+            ORDER BY r.lang, r.doc_id
         """,
         "local_supplier_volume": """
             WITH asia AS (SELECT n_nationkey, n_name

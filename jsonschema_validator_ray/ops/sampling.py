@@ -145,7 +145,8 @@ def weighted_sample(ds, key_column: str, weight_column: str, k: int,
 
 
 def stratified_sample(ds, group_column: str, key_column: str, k: int,
-                      seed: int = 42, n_buckets: int = 0):
+                      seed: int = 42, n_buckets: int = 0,
+                      k_by_group: dict | None = None):
     """Per-group deterministic sample — per-source caps / balanced subsets
     in a training-data pipeline: each group keeps its ``k`` rows with the
     smallest Knuth-hashed key (ties by key), so the selection is stable
@@ -160,7 +161,11 @@ def stratified_sample(ds, group_column: str, key_column: str, k: int,
     Null semantics (review r4): a null GROUP value forms its own stratum
     (matching SQL ``PARTITION BY``); null KEY rows are dropped — SQL ranks
     them last with a nondeterministic row_number tiebreak, so there is no
-    deterministic selection to reproduce."""
+    deterministic selection to reproduce.
+
+    ``k_by_group`` (optional) overrides ``k`` with a PER-GROUP cap keyed by
+    group value — groups absent from the dict keep NOTHING. This is the
+    primitive under :func:`mixture_sample`."""
     import pyarrow.compute as pc
 
     from ..rayutil import default_buckets
@@ -177,8 +182,8 @@ def stratified_sample(ds, group_column: str, key_column: str, k: int,
             body = body.filter(vk)
         if body.num_rows == 0:
             return body.append_column("rk", pa.array([], pa.int64()))
-        codes = body[group_column].combine_chunks().dictionary_encode() \
-            .indices.fill_null(-1).to_numpy(zero_copy_only=False) \
+        enc = body[group_column].combine_chunks().dictionary_encode()
+        codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         key = body[key_column].combine_chunks() \
             .to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -189,10 +194,63 @@ def stratified_sample(ds, group_column: str, key_column: str, k: int,
         seg = np.repeat(starts, np.diff(np.concatenate([starts,
                                                         [cs.size]])))
         rk = np.arange(cs.size, dtype=np.int64) - seg + 1
-        keep = order[rk <= k]
+        if k_by_group is None:
+            cap_row = np.full(cs.size, k, np.int64)
+        else:
+            # dictionary index -1 is the null stratum (dict value None)
+            caps = np.array(
+                [int(k_by_group.get(v, 0))
+                 for v in enc.dictionary.to_pylist()] + [
+                    int(k_by_group.get(None, 0))], np.int64)
+            cap_row = caps[cs]          # cs == -1 indexes the appended null
+        sel = rk <= cap_row
+        keep = order[sel]
         out = body.take(pa.array(keep, pa.int64()))
-        return out.append_column("rk", pa.array(rk[rk <= k], pa.int64()))
+        return out.append_column("rk", pa.array(rk[sel], pa.int64()))
 
     return ds.map_batches(add_bucket, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("_bucket").map_groups(bucket_sample, batch_format="pyarrow")
+
+
+def mixture_sample(ds_factory, group_column: str, key_column: str,
+                   proportions: dict, total: int, seed: int = 42,
+                   n_buckets: int = 0):
+    """Dataset-MIXTURE resampling — the "data mixing" step of an LLM
+    training pipeline: sample each group (source/language/domain) to hit a
+    target proportion of ``total``, capped by availability. Per-group cap =
+    ``min(count_g, floor(total * proportions[g]))``; groups absent from
+    ``proportions`` are dropped entirely; within a group the kept rows are
+    the deterministic smallest-Knuth-hash ``key_column`` rows, so the
+    selection is stable across runs and reproducible in plain SQL (same
+    rank as :func:`stratified_sample`).
+
+    ``ds_factory`` is a zero-arg callable returning the input Dataset —
+    TWO passes run over it (same contract as ``text.tfidf_top_terms``):
+    pass 1 streams per-group availability counts (group-cardinality rows to
+    the driver, no shuffle), pass 2 is one stratified hash-bucket groupby
+    keeping only the capped rows. Returns a Dataset of kept rows + ``rk``.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([group_column]), group_column) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([group_column, "n"])
+
+    parts = [t for t in ray.get(
+        ds_factory().map_batches(cnt, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    avail: dict = {}
+    for t in pa.concat_tables(parts).group_by(group_column) \
+            .aggregate([("n", "sum")]).to_pylist():
+        avail[t[group_column]] = int(t["n_sum"])
+
+    caps = {g: min(avail.get(g, 0), int(np.floor(total * float(p))))
+            for g, p in proportions.items()}
+    return stratified_sample(ds_factory(), group_column, key_column,
+                             k=0, seed=seed, n_buckets=n_buckets,
+                             k_by_group=caps)

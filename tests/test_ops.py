@@ -1737,3 +1737,43 @@ def test_global_quantiles_validates_qs(ray_session):
         global_quantiles(ds, "x", qs=())
     with pytest.raises(ValueError, match=r"out of \[0, 1\]"):
         global_quantiles(ds, "x", qs=(0.5, 1.5))
+
+
+def test_mixture_sample(ray_session):
+    """Per-group caps = min(avail, floor(total*share)); groups missing
+    from the target mixture are dropped; selection matches the stratified
+    rank (same seed, same Knuth order)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sampling import (
+        mixture_sample, stratified_sample)
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "src": pa.array((["a"] * 50) + (["b"] * 30) + (["c"] * 20),
+                        pa.string()),
+    })
+    factory = lambda: ray.data.from_arrow(t).repartition(4)
+    # total=40: a→floor(40*.5)=20 (≤50), b→floor(40*.25)=10 (≤30),
+    # c→floor(40*.75)=30 but only 20 available → capped at 20; no 'd'
+    out = pa.concat_tables([t for t in ray.get(mixture_sample(
+        factory, "src", "doc_id",
+        {"a": 0.5, "b": 0.25, "c": 0.75, "d": 0.9}, total=40, seed=11)
+        .materialize().to_arrow_refs()) if t.num_rows])
+    got = dict(
+        pa.TableGroupBy(out.select(["src"]), "src")
+        .aggregate([([], "count_all")]).to_pandas()
+        .itertuples(index=False, name=None))
+    assert got == {"a": 20, "b": 10, "c": 20}
+
+    # parity with stratified_sample at the same per-group k
+    strat = pa.concat_tables([t for t in ray.get(stratified_sample(
+        factory(), "src", "doc_id", k=10, seed=11)
+        .materialize().to_arrow_refs()) if t.num_rows])
+    mix10 = pa.concat_tables([t for t in ray.get(mixture_sample(
+        factory, "src", "doc_id", {"a": 0.25, "b": 0.25, "c": 0.25},
+        total=40, seed=11).materialize().to_arrow_refs()) if t.num_rows])
+    assert strat.sort_by([("src", "ascending"), ("doc_id", "ascending")]) \
+        .equals(mix10.sort_by([("src", "ascending"),
+                               ("doc_id", "ascending")]))
