@@ -1228,6 +1228,60 @@ def q_mixture_sample_documents(sf_dir: str) -> pa.Table:
     }).sort_by([("lang", "ascending"), ("doc_id", "ascending")])
 
 
+# hash_split gate config: shared by the query and the oracle so the CASE
+# thresholds are the EXACT integers the engine compares against
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_SPLIT_SEED = 7
+
+
+def q_split_assign_documents(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test assignment (``ops.sampling.hash_split``)
+    — the canonical dataset-split step: every doc gets a stable split label
+    from its Knuth-hashed doc_id (no leakage across runs/datasets sharing
+    the seed). One streaming map_batches pass, no shuffle. Oracle replays
+    the identical hash + integer thresholds in a SQL CASE."""
+    from jsonschema_validator_ray.ops.sampling import hash_split
+
+    out = _collect(hash_split(
+        _read(sf_dir, "documents", ["doc_id", "lang"]),
+        "doc_id", _SPLITS, seed=_SPLIT_SEED))
+    return pa.table({
+        "doc_id": out["doc_id"].cast(pa.int64()),
+        "lang": out["lang"],
+        "split": out["split"],
+    }).sort_by([("doc_id", "ascending")])
+
+
+def q_turn_pairs_transcripts(sf_dir: str) -> pa.Table:
+    """SFT prompt/response pair mining over the transcript corpus
+    (``ops.aggregates.adjacent_pairs``): per conversation, ordered by
+    (turn_idx, role, text), emit every adjacent user→assistant turn pair.
+    One hash-bucket groupby on conv_id (whole conversations co-locate),
+    fully vectorized in-bucket. Oracle is the LEAD window with the same
+    tiebreak over the same parquet."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import adjacent_pairs
+    from jsonschema_validator_ray.rayutil import (clean_read_schema,
+                                                  ensure_worker_importable)
+    ensure_worker_importable()
+
+    gen, _ = _ensure_current_corpus(sf_dir)
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    ds = ray.data.read_parquet(gen.files, columns=cols,
+                               schema=clean_read_schema(gen.files[0], cols))
+    out = _collect(adjacent_pairs(ds, "conv_id", "turn_idx", "role",
+                                  "user", "assistant", "text"))
+    return pa.table({
+        "conv_id": out["conv_id"],
+        "turn_idx_from": out["turn_idx_from"].cast(pa.int64()),
+        "turn_idx_to": out["turn_idx_to"].cast(pa.int64()),
+        "text_from": out["text_from"],
+        "text_to": out["text_to"],
+    }).sort_by([("conv_id", "ascending"), ("turn_idx_from", "ascending"),
+                ("turn_idx_to", "ascending"), ("text_from", "ascending")])
+
+
 def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
     revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
@@ -2915,6 +2969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "local_supplier_volume": q_local_supplier_volume,
         "mixture_sample_documents": q_mixture_sample_documents,
+        "split_assign_documents": q_split_assign_documents,
+        "turn_pairs_transcripts": q_turn_pairs_transcripts,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -2930,6 +2986,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _TX_GLOB = _CURRENT_LINK + "/part-*.parquet"
+
+
+def _split_assign_sql() -> str:
+    """CASE-threshold oracle for ``hash_split``: the integer bounds come
+    from the engine's own ``split_thresholds`` so both sides compare against
+    the SAME uint32 cut points (recomputing round(cum*2^32) in SQL risks a
+    one-ulp divergence at a bucket edge)."""
+    from jsonschema_validator_ray.ops.sampling import split_thresholds
+
+    pairs = split_thresholds(_SPLITS, seed=_SPLIT_SEED)
+    whens = "\n                        ".join(
+        f"WHEN h < {t} THEN '{name}'" for name, t in pairs[:-1])
+    return f"""
+        SELECT doc_id, lang,
+               CASE {whens}
+                    ELSE '{pairs[-1][0]}' END AS split
+        FROM (SELECT doc_id, lang,
+                     (doc_id * 2654435761
+                      + {_SPLIT_SEED} * 2654435769) % 4294967296 AS h
+              FROM documents)
+        ORDER BY doc_id
+    """
 
 
 def _transcript_violation_sql() -> str:
@@ -3198,6 +3276,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN cap ON r.lang = cap.lang
             WHERE r.rk <= cap.cap
             ORDER BY r.lang, r.doc_id
+        """,
+        "split_assign_documents": _split_assign_sql(),
+        "turn_pairs_transcripts": f"""
+            WITH w AS (
+                SELECT conv_id, turn_idx, role, text,
+                       lead(turn_idx) OVER win AS n_turn,
+                       lead(role) OVER win AS n_role,
+                       lead(text) OVER win AS n_text
+                FROM read_parquet('{_TX_GLOB}')
+                WINDOW win AS (PARTITION BY conv_id
+                               ORDER BY turn_idx, role, text)
+            )
+            SELECT conv_id,
+                   CAST(turn_idx AS BIGINT) AS turn_idx_from,
+                   CAST(n_turn AS BIGINT) AS turn_idx_to,
+                   text AS text_from,
+                   n_text AS text_to
+            FROM w
+            WHERE role = 'user' AND n_role = 'assistant'
+            ORDER BY conv_id, turn_idx_from, turn_idx_to, text_from
         """,
         "local_supplier_volume": """
             WITH asia AS (SELECT n_nationkey, n_name

@@ -530,6 +530,67 @@ def sessionize_counts(ds, user_col: str, ts_col: str, order_col: str,
     return parts.sort_by(user_col)
 
 
+def adjacent_pairs(ds, group_col: str, order_col: str, tag_col: str,
+                   from_tag: str, to_tag: str, payload_col: str,
+                   n_buckets: int = 0):
+    """Adjacent-turn pair extraction — the SFT data-prep step over
+    transcripts: per group (conversation), with rows ordered by
+    ``order_col``, emit every adjacent row pair whose tags transition
+    ``from_tag`` → ``to_tag`` (user prompt → assistant response). Output
+    columns: ``group_col``, ``{order,payload}_col + "_from"/"_to"``.
+
+    Execution shape: ONE hash-bucket groupby on ``group_col`` (whole
+    conversations co-locate — no pair can straddle buckets), then a fully
+    vectorized in-bucket pass: lexsort, shifted equality masks, one ``take``
+    of the matching row indices. Output is a streaming Dataset.
+
+    Determinism: rows tie-broken by ``(order_col, tag_col, payload_col)``
+    so duplicate order values (the corpus plants turn_idx duplicates) yield
+    the same pairs as the SQL ``LEAD ... ORDER BY`` with the same tiebreak.
+    Null-group rows form their own SQL-`PARTITION BY`-style group (null ==
+    null); null tags match neither side of the transition."""
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(group_col, n_buckets)
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        srt = group.sort_by([(group_col, "ascending"),
+                             (order_col, "ascending"),
+                             (tag_col, "ascending"),
+                             (payload_col, "ascending")])
+        n = srt.num_rows
+        g = srt[group_col].combine_chunks() \
+            if isinstance(srt[group_col], pa.ChunkedArray) else srt[group_col]
+        tag = srt[tag_col].combine_chunks() \
+            if isinstance(srt[tag_col], pa.ChunkedArray) else srt[tag_col]
+        a, b = g.slice(0, max(n - 1, 0)), g.slice(1)
+        same = pc.or_kleene(
+            pc.equal(a, b),
+            pc.and_(pc.is_null(a), pc.is_null(b))).fill_null(False) \
+            .to_numpy(zero_copy_only=False)
+        is_from = pc.equal(tag, from_tag).fill_null(False) \
+            .to_numpy(zero_copy_only=False)
+        is_to = pc.equal(tag, to_tag).fill_null(False) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(same & is_from[:-1] & is_to[1:]) \
+            if n > 1 else np.array([], np.int64)
+        lhs = srt.take(pa.array(idx, pa.int64()))
+        rhs = srt.take(pa.array(idx + 1, pa.int64()))
+        return pa.table({
+            group_col: lhs[group_col],
+            order_col + "_from": lhs[order_col],
+            order_col + "_to": rhs[order_col],
+            payload_col + "_from": lhs[payload_col],
+            payload_col + "_to": rhs[payload_col],
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(pairs_bucket, batch_format="pyarrow")
+
+
 def heavy_hitters(ds, column: str, k: int = 10,
                   capacity: int = 256) -> pa.Table:
     """Mergeable heavy-hitters top-k (Misra-Gries / Space-Saving family,

@@ -254,3 +254,67 @@ def mixture_sample(ds_factory, group_column: str, key_column: str,
     return stratified_sample(ds_factory(), group_column, key_column,
                              k=0, seed=seed, n_buckets=n_buckets,
                              k_by_group=caps)
+
+
+def split_thresholds(splits, seed: int = 42) -> list[tuple[str, int]]:
+    """Cumulative uint32 thresholds for :func:`hash_split` — exposed so the
+    SQL oracle can inline the EXACT integers the engine compares against
+    (recomputing ``round(cum_share * 2^32)`` in SQL risks a one-ulp float
+    divergence at the bucket edges)."""
+    labels = [name for name, _ in splits]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate split labels: {labels}")
+    shares = [float(s) for _, s in splits]
+    if any(s < 0 for s in shares) or abs(sum(shares) - 1.0) > 1e-9:
+        raise ValueError(f"split shares must be >=0 and sum to 1: {shares}")
+    out, cum = [], 0.0
+    for name, s in zip(labels, shares):
+        cum += s
+        out.append((name, int(round(cum * float(1 << 32)))))
+    out[-1] = (out[-1][0], 1 << 32)   # remainder always lands in the last
+    return out
+
+
+def hash_split(ds, key_column: str, splits, seed: int = 42):
+    """Deterministic train/val/test assignment — the canonical dataset-split
+    step of a training pipeline: every row gets a ``split`` label from the
+    Knuth-hashed key, so the partition is (a) stable across runs, block
+    splits and cluster sizes, (b) consistent for a given key across
+    DIFFERENT datasets (the same doc_id always lands in the same split — no
+    train/test leakage when several tables are split with the same seed),
+    and (c) reproducible in plain SQL via the same
+    ``(key * 2654435761 + seed * 2654435769) % 2^32`` hash and the integer
+    thresholds of :func:`split_thresholds`.
+
+    ``splits`` is an ordered list of ``(label, share)`` with shares summing
+    to 1 (the last label absorbs the rounding remainder). Streaming shape:
+    ONE vectorized ``map_batches`` pass, no shuffle, no driver state. Null
+    keys get a NULL split (they hash nowhere deterministic; callers filter
+    or route them explicitly). Integer keys use the SQL-reproducible
+    multiplicative hash; other dtypes the vectorized 64-bit column hash."""
+    import pyarrow.compute as pc
+
+    pairs = split_thresholds(splits, seed)
+    labels = pa.array([name for name, _ in pairs], pa.string())
+    bounds = np.array([t for _, t in pairs], np.uint64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch[key_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        if pa.types.is_integer(col.type):
+            ids = col.fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            h = (ids * KNUTH + np.uint64(seed) * SEED_MIX) % _MOD
+        else:
+            # polars hash handles nulls directly; the masked rows' hash
+            # values never surface (null split below)
+            h = (hash64(col) + np.uint64(seed) * SEED_MIX) % _MOD
+        idx = np.searchsorted(bounds, h, side="right").astype(np.int32)
+        lab = pc.take(labels, pa.array(idx, pa.int32()))
+        lab = pc.if_else(valid, lab, pa.scalar(None, pa.string()))
+        return batch.append_column("split", lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

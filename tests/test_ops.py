@@ -1777,3 +1777,103 @@ def test_mixture_sample(ray_session):
     assert strat.sort_by([("src", "ascending"), ("doc_id", "ascending")]) \
         .equals(mix10.sort_by([("src", "ascending"),
                                ("doc_id", "ascending")]))
+
+
+def test_hash_split(ray_session):
+    """Deterministic split assignment: labels match the manual Knuth-hash
+    CASE, every non-null key gets a label, null keys get a null split, and
+    the same key draws the same label from a DIFFERENT dataset (the
+    no-leakage property)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sampling import (
+        KNUTH, SEED_MIX, _MOD, hash_split, split_thresholds)
+
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ids = list(range(500)) + [None]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = pa.concat_tables(ray.get(
+        hash_split(ray.data.from_arrow(t).repartition(3), "doc_id",
+                   splits, seed=7).to_arrow_refs())) \
+        .sort_by([("doc_id", "ascending")])
+
+    bounds = split_thresholds(splits, seed=7)
+    h = (np.arange(500, dtype=np.uint64) * KNUTH
+         + np.uint64(7) * SEED_MIX) % _MOD
+    expect = np.array([b[0] for b in bounds])[
+        np.searchsorted(np.array([b[1] for b in bounds], np.uint64),
+                        h, side="right")]
+    got = out.filter(pa.compute.is_valid(out["doc_id"]))
+    assert got["split"].to_pylist() == list(expect)
+    # all three labels actually appear at this n, roughly at their shares
+    counts = dict(zip(*np.unique(expect, return_counts=True)))
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # null key -> null split
+    nulls = out.filter(pa.compute.is_null(out["doc_id"]))
+    assert nulls.num_rows == 1 and nulls["split"].null_count == 1
+
+    # same key, different dataset -> same split (no train/test leakage)
+    t2 = pa.table({"doc_id": pa.array([3, 141, 499], pa.int64()),
+                   "other": pa.array(["x", "y", "z"])})
+    out2 = pa.concat_tables(ray.get(
+        hash_split(ray.data.from_arrow(t2), "doc_id", splits, seed=7)
+        .to_arrow_refs())).sort_by([("doc_id", "ascending")])
+    lookup = dict(zip(got["doc_id"].to_pylist(), got["split"].to_pylist()))
+    for k, s in zip(out2["doc_id"].to_pylist(), out2["split"].to_pylist()):
+        assert s == lookup[k]
+
+    # invalid shares rejected
+    import pytest
+    with pytest.raises(ValueError):
+        split_thresholds([("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError):
+        split_thresholds([("a", 0.5), ("a", 0.5)])
+
+
+def test_adjacent_pairs(ray_session):
+    """user->assistant adjacency per conversation: pairs never straddle
+    conversations, duplicate turn_idx rows tie-break deterministically,
+    null-tag rows match neither side, null conv_ids group together."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import adjacent_pairs
+
+    rows = [
+        # conv A: u(0) -> a(1) pair; a(1) -> u(2) not a pair; u(2)->a(3) pair
+        ("A", 0, "user", "q1"), ("A", 1, "assistant", "r1"),
+        ("A", 2, "user", "q2"), ("A", 3, "assistant", "r2"),
+        # conv B starts with assistant: the A-tail u(2)...B-head must NOT pair
+        ("B", 0, "assistant", "r0"), ("B", 1, "user", "q3"),
+        # conv B duplicate turn_idx 2: two user rows then assistant ->
+        # exactly ONE pair, from the tie-order-LAST user row ("qz" > "qa")
+        ("B", 2, "user", "qa"), ("B", 2, "user", "qz"),
+        ("B", 3, "assistant", "r3"),
+        # null tag matches neither side
+        ("C", 0, "user", "q4"), ("C", 1, None, "x"),
+        ("C", 2, "assistant", "r4"),
+        # null conv_ids form ONE group (SQL PARTITION BY semantics)
+        (None, 0, "user", "q5"), (None, 1, "assistant", "r5"),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = pa.concat_tables(ray.get(
+        adjacent_pairs(ray.data.from_arrow(t).repartition(4), "conv_id",
+                       "turn_idx", "role", "user", "assistant", "text")
+        .to_arrow_refs()), promote_options="default") \
+        .sort_by([("turn_idx_from", "ascending"), ("text_from", "ascending")])
+    got = [tuple(r) for r in zip(out["conv_id"].to_pylist(),
+                                 out["turn_idx_from"].to_pylist(),
+                                 out["text_from"].to_pylist(),
+                                 out["text_to"].to_pylist())]
+    assert sorted(got, key=lambda r: (str(r[0]), r[1], r[2])) == [
+        ("A", 0, "q1", "r1"), ("A", 2, "q2", "r2"),
+        ("B", 2, "qz", "r3"),
+        (None, 0, "q5", "r5"),
+    ]
