@@ -1282,6 +1282,82 @@ def q_turn_pairs_transcripts(sf_dir: str) -> pa.Table:
                 ("turn_idx_to", "ascending"), ("text_from", "ascending")])
 
 
+def _tx_ds(sf_dir: str, cols: list):
+    """Read the deterministic transcript corpus for ``sf_dir`` as a Dataset
+    (metadata-free schema, symlink re-pointed for the oracle)."""
+    import ray.data
+
+    from jsonschema_validator_ray.rayutil import (clean_read_schema,
+                                                  ensure_worker_importable)
+    ensure_worker_importable()
+    gen, _ = _ensure_current_corpus(sf_dir)
+    return ray.data.read_parquet(
+        gen.files, columns=cols, schema=clean_read_schema(gen.files[0], cols))
+
+
+_CTX_BUDGET = 600   # tokens — binds mid-conversation at every gate sf
+
+
+def q_truncate_context_transcripts(sf_dir: str) -> pa.Table:
+    """Context-window capping (``ops.aggregates.truncate_context``): per
+    conversation keep the longest (turn_idx, role, text)-ordered prefix
+    whose cumulative whitespace-token count stays within the budget. Oracle
+    replays the identical running sum with a SQL window frame."""
+    from jsonschema_validator_ray.ops.aggregates import truncate_context
+
+    out = _collect(truncate_context(
+        _tx_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", "turn_idx", "text", _CTX_BUDGET, tag_col="role"))
+    return pa.table({
+        "conv_id": out["conv_id"],
+        "turn_idx": out["turn_idx"].cast(pa.int64()),
+        "cum_tokens": out["cum_tokens"],
+    }).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
+                ("cum_tokens", "ascending")])
+
+
+def q_alternation_transcripts(sf_dir: str) -> pa.Table:
+    """Conversation-structure quality (``ops.aggregates.alternation_stats``):
+    per conversation, turn count + adjacent same-role repeats + alternating
+    verdict. Oracle is the LAG window with the same deterministic
+    tiebreak."""
+    from jsonschema_validator_ray.ops.aggregates import alternation_stats
+
+    out = _collect(alternation_stats(
+        _tx_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", "turn_idx", "role", text_col="text"))
+    return pa.table({
+        "conv_id": out["conv_id"],
+        "n_turns": out["n_turns"],
+        "n_repeats": out["n_repeats"],
+        "alternating": out["alternating"],
+    }).sort_by([("conv_id", "ascending")])
+
+
+def q_render_sft_transcripts(sf_dir: str) -> pa.Table:
+    """SFT sample rendering (``ops.aggregates.render_conversations``): one
+    ``role: text`` line per turn, joined per conversation — the final
+    materialization step of a fine-tuning data pipeline. The rendered string
+    is md5-digested for the compare (gate-scale, output-cardinality rows —
+    the operator itself streams the full text); n_lines/n_chars are checked
+    as values."""
+    import hashlib
+
+    from jsonschema_validator_ray.ops.aggregates import render_conversations
+
+    out = _collect(render_conversations(
+        _tx_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", "turn_idx", "role", "text"))
+    digest = [hashlib.md5(t.encode()).hexdigest() if t is not None else None
+              for t in out["rendered"].to_pylist()]
+    return pa.table({
+        "conv_id": out["conv_id"],
+        "n_lines": out["n_lines"],
+        "n_chars": out["n_chars"],
+        "digest": pa.array(digest, pa.string()),
+    }).sort_by([("conv_id", "ascending")])
+
+
 def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
     revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
@@ -2971,6 +3047,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_documents": q_mixture_sample_documents,
         "split_assign_documents": q_split_assign_documents,
         "turn_pairs_transcripts": q_turn_pairs_transcripts,
+        "truncate_context_transcripts": q_truncate_context_transcripts,
+        "alternation_transcripts": q_alternation_transcripts,
+        "render_sft_transcripts": q_render_sft_transcripts,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3296,6 +3375,52 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE role = 'user' AND n_role = 'assistant'
             ORDER BY conv_id, turn_idx_from, turn_idx_to, text_from
+        """,
+        "truncate_context_transcripts": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, text,
+                       CASE WHEN text IS NULL THEN 0
+                            ELSE len(string_split(text, ' ')) END AS n_tok
+                FROM read_parquet('{_TX_GLOB}')
+            ),
+            w AS (
+                SELECT conv_id, turn_idx,
+                       sum(n_tok) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx, role, text
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT conv_id,
+                   CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM w WHERE cum <= {_CTX_BUDGET}
+            ORDER BY conv_id, turn_idx, cum_tokens
+        """,
+        "alternation_transcripts": f"""
+            WITH w AS (
+                SELECT conv_id, role,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx, role, text) AS prev
+                FROM read_parquet('{_TX_GLOB}')
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(coalesce(sum(CASE WHEN role = prev THEN 1 END), 0)
+                        AS BIGINT) AS n_repeats,
+                   coalesce(sum(CASE WHEN role = prev THEN 1 END), 0) = 0
+                       AS alternating
+            FROM w GROUP BY conv_id ORDER BY conv_id
+        """,
+        "render_sft_transcripts": f"""
+            SELECT conv_id,
+                   CAST(count(role || ': ' || text) AS BIGINT) AS n_lines,
+                   CAST(length(string_agg(role || ': ' || text, chr(10)
+                               ORDER BY turn_idx, role, text)) AS BIGINT)
+                       AS n_chars,
+                   md5(string_agg(role || ': ' || text, chr(10)
+                       ORDER BY turn_idx, role, text)) AS digest
+            FROM read_parquet('{_TX_GLOB}')
+            GROUP BY conv_id ORDER BY conv_id
         """,
         "local_supplier_volume": """
             WITH asia AS (SELECT n_nationkey, n_name

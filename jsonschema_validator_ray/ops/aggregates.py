@@ -591,6 +591,199 @@ def adjacent_pairs(ds, group_col: str, order_col: str, tag_col: str,
         .groupby("_bucket").map_groups(pairs_bucket, batch_format="pyarrow")
 
 
+def _same_group_mask(g: pa.Array, n: int) -> np.ndarray:
+    """Shifted row-adjacency mask over a SORTED group column: True where row
+    i+1 belongs to the same group as row i. Null groups compare EQUAL to
+    each other (SQL ``PARTITION BY`` semantics — all-null keys are one
+    partition)."""
+    if n < 2:
+        return np.zeros(max(n - 1, 0), bool)
+    a, b = g.slice(0, n - 1), g.slice(1)
+    return pc.or_kleene(
+        pc.equal(a, b),
+        pc.and_(pc.is_null(a), pc.is_null(b))).fill_null(False) \
+        .to_numpy(zero_copy_only=False)
+
+
+def truncate_context(ds, group_col: str, order_col: str, text_col: str,
+                     budget: int, tag_col: str | None = None,
+                     n_buckets: int = 0):
+    """Context-window capping — the "fit the conversation into the model's
+    context" step of a training pipeline: per group (conversation), with
+    rows ordered by ``(order_col, tag_col, text_col)``, keep the longest
+    PREFIX whose cumulative whitespace-token count stays within ``budget``.
+    Output = the kept rows plus ``cum_tokens`` (the running total through
+    each row).
+
+    Token convention matches ``ops.text.token_count`` / the DuckDB
+    ``len(string_split(text, ' '))`` oracle exactly (single-space split,
+    empty parts count); null text counts 0 tokens — the same value a SQL
+    window ``sum`` produces by skipping the NULL.
+
+    Execution: ONE hash-bucket groupby on ``group_col`` (whole conversations
+    co-locate), then a vectorized in-bucket pass — one Arrow
+    ``count_substring``, one segmented cumsum, one filter. Streaming output
+    Dataset; nothing driver-side."""
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(group_col, n_buckets)
+    sort_keys = [(group_col, "ascending"), (order_col, "ascending")] \
+        + ([(tag_col, "ascending")] if tag_col else []) \
+        + [(text_col, "ascending")]
+
+    def cap_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        srt = group.sort_by(sort_keys)
+        n = srt.num_rows
+        g = srt[group_col].combine_chunks() \
+            if isinstance(srt[group_col], pa.ChunkedArray) else srt[group_col]
+        toks = pc.add(pc.count_substring(srt[text_col], " "), 1) \
+            .cast(pa.int64())
+        tk = toks.combine_chunks().fill_null(0) \
+            .to_numpy(zero_copy_only=False) \
+            if isinstance(toks, pa.ChunkedArray) \
+            else toks.fill_null(0).to_numpy(zero_copy_only=False)
+        cum = np.cumsum(tk)
+        starts = np.concatenate([[0], np.flatnonzero(
+            ~_same_group_mask(g, n)) + 1]) if n else np.array([0], np.int64)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        base = np.repeat(cum[starts] - tk[starts], counts) \
+            if n else np.array([], np.int64)
+        cum_in = cum - base
+        keep = cum_in <= budget
+        out = srt.filter(pa.array(keep))
+        return out.append_column(
+            "cum_tokens", pa.array(cum_in[keep], pa.int64()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(cap_bucket, batch_format="pyarrow")
+
+
+def alternation_stats(ds, group_col: str, order_col: str, tag_col: str,
+                      text_col: str | None = None, n_buckets: int = 0):
+    """Conversation-quality structure metric: per group, the number of rows
+    and the number of adjacent SAME-tag transitions (consecutive same-role
+    turns — the classic malformed-transcript smell), plus an
+    ``alternating`` verdict (zero repeats). Rows order by
+    ``(order_col, tag_col[, text_col])`` — the same deterministic tiebreak
+    as :func:`adjacent_pairs`, so duplicate order values count identically
+    in the SQL LAG oracle. A null tag equals nothing (not even another
+    null), matching SQL ``role = lag(role)`` null semantics.
+
+    One hash-bucket groupby, vectorized shifted-equality + ``reduceat``
+    in-bucket; group-cardinality rows leave each bucket."""
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(group_col, n_buckets)
+    sort_keys = [(group_col, "ascending"), (order_col, "ascending"),
+                 (tag_col, "ascending")] \
+        + ([(text_col, "ascending")] if text_col else [])
+
+    def stats_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        srt = group.sort_by(sort_keys)
+        n = srt.num_rows
+        g = srt[group_col].combine_chunks() \
+            if isinstance(srt[group_col], pa.ChunkedArray) else srt[group_col]
+        tag = srt[tag_col].combine_chunks() \
+            if isinstance(srt[tag_col], pa.ChunkedArray) else srt[tag_col]
+        same_g = _same_group_mask(g, n)
+        if n > 1:
+            same_tag = pc.equal(tag.slice(0, n - 1), tag.slice(1)) \
+                .fill_null(False).to_numpy(zero_copy_only=False)
+        else:
+            same_tag = np.zeros(max(n - 1, 0), bool)
+        rep = np.concatenate([[False], same_g & same_tag]) \
+            if n else np.array([], bool)
+        starts = np.concatenate([[0], np.flatnonzero(~same_g) + 1]) \
+            if n else np.array([], np.int64)
+        if not n:
+            return pa.table({group_col: g,
+                             "n_turns": pa.array([], pa.int64()),
+                             "n_repeats": pa.array([], pa.int64()),
+                             "alternating": pa.array([], pa.bool_())})
+        counts = np.diff(np.concatenate([starts, [n]]))
+        reps = np.add.reduceat(rep.astype(np.int64), starts)
+        return pa.table({
+            group_col: g.take(pa.array(starts, pa.int64())),
+            "n_turns": pa.array(counts, pa.int64()),
+            "n_repeats": pa.array(reps, pa.int64()),
+            "alternating": pa.array(reps == 0),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(stats_bucket, batch_format="pyarrow")
+
+
+def render_conversations(ds, group_col: str, order_col: str, role_col: str,
+                         text_col: str, line_sep: str = "\n",
+                         role_sep: str = ": ", n_buckets: int = 0):
+    """Render each conversation into ONE training-sample string — the final
+    "materialize SFT samples" step: per group, rows ordered by
+    ``(order_col, role_col, text_col)`` become ``role: text`` lines joined
+    with ``line_sep``. SQL ``||``/``string_agg`` null semantics exactly: a
+    null role OR text nulls that line out of the join (``count`` of lines
+    skips it), and a conversation with zero renderable lines renders NULL.
+
+    Output: ``(group_col, n_lines, n_chars, rendered)``. One hash-bucket
+    groupby; in-bucket everything is Arrow kernels — one element-wise
+    concat, one ``ListArray`` + ``binary_join`` (the `concat_packed`
+    machinery), zero per-row Python."""
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(group_col, n_buckets)
+    sort_keys = [(group_col, "ascending"), (order_col, "ascending"),
+                 (role_col, "ascending"), (text_col, "ascending")]
+
+    def render_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        srt = group.sort_by(sort_keys)
+        n = srt.num_rows
+        g = srt[group_col].combine_chunks() \
+            if isinstance(srt[group_col], pa.ChunkedArray) else srt[group_col]
+        if not n:
+            return pa.table({group_col: g,
+                             "n_lines": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "rendered": pa.array([], pa.string())})
+        lines = pc.binary_join_element_wise(
+            srt[role_col].combine_chunks()
+            if isinstance(srt[role_col], pa.ChunkedArray) else srt[role_col],
+            srt[text_col].combine_chunks()
+            if isinstance(srt[text_col], pa.ChunkedArray) else srt[text_col],
+            pa.scalar(role_sep))
+        ok = pc.is_valid(lines).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(
+            ~_same_group_mask(g, n)) + 1])
+        counts = np.diff(np.concatenate([starts, [n]]))
+        nv = np.add.reduceat(ok.astype(np.int64), starts)
+        # reduceat quirk: a start index equal to the NEXT start (empty
+        # segment) copies the element — impossible here (counts >= 1), but
+        # a group whose rows are ALL null still gets nv from its own rows
+        offsets = np.concatenate([[0], np.cumsum(nv)]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     lines.filter(pa.array(ok))),
+            line_sep)
+        rendered = pc.if_else(pa.array(nv > 0), joined,
+                              pa.scalar(None, pa.string()))
+        return pa.table({
+            group_col: g.take(pa.array(starts, pa.int64())),
+            "n_lines": pa.array(nv, pa.int64()),
+            "n_chars": pc.utf8_length(rendered).cast(pa.int64()),
+            "rendered": rendered,
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(render_bucket, batch_format="pyarrow")
+
+
 def heavy_hitters(ds, column: str, k: int = 10,
                   capacity: int = 256) -> pa.Table:
     """Mergeable heavy-hitters top-k (Misra-Gries / Space-Saving family,

@@ -1877,3 +1877,110 @@ def test_adjacent_pairs(ray_session):
         ("B", 2, "qz", "r3"),
         (None, 0, "q5", "r5"),
     ]
+
+
+def test_truncate_context(ray_session):
+    """Per-conversation prefix under a token budget: cumulative counts are
+    exact, the cut lands mid-conversation, null text counts 0 tokens, and
+    whole conversations under budget survive intact."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import truncate_context
+
+    rows = [
+        # conv A: 3+4+5 tokens; budget 8 keeps turns 0,1 (cum 3,7), drops 2
+        ("A", 0, "u", "a b c"), ("A", 1, "v", "d e f g"),
+        ("A", 2, "u", "h i j k l"),
+        # conv B: null text (0 tokens) then 2 tokens -> all kept, cum 0,2
+        ("B", 0, "u", None), ("B", 1, "v", "x y"),
+        # conv C: first turn alone busts the budget -> nothing kept
+        ("C", 0, "u", " ".join("w%d" % i for i in range(9))),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    out = pa.concat_tables(ray.get(
+        truncate_context(ray.data.from_arrow(t).repartition(3), "conv_id",
+                         "turn_idx", "text", budget=8, tag_col="role")
+        .to_arrow_refs()), promote_options="default") \
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    got = list(zip(out["conv_id"].to_pylist(), out["turn_idx"].to_pylist(),
+                   out["cum_tokens"].to_pylist()))
+    assert got == [("A", 0, 3), ("A", 1, 7), ("B", 0, 0), ("B", 1, 2)]
+
+
+def test_alternation_stats(ray_session):
+    """Adjacent same-role repeats per conversation: repeats counted with the
+    deterministic tiebreak, null roles match nothing, null conv_ids form one
+    group, single-turn conversations trivially alternate."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import alternation_stats
+
+    rows = [
+        ("A", 0, "u", "t1"), ("A", 1, "a", "t2"), ("A", 2, "u", "t3"),
+        # B: u,u repeat then a, then a,a repeat -> 2 repeats
+        ("B", 0, "u", "x"), ("B", 1, "u", "y"), ("B", 2, "a", "z"),
+        ("B", 3, "a", "w"),
+        # C: null role adjacent to null role -> NOT a repeat (SQL = NULL)
+        ("C", 0, None, "p"), ("C", 1, None, "q"),
+        # D: single turn
+        ("D", 0, "u", "s"),
+        # null conv: two rows, same role -> one group with one repeat
+        (None, 0, "u", "m"), (None, 1, "u", "n"),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    out = pa.concat_tables(ray.get(
+        alternation_stats(ray.data.from_arrow(t).repartition(4), "conv_id",
+                          "turn_idx", "role", text_col="text")
+        .to_arrow_refs()), promote_options="default")
+    got = {r[0]: (r[1], r[2], r[3]) for r in zip(
+        out["conv_id"].to_pylist(), out["n_turns"].to_pylist(),
+        out["n_repeats"].to_pylist(), out["alternating"].to_pylist())}
+    assert got == {"A": (3, 0, True), "B": (4, 2, False),
+                   "C": (2, 0, True), "D": (1, 0, True),
+                   None: (2, 1, False)}
+
+
+def test_render_conversations(ray_session):
+    """Per-conversation SFT rendering: lines join in deterministic order,
+    null role/text lines drop out of the join (SQL || semantics), and an
+    all-null conversation renders NULL."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import render_conversations
+
+    rows = [
+        ("A", 1, "a", "hello"), ("A", 0, "u", "hi"),
+        ("B", 0, "u", None), ("B", 1, "a", "yo"),
+        ("C", 0, None, "x"), ("C", 1, "u", None),   # all lines null
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    out = pa.concat_tables(ray.get(
+        render_conversations(ray.data.from_arrow(t).repartition(3),
+                             "conv_id", "turn_idx", "role", "text")
+        .to_arrow_refs()), promote_options="default") \
+        .sort_by([("conv_id", "ascending")])
+    got = list(zip(out["conv_id"].to_pylist(), out["n_lines"].to_pylist(),
+                   out["n_chars"].to_pylist(), out["rendered"].to_pylist()))
+    assert got == [
+        ("A", 2, len("u: hi\na: hello"), "u: hi\na: hello"),
+        ("B", 1, len("a: yo"), "a: yo"),
+        ("C", 0, None, None),
+    ]
