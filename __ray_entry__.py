@@ -1259,19 +1259,11 @@ def q_turn_pairs_transcripts(sf_dir: str) -> pa.Table:
     One hash-bucket groupby on conv_id (whole conversations co-locate),
     fully vectorized in-bucket. Oracle is the LEAD window with the same
     tiebreak over the same parquet."""
-    import ray.data
-
     from jsonschema_validator_ray.ops.aggregates import adjacent_pairs
-    from jsonschema_validator_ray.rayutil import (clean_read_schema,
-                                                  ensure_worker_importable)
-    ensure_worker_importable()
 
-    gen, _ = _ensure_current_corpus(sf_dir)
-    cols = ["conv_id", "turn_idx", "role", "text"]
-    ds = ray.data.read_parquet(gen.files, columns=cols,
-                               schema=clean_read_schema(gen.files[0], cols))
-    out = _collect(adjacent_pairs(ds, "conv_id", "turn_idx", "role",
-                                  "user", "assistant", "text"))
+    out = _collect(adjacent_pairs(
+        _tx_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", "turn_idx", "role", "user", "assistant", "text"))
     return pa.table({
         "conv_id": out["conv_id"],
         "turn_idx_from": out["turn_idx_from"].cast(pa.int64()),
@@ -3074,7 +3066,7 @@ def _split_assign_sql() -> str:
     one-ulp divergence at a bucket edge)."""
     from jsonschema_validator_ray.ops.sampling import split_thresholds
 
-    pairs = split_thresholds(_SPLITS, seed=_SPLIT_SEED)
+    pairs = split_thresholds(_SPLITS)
     whens = "\n                        ".join(
         f"WHEN h < {t} THEN '{name}'" for name, t in pairs[:-1])
     return f"""
@@ -3082,7 +3074,7 @@ def _split_assign_sql() -> str:
                CASE {whens}
                     ELSE '{pairs[-1][0]}' END AS split
         FROM (SELECT doc_id, lang,
-                     (doc_id * 2654435761
+                     (CAST(doc_id AS HUGEINT) * 2654435761
                       + {_SPLIT_SEED} * 2654435769) % 4294967296 AS h
               FROM documents)
         ORDER BY doc_id
@@ -3347,7 +3339,8 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT lang, doc_id,
                               row_number() OVER (
                                   PARTITION BY lang
-                                  ORDER BY (doc_id * 2654435761
+                                  ORDER BY (CAST(doc_id AS HUGEINT)
+                                            * 2654435761
                                             + 7 * 2654435769) % 4294967296,
                                            doc_id) AS rk
                        FROM documents)

@@ -565,11 +565,7 @@ def adjacent_pairs(ds, group_col: str, order_col: str, tag_col: str,
             if isinstance(srt[group_col], pa.ChunkedArray) else srt[group_col]
         tag = srt[tag_col].combine_chunks() \
             if isinstance(srt[tag_col], pa.ChunkedArray) else srt[tag_col]
-        a, b = g.slice(0, max(n - 1, 0)), g.slice(1)
-        same = pc.or_kleene(
-            pc.equal(a, b),
-            pc.and_(pc.is_null(a), pc.is_null(b))).fill_null(False) \
-            .to_numpy(zero_copy_only=False)
+        same = _same_group_mask(g, n)
         is_from = pc.equal(tag, from_tag).fill_null(False) \
             .to_numpy(zero_copy_only=False)
         is_to = pc.equal(tag, to_tag).fill_null(False) \

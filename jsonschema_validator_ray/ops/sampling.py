@@ -256,11 +256,12 @@ def mixture_sample(ds_factory, group_column: str, key_column: str,
                              k_by_group=caps)
 
 
-def split_thresholds(splits, seed: int = 42) -> list[tuple[str, int]]:
+def split_thresholds(splits) -> list[tuple[str, int]]:
     """Cumulative uint32 thresholds for :func:`hash_split` — exposed so the
     SQL oracle can inline the EXACT integers the engine compares against
     (recomputing ``round(cum_share * 2^32)`` in SQL risks a one-ulp float
-    divergence at the bucket edges)."""
+    divergence at the bucket edges). Thresholds depend only on the shares;
+    the seed enters the HASH, never the cut points."""
     labels = [name for name, _ in splits]
     if len(set(labels)) != len(labels):
         raise ValueError(f"duplicate split labels: {labels}")
@@ -294,7 +295,7 @@ def hash_split(ds, key_column: str, splits, seed: int = 42):
     multiplicative hash; other dtypes the vectorized 64-bit column hash."""
     import pyarrow.compute as pc
 
-    pairs = split_thresholds(splits, seed)
+    pairs = split_thresholds(splits)
     labels = pa.array([name for name, _ in pairs], pa.string())
     bounds = np.array([t for _, t in pairs], np.uint64)
 

@@ -270,6 +270,14 @@ def np_column_hash(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
+        # nulls would force to_numpy into float64 (NaN -> undefined uint64
+        # cast, precision loss past 2^53, and a key hashing DIFFERENTLY
+        # depending on whether its batch happens to contain a null). Fill
+        # with 0: all null keys co-locate (sharing key 0's bucket is
+        # harmless) and every non-null key hashes identically everywhere —
+        # required by the null-keeping grouped ops (adjacent_pairs family)
+        if col.null_count:
+            col = col.fill_null(0)
         v = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
         return (v * np.uint64(0x9E3779B97F4A7C15)) ^ (v >> np.uint64(31))

@@ -1798,7 +1798,7 @@ def test_hash_split(ray_session):
                    splits, seed=7).to_arrow_refs())) \
         .sort_by([("doc_id", "ascending")])
 
-    bounds = split_thresholds(splits, seed=7)
+    bounds = split_thresholds(splits)
     h = (np.arange(500, dtype=np.uint64) * KNUTH
          + np.uint64(7) * SEED_MIX) % _MOD
     expect = np.array([b[0] for b in bounds])[
@@ -1984,3 +1984,18 @@ def test_render_conversations(ray_session):
         ("B", 1, len("a: yo"), "a: yo"),
         ("C", 0, None, None),
     ]
+
+
+def test_np_column_hash_nullable_int_stable():
+    """A non-null integer key must hash identically whether or not its batch
+    happens to contain a null (nulls used to force a float64 round-trip:
+    undefined NaN casts and precision loss past 2^53); nulls co-locate with
+    key 0 by design."""
+    from jsonschema_validator_ray.stages.groupcheck import np_column_hash
+
+    big = 2**53 + 1
+    clean = np_column_hash(pa.chunked_array([pa.array([5, big], pa.int64())]))
+    dirty = np_column_hash(
+        pa.chunked_array([pa.array([5, None, big], pa.int64())]))
+    assert clean[0] == dirty[0] and clean[1] == dirty[2]
+    assert dirty[1] == np_column_hash(pa.array([0], pa.int64()))[0]
