@@ -1350,6 +1350,29 @@ def q_render_sft_transcripts(sf_dir: str) -> pa.Table:
     }).sort_by([("conv_id", "ascending")])
 
 
+def q_incremental_dedup_documents(sf_dir: str) -> pa.Table:
+    """Incremental (cross-run) dedup (``ops.dedup.dedup_against_snapshot``):
+    re-ingesting the full corpus against a snapshot of every third doc keeps
+    exactly the docs whose content is NOT already ingested — the broadcast
+    128-bit hash-index membership path, no shuffle. Oracle is the SQL NOT
+    EXISTS anti-join on raw text."""
+    from jsonschema_validator_ray.ops.dedup import dedup_against_snapshot
+
+    def snap_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() \
+            if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"]
+        m = ids.cast(pa.int64()).to_numpy(zero_copy_only=False) % 3 == 0
+        return b.filter(pa.array(m))
+
+    snap = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(snap_only, batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect(dedup_against_snapshot(
+        _read(sf_dir, "documents", ["doc_id", "text"]), snap,
+        "doc_id", "text"))
+    return pa.table({"doc_id": out["doc_id"].cast(pa.int64())}) \
+        .sort_by([("doc_id", "ascending")])
+
+
 def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
     revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
@@ -3042,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncate_context_transcripts": q_truncate_context_transcripts,
         "alternation_transcripts": q_alternation_transcripts,
         "render_sft_transcripts": q_render_sft_transcripts,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3414,6 +3438,12 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY turn_idx, role, text)) AS digest
             FROM read_parquet('{_TX_GLOB}')
             GROUP BY conv_id ORDER BY conv_id
+        """,
+        "incremental_dedup_documents": """
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM documents s
+                              WHERE s.doc_id % 3 = 0 AND s.text = d.text)
+            ORDER BY d.doc_id
         """,
         "local_supplier_volume": """
             WITH asia AS (SELECT n_nationkey, n_name

@@ -1284,6 +1284,92 @@ def exact_dedup_keepers(ds, id_column: str, text_column: str):
         Count(alias_name="n_copies"))
 
 
+def dedup_against_snapshot(ds_new, snapshot_ds, id_column: str,
+                           text_column: str,
+                           broadcast_cap_bytes: int = 1 << 30):
+    """Incremental (cross-run) exact dedup — the re-ingestion step of a
+    continuously-updated corpus: drop every new row whose ``text_column``
+    content already exists in a prior SNAPSHOT corpus, keep the rest.
+
+    Distributed shape: the snapshot streams into per-block DISTINCT 128-bit
+    content-hash partials (two independent 64-bit polars hashes, 16
+    bytes/distinct doc — the text itself never reaches the driver), the
+    driver lexsorts them once and ``ray.put``s the index ONCE; the new
+    corpus then streams through a vectorized membership filter (compound
+    ``searchsorted``; h1-collision runs resolved by a bounded scan — at most
+    the handful of 64-bit collisions). No shuffle on either side. Null text
+    never matches (SQL ``s.text = d.text`` equality) and is always kept.
+
+    ``broadcast_cap_bytes`` guards the broadcast assumption (16 bytes ×
+    distinct snapshot docs; the 1 GiB default holds ~67M distinct docs —
+    beyond that, route BOTH sides' hash pairs through
+    ``reduce_side_hash_join`` on a bucketed h1 instead of broadcasting)."""
+    import polars as pl
+    import ray
+
+    def _hash_pair(col: pa.Array) -> tuple:
+        s = pl.from_arrow(col)
+        return (s.hash(seed=42).to_numpy().astype(np.uint64),
+                s.hash(seed=1337).to_numpy().astype(np.uint64))
+
+    def snap_partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.unique(col.drop_null())
+        h1, h2 = _hash_pair(col)
+        return pa.table({"h1": pa.array(h1.astype(np.int64), pa.int64()),
+                         "h2": pa.array(h2.astype(np.int64), pa.int64())})
+
+    parts = [t for t in ray.get(
+        snapshot_ds.map_batches(snap_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if parts:
+        folded = pa.concat_tables(parts)
+        s1 = folded["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s2 = folded["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((s2, s1))
+        s1, s2 = s1[order], s2[order]
+        keep = np.concatenate([[True], (s1[1:] != s1[:-1])
+                               | (s2[1:] != s2[:-1])])
+        s1, s2 = s1[keep], s2[keep]
+    else:
+        s1 = s2 = np.array([], np.uint64)
+    if s1.nbytes + s2.nbytes > broadcast_cap_bytes:
+        raise ValueError(
+            f"snapshot hash index {(s1.nbytes + s2.nbytes) >> 20} MiB "
+            f"exceeds broadcast_cap_bytes — use the reduce-side route")
+    idx_ref = ray.put((s1, s2))     # zero-copy numpy views on every worker
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        S1, S2 = ray.get(idx_ref)   # plasma-local after first touch
+        col = batch[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_snap = S1.size
+        if not n_snap or not batch.num_rows:
+            return batch
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        h1, h2 = _hash_pair(col.fill_null(""))   # masked rows never match
+        pos = np.searchsorted(S1, h1, side="left")
+        posc = np.minimum(pos, n_snap - 1)
+        first = S1[posc] == h1
+        hit = first & (S2[posc] == h2)
+        # h1 runs holding >1 distinct h2 = 64-bit collisions; bounded scan
+        for i in np.flatnonzero(first & ~hit):
+            j = pos[i] + 1
+            while j < n_snap and S1[j] == h1[i]:
+                if S2[j] == h2[i]:
+                    hit[i] = True
+                    break
+                j += 1
+        return batch.filter(pa.array(~(hit & valid)))
+
+    return ds_new.map_batches(keep_new, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def chunk_dedup(ds, id_column: str, text_column: str, window: int = 3):
     """Cross-document exact SPAN dedup (the sub-document granularity of
     MassiveText/RefinedWeb-style repeated-passage removal): each document is

@@ -1999,3 +1999,38 @@ def test_np_column_hash_nullable_int_stable():
         pa.chunked_array([pa.array([5, None, big], pa.int64())]))
     assert clean[0] == dirty[0] and clean[1] == dirty[2]
     assert dirty[1] == np_column_hash(pa.array([0], pa.int64()))[0]
+
+
+def test_dedup_against_snapshot(ray_session):
+    """Cross-run dedup: rows whose text exists in the snapshot drop, new
+    content survives, null text never matches (SQL equality), duplicate
+    new rows of un-snapshotted content ALL survive (this op is membership,
+    not within-batch dedup), and an empty snapshot keeps everything."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import dedup_against_snapshot
+
+    snap = pa.table({
+        "doc_id": pa.array([0, 3, 6], pa.int64()),
+        "text": pa.array(["old one", "old two", None]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        "text": pa.array(["old one", "fresh", "old two", None,
+                          "fresh", "old one"]),
+    })
+    out = pa.concat_tables(ray.get(dedup_against_snapshot(
+        ray.data.from_arrow(new).repartition(3),
+        ray.data.from_arrow(snap).repartition(2),
+        "doc_id", "text").to_arrow_refs()), promote_options="default") \
+        .sort_by([("doc_id", "ascending")])
+    # 10/12/15 match snapshot content; 13 has null text (never matches);
+    # both 'fresh' copies survive
+    assert out["doc_id"].to_pylist() == [11, 13, 14]
+
+    empty_snap = snap.filter(pa.array([False, False, False]))
+    out2 = pa.concat_tables(ray.get(dedup_against_snapshot(
+        ray.data.from_arrow(new), ray.data.from_arrow(empty_snap),
+        "doc_id", "text").to_arrow_refs()), promote_options="default")
+    assert out2.num_rows == 6
