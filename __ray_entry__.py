@@ -1373,6 +1373,44 @@ def q_incremental_dedup_documents(sf_dir: str) -> pa.Table:
         .sort_by([("doc_id", "ascending")])
 
 
+_PSI_SPLIT = "2024-01-16 00:00:00"   # mid-corpus: both sides populated
+
+
+def q_psi_drift_events(sf_dir: str) -> pa.Table:
+    """Population Stability Index (``ops.stats.psi_drift``) between the
+    value distributions before/after mid-January — the third member of the
+    drift family (chi² categorical, KS continuous, PSI bucketed-production
+    practice). One streaming bincount-partial pass, no shuffle; statistic
+    SQL-replayed to 6 decimals (chi² precedent)."""
+    from jsonschema_validator_ray.ops.stats import psi_drift
+
+    split_us = int(np.datetime64(_PSI_SPLIT.replace(" ", "T"), "us")
+                   .astype(np.int64))
+    r = psi_drift(_read(sf_dir, "events", ["ts", "value"]),
+                  "value", "ts", split_us)
+    return pa.table({
+        "psi": pa.array([round(r["psi"], 6)], pa.float64()),
+        "n_buckets_used": pa.array([r["n_buckets_used"]], pa.int64()),
+        "n_ref": pa.array([r["n_ref"]], pa.int64()),
+        "n_cur": pa.array([r["n_cur"]], pa.int64()),
+    })
+
+
+def q_cooccurrence_events(sf_dir: str) -> pa.Table:
+    """Event-type co-occurrence (``ops.aggregates.cooccurrence_pairs``) —
+    the market-basket analytic: for each unordered pair of event types, how
+    many users performed both. Distinct pre-aggregation before the only
+    shuffle; all pair generation in closed form in-bucket."""
+    from jsonschema_validator_ray.ops.aggregates import cooccurrence_pairs
+
+    out = cooccurrence_pairs(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type")
+    return pa.table({
+        "type_a": out["a"], "type_b": out["b"], "n_users": out["n_keys"],
+    })
+
+
 def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
     revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
@@ -3066,6 +3104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alternation_transcripts": q_alternation_transcripts,
         "render_sft_transcripts": q_render_sft_transcripts,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        "psi_drift_events": q_psi_drift_events,
+        "cooccurrence_events": q_cooccurrence_events,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3438,6 +3478,39 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY turn_idx, role, text)) AS digest
             FROM read_parquet('{_TX_GLOB}')
             GROUP BY conv_id ORDER BY conv_id
+        """,
+        "psi_drift_events": f"""
+            WITH b AS (
+                SELECT CAST(LEAST(GREATEST(floor(value / 25.0), 0), 19)
+                            AS BIGINT) AS bin,
+                       CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}'
+                            THEN 1 ELSE 0 END AS side
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            c AS (SELECT bin,
+                         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_ref,
+                         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+                  FROM b GROUP BY bin),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c)
+            SELECT round(sum((CAST(n_cur AS DOUBLE) / tc
+                              - CAST(n_ref AS DOUBLE) / tr)
+                             * ln((CAST(n_cur AS DOUBLE) / tc)
+                                  / (CAST(n_ref AS DOUBLE) / tr))), 6)
+                       AS psi,
+                   CAST(count(*) AS BIGINT) AS n_buckets_used,
+                   CAST(min(tr) AS BIGINT) AS n_ref,
+                   CAST(min(tc) AS BIGINT) AS n_cur
+            FROM c, t WHERE n_ref > 0 AND n_cur > 0
+        """,
+        "cooccurrence_events": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+                       WHERE user_id IS NOT NULL
+                         AND event_type IS NOT NULL)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "incremental_dedup_documents": """
             SELECT d.doc_id FROM documents d

@@ -780,6 +780,104 @@ def render_conversations(ds, group_col: str, order_col: str, role_col: str,
         .groupby("_bucket").map_groups(render_bucket, batch_format="pyarrow")
 
 
+def cooccurrence_pairs(ds, key_col: str, value_col: str,
+                       n_buckets: int = 0) -> pa.Table:
+    """Value co-occurrence ("market basket") counts: for every unordered
+    pair of DISTINCT values sharing a key (two event types performed by the
+    same user, two tools used in the same conversation), how many keys
+    exhibit both. Null keys/values drop (SQL DISTINCT + self-join parity).
+
+    Scale shape: per-batch ``(key, value)`` DISTINCT pre-aggregation bounds
+    the shuffle by distinct pairs, ONE hash-bucket groupby on the key, then
+    a fully vectorized in-bucket pass — per-key segments from one lexsort,
+    all (i<j) index pairs decoded in closed form from a triangular-number
+    arange (no Python loop over keys), one small (a, b) groupby per bucket.
+    Only pair-domain² rows leave each bucket; the driver folds a
+    domain²-scale table. Per-key distinct-value fan-out is assumed
+    bucket-memory-bounded (true for enum-like domains; a 10^5-value key
+    would emit 10^10 pairs and needs a cap upstream)."""
+    import ray
+
+    from ..rayutil import default_buckets
+    n_buckets = default_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(key_col, n_buckets)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key_col, value_col])
+        ok = pc.and_(pc.is_valid(sel[key_col]), pc.is_valid(sel[value_col]))
+        g = pa.TableGroupBy(sel.filter(ok), [key_col, value_col]) \
+            .aggregate([])
+        return g
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        # bucket-level distinct (batch partials can repeat a pair)
+        group = pa.TableGroupBy(group, [key_col, value_col]).aggregate([])
+        srt = group.sort_by([(key_col, "ascending"),
+                             (value_col, "ascending")])
+        n = srt.num_rows
+        vals = srt[value_col].combine_chunks() \
+            if isinstance(srt[value_col], pa.ChunkedArray) \
+            else srt[value_col]
+        empty = pa.table({"a": pa.array([], vals.type),
+                          "b": pa.array([], vals.type),
+                          "n_keys": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        g = srt[key_col].combine_chunks() \
+            if isinstance(srt[key_col], pa.ChunkedArray) else srt[key_col]
+        starts = np.concatenate([[0], np.flatnonzero(
+            ~_same_group_mask(g, n)) + 1])
+        m = np.diff(np.concatenate([starts, [n]]))
+        t_cnt = m * (m - 1) // 2            # pairs per key
+        tot = int(t_cnt.sum())
+        if not tot:
+            return empty
+        seg = np.repeat(np.arange(m.size), t_cnt)
+        k = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.cumsum(t_cnt) - t_cnt, t_cnt)
+        ms = m[seg].astype(np.float64)
+        # closed-form triangular decode of pair index k -> (i, j), i < j
+        i = np.floor((2.0 * ms - 1.0
+                      - np.sqrt((2.0 * ms - 1.0) ** 2 - 8.0 * k)) / 2.0) \
+            .astype(np.int64)
+        # one-step correction against sqrt boundary error (off-by-one at
+        # exact triangular offsets): offset(i) <= k < offset(i+1) must hold
+        mi = m[seg]
+        off = (i * (2 * mi - i - 1)) // 2
+        i = np.where(off > k, i - 1, i)
+        off = (i * (2 * mi - i - 1)) // 2
+        nxt = ((i + 1) * (2 * mi - i - 2)) // 2
+        i = np.where(k >= nxt, i + 1, i)
+        off = (i * (2 * mi - i - 1)) // 2
+        j = k - off + i + 1
+        base = starts[seg]
+        a = vals.take(pa.array(base + i, pa.int64()))
+        b = vals.take(pa.array(base + j, pa.int64()))
+        gb = pa.TableGroupBy(pa.table({"a": a, "b": b}), ["a", "b"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"a": gb["a"], "b": gb["b"],
+                         "n_keys": gb["count_all"].cast(pa.int64())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("_bucket").map_groups(pairs_bucket,
+                                       batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "n_keys": pa.array([], pa.int64())})
+    fold = pa.TableGroupBy(pa.concat_tables(parts, promote_options="default"),
+                           ["a", "b"]).aggregate([("n_keys", "sum")])
+    fold = fold.sort_by([("a", "ascending"), ("b", "ascending")])
+    return pa.table({"a": fold["a"], "b": fold["b"],
+                     "n_keys": fold["n_keys_sum"].cast(pa.int64())})
+
+
 def heavy_hitters(ds, column: str, k: int = 10,
                   capacity: int = 256) -> pa.Table:
     """Mergeable heavy-hitters top-k (Misra-Gries / Space-Saving family,

@@ -450,3 +450,66 @@ def global_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.99)) -> dict:
         f, c = int(np.floor(t)), int(np.ceil(t))
         out[float(q)] = rankmap[f] + (t - f) * (rankmap[c] - rankmap[f])
     return {"quantiles": out, "n": n}
+
+
+def psi_drift(ds, value_col: str, ts_col: str, split_ts_us: int,
+              bins: int = 20, width: float = 25.0) -> dict:
+    """Population Stability Index — the standard production drift metric
+    (finance/ML-monitoring practice; PSI < 0.1 stable, > 0.25 major shift)
+    between the value distributions BEFORE and AFTER ``split_ts_us``:
+    ``PSI = Σ_b (p_cur − p_ref) · ln(p_cur / p_ref)`` over the fixed-width
+    value buckets (clamped to ``[0, bins)``), summing only buckets observed
+    on BOTH sides (the standard empty-bucket exclusion — reported as
+    ``n_buckets_used``). Proportions are per-side totals over ALL rows.
+
+    Scale shape: one streaming ``map_batches`` pass emitting a
+    ``bins × (n_ref, n_cur)`` partial per batch (np.bincount per side), one
+    tiny driver fold — no shuffle at any scale (same partial+final shape as
+    the chi²/KS drift family). Null value/ts rows drop. ``floor(v/width)``
+    and the ln-sum are exactly-rounded IEEE doubles, SQL-replayable to 6
+    decimals."""
+    split = np.int64(split_ts_us)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].combine_chunks() \
+            if isinstance(batch[value_col], pa.ChunkedArray) \
+            else batch[value_col]
+        t = batch[ts_col].combine_chunks() \
+            if isinstance(batch[ts_col], pa.ChunkedArray) else batch[ts_col]
+        ok = (pc.and_(pc.is_valid(v), pc.is_valid(t))
+              .to_numpy(zero_copy_only=False))
+        vv = v.cast(pa.float64()).fill_null(0.0) \
+            .to_numpy(zero_copy_only=False)[ok]
+        tt = t.cast(pa.int64()).fill_null(0) \
+            .to_numpy(zero_copy_only=False)[ok]
+        b = np.clip(np.floor(vv / width), 0, bins - 1).astype(np.int64)
+        cur = tt >= split
+        n_ref = np.bincount(b[~cur], minlength=bins)
+        n_cur = np.bincount(b[cur], minlength=bins)
+        return pa.table({
+            "bin": pa.array(np.arange(bins, dtype=np.int64)),
+            "n_ref": pa.array(n_ref.astype(np.int64), pa.int64()),
+            "n_cur": pa.array(n_cur.astype(np.int64), pa.int64()),
+        })
+
+    import ray
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize().to_arrow_refs())
+        if t.num_rows]
+    n_ref = np.zeros(bins, np.int64)
+    n_cur = np.zeros(bins, np.int64)
+    for t in parts:
+        idx = t["bin"].to_numpy(zero_copy_only=False)
+        np.add.at(n_ref, idx, t["n_ref"].to_numpy(zero_copy_only=False))
+        np.add.at(n_cur, idx, t["n_cur"].to_numpy(zero_copy_only=False))
+    tot_ref, tot_cur = int(n_ref.sum()), int(n_cur.sum())
+    if not tot_ref or not tot_cur:
+        raise ValueError("psi_drift: one side has no rows")
+    use = (n_ref > 0) & (n_cur > 0)
+    p_ref = n_ref[use] / tot_ref
+    p_cur = n_cur[use] / tot_cur
+    psi = float(np.sum((p_cur - p_ref) * np.log(p_cur / p_ref)))
+    return {"psi": psi, "n_buckets_used": int(use.sum()),
+            "n_ref": tot_ref, "n_cur": tot_cur}

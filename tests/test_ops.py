@@ -2034,3 +2034,84 @@ def test_dedup_against_snapshot(ray_session):
         ray.data.from_arrow(new), ray.data.from_arrow(empty_snap),
         "doc_id", "text").to_arrow_refs()), promote_options="default")
     assert out2.num_rows == 6
+
+
+def test_psi_drift(ray_session):
+    """PSI: exact formula over both-sides-populated buckets, one-sided
+    buckets excluded, null rows dropped, error when a side is empty."""
+    import math
+
+    import pytest
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import psi_drift
+
+    # ref rows (ts=0) in buckets 0,0,1; cur rows (ts=10) in buckets 0,2 —
+    # bucket 1 and 2 are one-sided -> only bucket 0 contributes
+    t = pa.table({
+        "ts": pa.array([0, 0, 0, 10, 10, None], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 30.0, 3.0, 60.0, 1.0], pa.float64()),
+    })
+    r = psi_drift(ray.data.from_arrow(t).repartition(2), "value", "ts",
+                  split_ts_us=5, bins=4, width=25.0)
+    p_ref, p_cur = 2 / 3, 1 / 2
+    assert math.isclose(r["psi"], (p_cur - p_ref) * math.log(p_cur / p_ref),
+                        rel_tol=1e-12)
+    assert (r["n_buckets_used"], r["n_ref"], r["n_cur"]) == (1, 3, 2)
+
+    with pytest.raises(ValueError):
+        psi_drift(ray.data.from_arrow(t.slice(0, 3)), "value", "ts",
+                  split_ts_us=5)
+
+
+def test_cooccurrence_pairs(ray_session):
+    """Market-basket pairs: per-key distinct values pair exactly once no
+    matter how many duplicate rows; null keys/values drop; keys with one
+    value emit nothing; counts fold across buckets."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import cooccurrence_pairs
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "x"),          # dup (1,x) — still one pair
+        (2, "x"), (2, "y"), (2, "z"),          # 3 pairs
+        (3, "z"),                               # singleton: no pairs
+        (None, "x"), (4, None),                 # dropped
+        (5, "y"), (5, "x"),                     # unsorted input
+    ]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "v": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = cooccurrence_pairs(ray.data.from_arrow(t).repartition(4), "k", "v")
+    got = {(a, b): n for a, b, n in zip(out["a"].to_pylist(),
+                                        out["b"].to_pylist(),
+                                        out["n_keys"].to_pylist())}
+    assert got == {("x", "y"): 3, ("x", "z"): 1, ("y", "z"): 1}
+
+
+def test_cooccurrence_triangular_decode(ray_session):
+    """A key with MANY distinct values decodes every (i<j) pair exactly once
+    (exercises the closed-form triangular decode + boundary correction)."""
+    import itertools
+
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import cooccurrence_pairs
+
+    m = 40
+    vals = [f"v{z:03d}" for z in range(m)]
+    t = pa.table({
+        "k": pa.array([7] * m + [8] * 3, pa.int64()),
+        "v": pa.array(vals + ["v000", "v001", "v002"], pa.string()),
+    })
+    out = cooccurrence_pairs(ray.data.from_arrow(t).repartition(2), "k", "v")
+    assert out.num_rows == m * (m - 1) // 2
+    expect_3 = {("v000", "v001"), ("v000", "v002"), ("v001", "v002")}
+    for a, b, n in zip(out["a"].to_pylist(), out["b"].to_pylist(),
+                       out["n_keys"].to_pylist()):
+        assert a < b
+        assert n == (2 if (a, b) in expect_3 else 1)
+    assert {(a, b) for a, b in zip(out["a"].to_pylist(),
+                                   out["b"].to_pylist())} \
+        == set(itertools.combinations(vals, 2))
