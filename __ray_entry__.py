@@ -1411,6 +1411,59 @@ def q_cooccurrence_events(sf_dir: str) -> pa.Table:
     })
 
 
+def q_response_latency_transcripts(sf_dir: str) -> pa.Table:
+    """Per-conversation assistant response latency — operator COMPOSITION:
+    ``adjacent_pairs`` mines user→assistant turn pairs carrying ``ts`` as
+    the payload, then a per-batch grouped partial + conv-cardinality driver
+    fold sums the deltas. A pair with a null timestamp still counts in
+    ``n_pairs`` but adds nothing to the sum; a conversation with NO timed
+    pair reports a NULL total (SQL ``sum`` semantics)."""
+    from jsonschema_validator_ray.ops.aggregates import adjacent_pairs
+
+    pairs = adjacent_pairs(
+        _tx_ds(sf_dir, ["conv_id", "turn_idx", "role", "ts"]),
+        "conv_id", "turn_idx", "role", "user", "assistant", "ts")
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.subtract(b["ts_to"].cast(pa.int64()),
+                        b["ts_from"].cast(pa.int64()))
+        t = pa.table({
+            "conv_id": b["conv_id"],
+            "d": pc.fill_null(d, 0),
+            "dv": pc.cast(pc.is_valid(d), pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        g = pa.TableGroupBy(t, "conv_id").aggregate(
+            [("d", "sum"), ("dv", "sum"), ("one", "sum")])
+        return g.rename_columns(["conv_id", "d", "dv", "n"])
+
+    parts = _collect(pairs.map_batches(partial, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+    g = pa.TableGroupBy(parts, "conv_id").aggregate(
+        [("d", "sum"), ("dv", "sum"), ("n", "sum")])
+    total = pc.if_else(pc.greater(g["dv_sum"], 0),
+                       g["d_sum"].cast(pa.int64()),
+                       pa.scalar(None, pa.int64()))
+    return pa.table({
+        "conv_id": g["conv_id"],
+        "n_pairs": g["n_sum"].cast(pa.int64()),
+        "total_latency_us": total,
+    }).sort_by([("conv_id", "ascending")])
+
+
+def q_tool_cooccurrence_transcripts(sf_dir: str) -> pa.Table:
+    """Tool co-occurrence per conversation (``cooccurrence_pairs`` over the
+    transcript corpus — the STRING-key path of the op): which tool pairs
+    get used together in one conversation, counted across conversations."""
+    from jsonschema_validator_ray.ops.aggregates import cooccurrence_pairs
+
+    out = cooccurrence_pairs(_tx_ds(sf_dir, ["conv_id", "tool"]),
+                             "conv_id", "tool")
+    return pa.table({
+        "tool_a": out["a"], "tool_b": out["b"], "n_convs": out["n_keys"],
+    })
+
+
 def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
     revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
@@ -3106,6 +3159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "psi_drift_events": q_psi_drift_events,
         "cooccurrence_events": q_cooccurrence_events,
+        "response_latency_transcripts": q_response_latency_transcripts,
+        "tool_cooccurrence_transcripts": q_tool_cooccurrence_transcripts,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3510,6 +3565,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM d a JOIN d b ON a.user_id = b.user_id
                              AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "response_latency_transcripts": f"""
+            WITH w AS (
+                SELECT conv_id, role, ts,
+                       lead(role) OVER win AS n_role,
+                       lead(ts) OVER win AS n_ts
+                FROM read_parquet('{_TX_GLOB}')
+                WINDOW win AS (PARTITION BY conv_id
+                               ORDER BY turn_idx, role, ts)
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(epoch_us(n_ts) - epoch_us(ts)) AS BIGINT)
+                       AS total_latency_us
+            FROM w WHERE role = 'user' AND n_role = 'assistant'
+            GROUP BY conv_id ORDER BY conv_id
+        """,
+        "tool_cooccurrence_transcripts": f"""
+            WITH d AS (SELECT DISTINCT conv_id, tool
+                       FROM read_parquet('{_TX_GLOB}')
+                       WHERE conv_id IS NOT NULL AND tool IS NOT NULL)
+            SELECT a.tool AS tool_a, b.tool AS tool_b,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM d a JOIN d b ON a.conv_id = b.conv_id
+                             AND a.tool < b.tool
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "incremental_dedup_documents": """
