@@ -1284,90 +1284,179 @@ def exact_dedup_keepers(ds, id_column: str, text_column: str):
         Count(alias_name="n_copies"))
 
 
+def _snap_hash_pair(col):
+    """Two independent 64-bit polars hashes of a text column → uint64."""
+    import polars as pl
+
+    s = pl.from_arrow(col)
+    return (s.hash(seed=42).to_numpy().astype(np.uint64),
+            s.hash(seed=1337).to_numpy().astype(np.uint64))
+
+
+def _hash_membership(S1: np.ndarray, S2: np.ndarray, h1: np.ndarray,
+                     h2: np.ndarray) -> np.ndarray:
+    """Membership of (h1, h2) query pairs in the (S1, S2) index, which must
+    be lexsorted by (S1, S2): compound ``searchsorted`` on S1 plus a bounded
+    scan over the (rare — 64-bit collision) runs holding >1 distinct S2."""
+    n_snap = S1.size
+    if not n_snap or not h1.size:
+        return np.zeros(h1.size, bool)
+    pos = np.searchsorted(S1, h1, side="left")
+    posc = np.minimum(pos, n_snap - 1)
+    first = S1[posc] == h1
+    hit = first & (S2[posc] == h2)
+    for i in np.flatnonzero(first & ~hit):
+        j = pos[i] + 1
+        while j < n_snap and S1[j] == h1[i]:
+            if S2[j] == h2[i]:
+                hit[i] = True
+                break
+            j += 1
+    return hit
+
+
 def dedup_against_snapshot(ds_new, snapshot_ds, id_column: str,
                            text_column: str,
-                           broadcast_cap_bytes: int = 1 << 30):
+                           broadcast_cap_bytes: int = 1 << 30,
+                           route: str = "auto", n_buckets: int = 0,
+                           new_schema: "pa.Schema | None" = None):
     """Incremental (cross-run) exact dedup — the re-ingestion step of a
     continuously-updated corpus: drop every new row whose ``text_column``
     content already exists in a prior SNAPSHOT corpus, keep the rest.
+    Null text never matches (SQL ``s.text = d.text`` equality) and is
+    always kept. Content identity is a 128-bit key (two independent 64-bit
+    polars hashes — collision-negligible at 10^12 docs, same key as
+    ``exact_dedup_keepers``).
 
-    Distributed shape: the snapshot streams into per-block DISTINCT 128-bit
-    content-hash partials (two independent 64-bit polars hashes, 16
-    bytes/distinct doc — the text itself never reaches the driver), the
-    driver lexsorts them once and ``ray.put``s the index ONCE; the new
-    corpus then streams through a vectorized membership filter (compound
-    ``searchsorted``; h1-collision runs resolved by a bounded scan — at most
-    the handful of 64-bit collisions). No shuffle on either side. Null text
-    never matches (SQL ``s.text = d.text`` equality) and is always kept.
+    Two routes, picked by ``route`` (``auto`` | ``broadcast`` | ``shuffle``):
 
-    ``broadcast_cap_bytes`` guards the broadcast assumption (16 bytes ×
-    distinct snapshot docs; the 1 GiB default holds ~67M distinct docs —
-    beyond that, route BOTH sides' hash pairs through
-    ``reduce_side_hash_join`` on a bucketed h1 instead of broadcasting)."""
-    import polars as pl
+    - **broadcast** (snapshot index ≤ ``broadcast_cap_bytes``, 16 bytes ×
+      distinct snapshot docs — 1 GiB holds ~67M): the snapshot streams into
+      per-block DISTINCT hash partials (text never reaches the driver), the
+      driver lexsorts once and ``ray.put``s the index ONCE; the new corpus
+      streams through a vectorized membership filter. NO shuffle.
+    - **shuffle** (any snapshot size): both sides bucket by ``h1`` — the
+      snapshot as bare 16-byte hash rows, the new corpus carrying its
+      payload columns through the one all-to-all — and each bucket filters
+      its new rows against its own snapshot slice with the same membership
+      kernel. ``auto`` falls back to this when the folded index would bust
+      the cap. Pass ``new_schema`` to skip the schema probe on a derived
+      ``ds_new`` (same pattern as ``reduce_side_hash_join``)."""
     import ray
 
-    def _hash_pair(col: pa.Array) -> tuple:
-        s = pl.from_arrow(col)
-        return (s.hash(seed=42).to_numpy().astype(np.uint64),
-                s.hash(seed=1337).to_numpy().astype(np.uint64))
+    from ..rayutil import default_buckets, strip_meta
+
+    if route not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown route {route!r}")
 
     def snap_partial(batch: pa.Table) -> pa.Table:
         col = batch[text_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         col = pc.unique(col.drop_null())
-        h1, h2 = _hash_pair(col)
+        h1, h2 = _snap_hash_pair(col)
         return pa.table({"h1": pa.array(h1.astype(np.int64), pa.int64()),
                          "h2": pa.array(h2.astype(np.int64), pa.int64())})
 
-    parts = [t for t in ray.get(
-        snapshot_ds.map_batches(snap_partial, batch_format="pyarrow",
-                                zero_copy_batch=True)
-        .materialize().to_arrow_refs()) if t.num_rows]
-    if parts:
-        folded = pa.concat_tables(parts)
-        s1 = folded["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        s2 = folded["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.lexsort((s2, s1))
-        s1, s2 = s1[order], s2[order]
-        keep = np.concatenate([[True], (s1[1:] != s1[:-1])
-                               | (s2[1:] != s2[:-1])])
-        s1, s2 = s1[keep], s2[keep]
-    else:
-        s1 = s2 = np.array([], np.uint64)
-    if s1.nbytes + s2.nbytes > broadcast_cap_bytes:
-        raise ValueError(
-            f"snapshot hash index {(s1.nbytes + s2.nbytes) >> 20} MiB "
-            f"exceeds broadcast_cap_bytes — use the reduce-side route")
-    idx_ref = ray.put((s1, s2))     # zero-copy numpy views on every worker
+    snap_hashes = snapshot_ds.map_batches(
+        snap_partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_new(batch: pa.Table) -> pa.Table:
-        S1, S2 = ray.get(idx_ref)   # plasma-local after first touch
+    if route != "shuffle":
+        parts = [t for t in ray.get(
+            snap_hashes.materialize().to_arrow_refs()) if t.num_rows]
+        if parts:
+            folded = pa.concat_tables(parts)
+            s1 = folded["h1"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            s2 = folded["h2"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            order = np.lexsort((s2, s1))
+            s1, s2 = s1[order], s2[order]
+            keep = np.concatenate([[True], (s1[1:] != s1[:-1])
+                                   | (s2[1:] != s2[:-1])])
+            s1, s2 = s1[keep], s2[keep]
+        else:
+            s1 = s2 = np.array([], np.uint64)
+        if s1.nbytes + s2.nbytes > broadcast_cap_bytes:
+            if route == "broadcast":
+                raise ValueError(
+                    f"snapshot hash index {(s1.nbytes + s2.nbytes) >> 20} "
+                    f"MiB exceeds broadcast_cap_bytes")
+            route = "shuffle"   # auto fallback: index too big to broadcast
+        else:
+            idx_ref = ray.put((s1, s2))   # zero-copy numpy on every worker
+
+            def keep_new(batch: pa.Table) -> pa.Table:
+                S1, S2 = ray.get(idx_ref)  # plasma-local after first touch
+                col = batch[text_column]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if not S1.size or not batch.num_rows:
+                    return batch
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                h1, h2 = _snap_hash_pair(col.fill_null(""))
+                hit = _hash_membership(S1, S2, h1, h2)
+                return batch.filter(pa.array(~(hit & valid)))
+
+            return ds_new.map_batches(keep_new, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    # ---- shuffle route: one all-to-all bucketed by h1 ----------------------
+    n_buckets = default_buckets(n_buckets)
+    schema = new_schema if new_schema is not None else ds_new.schema()
+    schema = getattr(schema, "base_schema", schema)   # ray Schema -> pyarrow
+    names = list(schema.names)
+
+    def new_tagged(batch: pa.Table) -> pa.Table:
         col = batch[text_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        n_snap = S1.size
-        if not n_snap or not batch.num_rows:
-            return batch
-        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-        h1, h2 = _hash_pair(col.fill_null(""))   # masked rows never match
-        pos = np.searchsorted(S1, h1, side="left")
-        posc = np.minimum(pos, n_snap - 1)
-        first = S1[posc] == h1
-        hit = first & (S2[posc] == h2)
-        # h1 runs holding >1 distinct h2 = 64-bit collisions; bounded scan
-        for i in np.flatnonzero(first & ~hit):
-            j = pos[i] + 1
-            while j < n_snap and S1[j] == h1[i]:
-                if S2[j] == h2[i]:
-                    hit[i] = True
-                    break
-                j += 1
-        return batch.filter(pa.array(~(hit & valid)))
+        valid = pc.is_valid(col)
+        h1, h2 = _snap_hash_pair(col.fill_null(""))
+        cols = {n: batch[n] for n in names}
+        cols["_h1"] = pa.array(h1.astype(np.int64), pa.int64())
+        cols["_h2"] = pa.array(h2.astype(np.int64), pa.int64())
+        cols["_tv"] = valid.cast(pa.int8())
+        cols["_snap"] = pa.array(np.zeros(batch.num_rows, np.int8),
+                                 pa.int8())
+        cols["_bucket"] = pa.array(
+            (h1 % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        return strip_meta(pa.table(cols))
 
-    return ds_new.map_batches(keep_new, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    def snap_tagged(batch: pa.Table) -> pa.Table:
+        h1 = batch["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = batch.num_rows
+        cols = {nm: pa.nulls(n, schema.field(nm).type) for nm in names}
+        cols["_h1"] = batch["h1"]
+        cols["_h2"] = batch["h2"]
+        cols["_tv"] = pa.array(np.ones(n, np.int8), pa.int8())
+        cols["_snap"] = pa.array(np.ones(n, np.int8), pa.int8())
+        cols["_bucket"] = pa.array(
+            (h1 % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        return strip_meta(pa.table(cols))
+
+    tagged = ds_new.map_batches(new_tagged, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .union(snap_hashes.map_batches(snap_tagged, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        is_snap = pc.equal(group["_snap"], pa.scalar(1, pa.int8()))
+        snap = group.filter(is_snap)
+        new = group.filter(pc.invert(is_snap))
+        S1 = snap["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        S2 = snap["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((S2, S1))
+        S1, S2 = S1[order], S2[order]
+        h1 = new["_h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h2 = new["_h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tv = new["_tv"].to_numpy(zero_copy_only=False).astype(bool)
+        hit = _hash_membership(S1, S2, h1, h2)
+        return new.filter(pa.array(~(hit & tv))) \
+            .drop_columns(["_h1", "_h2", "_tv", "_snap", "_bucket"])
+
+    return tagged.groupby("_bucket").map_groups(filter_bucket,
+                                                batch_format="pyarrow")
 
 
 def chunk_dedup(ds, id_column: str, text_column: str, window: int = 3):

@@ -2115,3 +2115,41 @@ def test_cooccurrence_triangular_decode(ray_session):
     assert {(a, b) for a, b in zip(out["a"].to_pylist(),
                                    out["b"].to_pylist())} \
         == set(itertools.combinations(vals, 2))
+
+
+def test_dedup_against_snapshot_shuffle_route(ray_session):
+    """The shuffle route (any-size snapshot) returns exactly the broadcast
+    route's rows, and route='auto' falls back to it when the folded index
+    busts the broadcast cap."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import dedup_against_snapshot
+
+    snap = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"snap {i}" for i in range(30)]
+                         + [f"both {i}" for i in range(10)]),
+    })
+    new = pa.table({
+        "doc_id": pa.array(range(100, 160), pa.int64()),
+        "text": pa.array([f"both {i % 10}" if i % 3 == 0
+                          else (None if i % 17 == 0 else f"new {i}")
+                          for i in range(60)]),
+    })
+
+    def run(**kw):
+        return pa.concat_tables(ray.get(dedup_against_snapshot(
+            ray.data.from_arrow(new).repartition(4),
+            ray.data.from_arrow(snap).repartition(3),
+            "doc_id", "text", **kw).to_arrow_refs()),
+            promote_options="default") \
+            .sort_by([("doc_id", "ascending")])
+
+    bcast = run(route="broadcast")
+    shuf = run(route="shuffle")
+    assert bcast.equals(shuf)
+    assert bcast.num_rows == 60 - sum(1 for i in range(60) if i % 3 == 0)
+    # auto with a 1-byte cap must route through the shuffle path, same rows
+    auto_small = run(route="auto", broadcast_cap_bytes=1)
+    assert auto_small.equals(bcast)
