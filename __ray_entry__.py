@@ -1464,6 +1464,18 @@ def q_tool_cooccurrence_transcripts(sf_dir: str) -> pa.Table:
     })
 
 
+def q_profile_table_events(sf_dir: str) -> pa.Table:
+    """Whole-table per-column profile (``ops.aggregates.profile_table``):
+    exact nulls/distinct/min/max for every events column in ONE streaming
+    pass, no shuffle — the describe-the-table sweep. Oracle is the UNION
+    ALL of per-column exact SQL aggregates."""
+    from jsonschema_validator_ray.ops.aggregates import profile_table
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    return profile_table(_read(sf_dir, "events", cols), cols) \
+        .sort_by([("column", "ascending")])
+
+
 def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
     revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
@@ -3161,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_events": q_cooccurrence_events,
         "response_latency_transcripts": q_response_latency_transcripts,
         "tool_cooccurrence_transcripts": q_tool_cooccurrence_transcripts,
+        "profile_table_events": q_profile_table_events,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3592,6 +3605,41 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.conv_id = b.conv_id
                              AND a.tool < b.tool
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "profile_table_events": """
+            SELECT 'event_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(event_id) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS BIGINT) AS min_int,
+                   CAST(max(event_id) AS BIGINT) AS max_int,
+                   CAST(NULL AS DOUBLE) AS min_float,
+                   CAST(NULL AS DOUBLE) AS max_float
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type), NULL, NULL, NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'props', count(*), count(*) - count(props),
+                   count(DISTINCT props), NULL, NULL, NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*), count(*) - count(ts),
+                   count(DISTINCT ts),
+                   epoch_us(min(ts)), epoch_us(max(ts)), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS BIGINT),
+                   CAST(max(user_id) AS BIGINT), NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT value), NULL, NULL,
+                   min(value), max(value)
+            FROM events
+            ORDER BY "column"
         """,
         "incremental_dedup_documents": """
             SELECT d.doc_id FROM documents d

@@ -878,6 +878,105 @@ def cooccurrence_pairs(ds, key_col: str, value_col: str,
                      "n_keys": fold["n_keys_sum"].cast(pa.int64())})
 
 
+def profile_table(ds, columns: list) -> pa.Table:
+    """Full per-column data-quality profile — the "describe the table"
+    sweep run before any pipeline: for every column, exact row/null counts,
+    exact distinct count, and min/max (int-family columns — integers and
+    timestamps — in ``min_int``/``max_int`` as epoch-µs/int64; float
+    columns in ``min_float``/``max_float``; other types null both).
+
+    Distinct counting folds each column's DISTINCT 128-bit value hashes
+    (two independent 64-bit polars hashes — the ``exact_dedup_keepers``
+    key; collision-negligible at 10^12 rows) per batch and unions them on
+    the driver: exact, nulls excluded (SQL ``count(DISTINCT col)``), memory
+    bounded by column CARDINALITY not row count — same assumption as the
+    HLL gate's exact side; swap in ``HyperLogLog`` per column when a
+    column's cardinality itself is row-scale. One streaming pass, no
+    shuffle."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for name in columns:
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            nn = col.null_count
+            vals = col.drop_null()
+            s = pl.from_arrow(vals)
+            uniq = np.unique(np.stack([
+                s.hash(seed=42).to_numpy().astype(np.uint64),
+                s.hash(seed=1337).to_numpy().astype(np.uint64)],
+                axis=1), axis=0) \
+                if len(vals) else np.empty((0, 2), np.uint64)
+            mn_i = mx_i = None
+            mn_f = mx_f = None
+            if len(vals):
+                t = vals.type
+                if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+                    mm = pc.min_max(vals.cast(pa.int64()))
+                    mn_i, mx_i = mm["min"].as_py(), mm["max"].as_py()
+                elif pa.types.is_floating(t):
+                    mm = pc.min_max(vals)
+                    mn_f, mx_f = mm["min"].as_py(), mm["max"].as_py()
+            rows.append((name, batch.num_rows, nn, uniq.tobytes(),
+                         mn_i, mx_i, mn_f, mx_f))
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
+            "uniq": pa.array([r[3] for r in rows], pa.binary()),
+            "min_int": pa.array([r[4] for r in rows], pa.int64()),
+            "max_int": pa.array([r[5] for r in rows], pa.int64()),
+            "min_float": pa.array([r[6] for r in rows], pa.float64()),
+            "max_float": pa.array([r[7] for r in rows], pa.float64()),
+        })
+
+    import ray
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize().to_arrow_refs())
+        if t.num_rows]
+    out = []
+    for name in columns:
+        n_rows = n_nulls = 0
+        blobs = []
+        mn_i = mx_i = mn_f = mx_f = None
+        for t in parts:
+            m = t.filter(pc.equal(t["column"], name))
+            for k in range(m.num_rows):
+                n_rows += m["n_rows"][k].as_py()
+                n_nulls += m["n_nulls"][k].as_py()
+                blobs.append(m["uniq"][k].as_py())
+                v = m["min_int"][k].as_py()
+                mn_i = v if mn_i is None else (v if v is not None
+                                               and v < mn_i else mn_i)
+                v = m["max_int"][k].as_py()
+                mx_i = v if mx_i is None else (v if v is not None
+                                               and v > mx_i else mx_i)
+                v = m["min_float"][k].as_py()
+                mn_f = v if mn_f is None else (v if v is not None
+                                               and v < mn_f else mn_f)
+                v = m["max_float"][k].as_py()
+                mx_f = v if mx_f is None else (v if v is not None
+                                               and v > mx_f else mx_f)
+        pairs = np.frombuffer(b"".join(blobs), np.uint64).reshape(-1, 2)
+        n_distinct = int(np.unique(pairs, axis=0).shape[0])
+        out.append((name, n_rows, n_nulls, n_distinct,
+                    mn_i, mx_i, mn_f, mx_f))
+    return pa.table({
+        "column": pa.array([r[0] for r in out], pa.string()),
+        "n_rows": pa.array([r[1] for r in out], pa.int64()),
+        "n_nulls": pa.array([r[2] for r in out], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in out], pa.int64()),
+        "min_int": pa.array([r[4] for r in out], pa.int64()),
+        "max_int": pa.array([r[5] for r in out], pa.int64()),
+        "min_float": pa.array([r[6] for r in out], pa.float64()),
+        "max_float": pa.array([r[7] for r in out], pa.float64()),
+    })
+
+
 def heavy_hitters(ds, column: str, k: int = 10,
                   capacity: int = 256) -> pa.Table:
     """Mergeable heavy-hitters top-k (Misra-Gries / Space-Saving family,

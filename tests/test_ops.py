@@ -2153,3 +2153,32 @@ def test_dedup_against_snapshot_shuffle_route(ray_session):
     # auto with a 1-byte cap must route through the shuffle path, same rows
     auto_small = run(route="auto", broadcast_cap_bytes=1)
     assert auto_small.equals(bcast)
+
+
+def test_profile_table(ray_session):
+    """Per-column profile: exact nulls/distinct across blocks, int-family
+    min/max (timestamps as epoch-us), float min/max, strings neither;
+    distinct excludes nulls (SQL count(DISTINCT))."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import profile_table
+
+    t = pa.table({
+        "i": pa.array([5, 1, None, 5, 9], pa.int64()),
+        "s": pa.array(["b", None, "a", "a", None], pa.string()),
+        "f": pa.array([2.5, None, -1.0, 2.5, 0.0], pa.float64()),
+        "ts": pa.array([100, 200, None, 100, 300], pa.timestamp("us")),
+    })
+    out = profile_table(ray.data.from_arrow(t).repartition(3),
+                        ["i", "s", "f", "ts"])
+    rows = {r["column"]: r for r in out.to_pylist()}
+    assert (rows["i"]["n_rows"], rows["i"]["n_nulls"],
+            rows["i"]["n_distinct"]) == (5, 1, 3)
+    assert (rows["i"]["min_int"], rows["i"]["max_int"]) == (1, 9)
+    assert rows["i"]["min_float"] is None
+    assert (rows["s"]["n_nulls"], rows["s"]["n_distinct"]) == (2, 2)
+    assert rows["s"]["min_int"] is None and rows["s"]["min_float"] is None
+    assert (rows["f"]["min_float"], rows["f"]["max_float"]) == (-1.0, 2.5)
+    assert rows["f"]["n_distinct"] == 3
+    assert (rows["ts"]["min_int"], rows["ts"]["max_int"]) == (100, 300)
+    assert rows["ts"]["n_distinct"] == 3
