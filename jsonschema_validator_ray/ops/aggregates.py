@@ -859,15 +859,21 @@ def cooccurrence_pairs(ds, key_col: str, value_col: str,
         return pa.table({"a": gb["a"], "b": gb["b"],
                          "n_keys": gb["count_all"].cast(pa.int64())})
 
-    parts = [t for t in ray.get(
+    all_parts = ray.get(
         ds.map_batches(distinct_partial, batch_format="pyarrow",
                        zero_copy_batch=True)
         .map_batches(add_bucket, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby("_bucket").map_groups(pairs_bucket,
                                        batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
+        .to_arrow_refs())
+    parts = [t for t in all_parts if t.num_rows]
     if not parts:
+        # preserve the VALUE type in the empty result: buckets emit typed
+        # empties (vals.type); the string fallback only covers a dataset
+        # that produced no blocks at all (review r4 batch 2)
+        if all_parts:
+            return all_parts[0]
         return pa.table({"a": pa.array([], pa.string()),
                          "b": pa.array([], pa.string()),
                          "n_keys": pa.array([], pa.int64())})
@@ -886,14 +892,15 @@ def profile_table(ds, columns: list) -> pa.Table:
     columns in ``min_float``/``max_float``; other types null both).
 
     Distinct counting folds each column's DISTINCT 128-bit value hashes
-    (two independent 64-bit polars hashes — the ``exact_dedup_keepers``
-    key; collision-negligible at 10^12 rows) per batch and unions them on
-    the driver: exact, nulls excluded (SQL ``count(DISTINCT col)``), memory
-    bounded by column CARDINALITY not row count — same assumption as the
-    HLL gate's exact side; swap in ``HyperLogLog`` per column when a
-    column's cardinality itself is row-scale. One streaming pass, no
-    shuffle."""
-    import polars as pl
+    (``state.hll.hash_pair128`` — the ``exact_dedup_keepers`` key;
+    collision-negligible at 10^12 rows) per batch and unions them
+    INCREMENTALLY on the driver: exact, nulls excluded (SQL
+    ``count(DISTINCT col)``), driver peak bounded by column cardinality
+    plus one batch's distincts. A column whose cardinality is itself
+    row-scale (unique ids at 10^12 rows) still costs cardinality-scale
+    driver memory — swap in ``HyperLogLog`` per column there. One
+    streaming pass, no shuffle."""
+    from ..state.hll import hash_pair128
 
     def partial(batch: pa.Table) -> pa.Table:
         rows = []
@@ -903,12 +910,11 @@ def profile_table(ds, columns: list) -> pa.Table:
                 col = col.combine_chunks()
             nn = col.null_count
             vals = col.drop_null()
-            s = pl.from_arrow(vals)
-            uniq = np.unique(np.stack([
-                s.hash(seed=42).to_numpy().astype(np.uint64),
-                s.hash(seed=1337).to_numpy().astype(np.uint64)],
-                axis=1), axis=0) \
-                if len(vals) else np.empty((0, 2), np.uint64)
+            if len(vals):
+                h1, h2 = hash_pair128(vals)
+                uniq = np.unique(np.stack([h1, h2], axis=1), axis=0)
+            else:
+                uniq = np.empty((0, 2), np.uint64)
             mn_i = mx_i = None
             mn_f = mx_f = None
             if len(vals):
@@ -938,33 +944,40 @@ def profile_table(ds, columns: list) -> pa.Table:
         ds.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True).materialize().to_arrow_refs())
         if t.num_rows]
-    out = []
-    for name in columns:
-        n_rows = n_nulls = 0
-        blobs = []
-        mn_i = mx_i = mn_f = mx_f = None
-        for t in parts:
-            m = t.filter(pc.equal(t["column"], name))
-            for k in range(m.num_rows):
-                n_rows += m["n_rows"][k].as_py()
-                n_nulls += m["n_nulls"][k].as_py()
-                blobs.append(m["uniq"][k].as_py())
-                v = m["min_int"][k].as_py()
-                mn_i = v if mn_i is None else (v if v is not None
-                                               and v < mn_i else mn_i)
-                v = m["max_int"][k].as_py()
-                mx_i = v if mx_i is None else (v if v is not None
-                                               and v > mx_i else mx_i)
-                v = m["min_float"][k].as_py()
-                mn_f = v if mn_f is None else (v if v is not None
-                                               and v < mn_f else mn_f)
-                v = m["max_float"][k].as_py()
-                mx_f = v if mx_f is None else (v if v is not None
-                                               and v > mx_f else mx_f)
-        pairs = np.frombuffer(b"".join(blobs), np.uint64).reshape(-1, 2)
-        n_distinct = int(np.unique(pairs, axis=0).shape[0])
-        out.append((name, n_rows, n_nulls, n_distinct,
-                    mn_i, mx_i, mn_f, mx_f))
+    # ONE pass over the partial tables; distinct blobs union INCREMENTALLY
+    # so driver peak is column-cardinality + one batch's distincts — not
+    # the sum of every batch's blobs (review r4 batch 2)
+    acc = {name: {"n_rows": 0, "n_nulls": 0,
+                  "uniq": np.empty((0, 2), np.uint64),
+                  "mn_i": None, "mx_i": None, "mn_f": None, "mx_f": None}
+           for name in columns}
+
+    def _fold_min(cur, v):
+        return v if cur is None else (v if v is not None and v < cur
+                                      else cur)
+
+    def _fold_max(cur, v):
+        return v if cur is None else (v if v is not None and v > cur
+                                      else cur)
+
+    for t in parts:
+        names_col = t["column"].to_pylist()
+        for k, name in enumerate(names_col):
+            a = acc[name]
+            a["n_rows"] += t["n_rows"][k].as_py()
+            a["n_nulls"] += t["n_nulls"][k].as_py()
+            part_u = np.frombuffer(t["uniq"][k].as_py(),
+                                   np.uint64).reshape(-1, 2)
+            if part_u.size:
+                a["uniq"] = np.unique(
+                    np.concatenate([a["uniq"], part_u]), axis=0)
+            a["mn_i"] = _fold_min(a["mn_i"], t["min_int"][k].as_py())
+            a["mx_i"] = _fold_max(a["mx_i"], t["max_int"][k].as_py())
+            a["mn_f"] = _fold_min(a["mn_f"], t["min_float"][k].as_py())
+            a["mx_f"] = _fold_max(a["mx_f"], t["max_float"][k].as_py())
+    out = [(name, a["n_rows"], a["n_nulls"], int(a["uniq"].shape[0]),
+            a["mn_i"], a["mx_i"], a["mn_f"], a["mx_f"])
+           for name, a in ((n, acc[n]) for n in columns)]
     return pa.table({
         "column": pa.array([r[0] for r in out], pa.string()),
         "n_rows": pa.array([r[1] for r in out], pa.int64()),

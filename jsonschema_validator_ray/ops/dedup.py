@@ -1285,12 +1285,11 @@ def exact_dedup_keepers(ds, id_column: str, text_column: str):
 
 
 def _snap_hash_pair(col):
-    """Two independent 64-bit polars hashes of a text column → uint64."""
-    import polars as pl
+    """Two independent 64-bit polars hashes of a text column → uint64
+    (delegates to the repo-wide 128-bit key, review r4 batch 2)."""
+    from ..state.hll import hash_pair128
 
-    s = pl.from_arrow(col)
-    return (s.hash(seed=42).to_numpy().astype(np.uint64),
-            s.hash(seed=1337).to_numpy().astype(np.uint64))
+    return hash_pair128(col)
 
 
 def _hash_membership(S1: np.ndarray, S2: np.ndarray, h1: np.ndarray,
@@ -1358,12 +1357,22 @@ def dedup_against_snapshot(ds_new, snapshot_ds, id_column: str,
         return pa.table({"h1": pa.array(h1.astype(np.int64), pa.int64()),
                          "h2": pa.array(h2.astype(np.int64), pa.int64())})
 
+    # materialize ONCE: both routes reuse the hash rows, and auto-routing
+    # needs their count — the shuffle fallback must not re-read and re-hash
+    # the snapshot (review r4 batch 2)
     snap_hashes = snapshot_ds.map_batches(
-        snap_partial, batch_format="pyarrow", zero_copy_batch=True)
+        snap_partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+
+    if route == "auto" and 16 * snap_hashes.count() > broadcast_cap_bytes:
+        # 16 bytes x partial rows is an UPPER bound on the deduped index —
+        # routing on it skips the driver-side fold whose memory the cap
+        # exists to protect (the fold peaks ~3x index size)
+        route = "shuffle"
 
     if route != "shuffle":
         parts = [t for t in ray.get(
-            snap_hashes.materialize().to_arrow_refs()) if t.num_rows]
+            snap_hashes.to_arrow_refs()) if t.num_rows]
         if parts:
             folded = pa.concat_tables(parts)
             s1 = folded["h1"].to_numpy(zero_copy_only=False) \
@@ -1378,11 +1387,11 @@ def dedup_against_snapshot(ds_new, snapshot_ds, id_column: str,
         else:
             s1 = s2 = np.array([], np.uint64)
         if s1.nbytes + s2.nbytes > broadcast_cap_bytes:
-            if route == "broadcast":
-                raise ValueError(
-                    f"snapshot hash index {(s1.nbytes + s2.nbytes) >> 20} "
-                    f"MiB exceeds broadcast_cap_bytes")
-            route = "shuffle"   # auto fallback: index too big to broadcast
+            # only reachable with route="broadcast": auto already diverted
+            # on the pre-fold row-count bound (folded size <= bound)
+            raise ValueError(
+                f"snapshot hash index {(s1.nbytes + s2.nbytes) >> 20} "
+                f"MiB exceeds broadcast_cap_bytes")
         else:
             idx_ref = ray.put((s1, s2))   # zero-copy numpy on every worker
 

@@ -482,7 +482,13 @@ def psi_drift(ds, value_col: str, ts_col: str, split_ts_us: int,
             .to_numpy(zero_copy_only=False)[ok]
         tt = t.cast(pa.int64()).fill_null(0) \
             .to_numpy(zero_copy_only=False)[ok]
-        b = np.clip(np.floor(vv / width), 0, bins - 1).astype(np.int64)
+        b = np.floor(vv / width)
+        # NaN/inf parity with the SQL LEAST(GREATEST(...)) oracle: DuckDB
+        # orders NaN greater than everything, so NaN and +inf land in the
+        # TOP bin; a plain np.clip would carry NaN into an undefined int
+        # cast and crash bincount (review r4 batch 2)
+        b = np.where(np.isnan(b), bins - 1,
+                     np.clip(b, 0, bins - 1)).astype(np.int64)
         cur = tt >= split
         n_ref = np.bincount(b[~cur], minlength=bins)
         n_cur = np.bincount(b[cur], minlength=bins)
@@ -508,6 +514,13 @@ def psi_drift(ds, value_col: str, ts_col: str, split_ts_us: int,
     if not tot_ref or not tot_cur:
         raise ValueError("psi_drift: one side has no rows")
     use = (n_ref > 0) & (n_cur > 0)
+    if not use.any():
+        # fully disjoint distributions: PSI's standard form is undefined
+        # (every bucket one-sided). Returning 0.0 would read maximal drift
+        # as 'perfectly stable' and diverge from the SQL NULL (review r4
+        # batch 2) — fail loudly instead.
+        raise ValueError("psi_drift: no bucket is populated on both sides "
+                         "(fully disjoint distributions)")
     p_ref = n_ref[use] / tot_ref
     p_cur = n_cur[use] / tot_cur
     psi = float(np.sum((p_cur - p_ref) * np.log(p_cur / p_ref)))

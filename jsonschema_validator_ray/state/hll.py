@@ -30,6 +30,21 @@ def hash64(values) -> np.ndarray:
     return s.hash(seed=42).to_numpy().astype(np.uint64)
 
 
+def hash_pair128(col) -> tuple:
+    """The repo-wide 128-bit content key: TWO independent 64-bit polars
+    hashes (seeds 42 / 1337) of an Arrow column — collision-negligible at
+    10^12 rows. Single home for the idiom (exact_dedup_keepers, snapshot
+    dedup, table profiler all key on it); change seeds/scheme HERE only."""
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pl.from_arrow(col) if isinstance(col, pa.Array) else pl.Series("v", col)
+    return (s.hash(seed=42).to_numpy().astype(np.uint64),
+            s.hash(seed=1337).to_numpy().astype(np.uint64))
+
+
 class HyperLogLog:
     """Standard HLL with 2**p registers; merge = element-wise max."""
 

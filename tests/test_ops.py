@@ -2182,3 +2182,46 @@ def test_profile_table(ray_session):
     assert rows["f"]["n_distinct"] == 3
     assert (rows["ts"]["min_int"], rows["ts"]["max_int"]) == (100, 300)
     assert rows["ts"]["n_distinct"] == 3
+
+
+def test_psi_drift_nan_and_disjoint(ray_session):
+    """NaN values bucket into the TOP bin (DuckDB LEAST/GREATEST NaN
+    ordering parity) instead of crashing bincount; fully disjoint
+    distributions raise instead of reporting psi=0."""
+    import pytest
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import psi_drift
+
+    t = pa.table({
+        "ts": pa.array([0, 0, 10, 10], pa.timestamp("us")),
+        "value": pa.array([float("nan"), 1.0, float("nan"), 30.0],
+                          pa.float64()),
+    })
+    r = psi_drift(ray.data.from_arrow(t), "value", "ts", split_ts_us=5,
+                  bins=4, width=25.0)
+    # NaN rows land in bin 3 on both sides -> 1 shared bucket
+    assert r["n_buckets_used"] == 1 and r["n_ref"] == 2 and r["n_cur"] == 2
+
+    disjoint = pa.table({
+        "ts": pa.array([0, 10], pa.timestamp("us")),
+        "value": pa.array([1.0, 80.0], pa.float64()),
+    })
+    with pytest.raises(ValueError, match="disjoint"):
+        psi_drift(ray.data.from_arrow(disjoint), "value", "ts",
+                  split_ts_us=5, bins=4, width=25.0)
+
+
+def test_cooccurrence_empty_keeps_value_type(ray_session):
+    """No pair anywhere: the empty result preserves the value column's
+    type (int64 here), not a hard-coded string schema."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import cooccurrence_pairs
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())})
+    out = cooccurrence_pairs(ray.data.from_arrow(t), "k", "v")
+    assert out.num_rows == 0
+    assert out.schema.field("a").type == pa.int64()
+    assert out.schema.field("b").type == pa.int64()
