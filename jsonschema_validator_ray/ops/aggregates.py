@@ -944,13 +944,24 @@ def profile_table(ds, columns: list) -> pa.Table:
         ds.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True).materialize().to_arrow_refs())
         if t.num_rows]
-    # ONE pass over the partial tables; distinct blobs union INCREMENTALLY
-    # so driver peak is column-cardinality + one batch's distincts — not
-    # the sum of every batch's blobs (review r4 batch 2)
+    # ONE pass over the partial tables; distinct blobs union in BATCHED
+    # merges: pending blobs accumulate to ~64 MB then fold into the merged
+    # array via one np.unique — driver peak stays bounded at
+    # cardinality + 64 MB (review r4 batch 2) without paying an
+    # O(C log C) re-sort per part (the per-part version made this the
+    # slowest extended-bench query at 6.7 s; batched merging is ~one sort)
+    MERGE_BYTES = 64 << 20
     acc = {name: {"n_rows": 0, "n_nulls": 0,
                   "uniq": np.empty((0, 2), np.uint64),
+                  "pending": [], "pending_bytes": 0,
                   "mn_i": None, "mx_i": None, "mn_f": None, "mx_f": None}
            for name in columns}
+
+    def _merge(a):
+        if a["pending"]:
+            a["uniq"] = np.unique(
+                np.concatenate([a["uniq"]] + a["pending"]), axis=0)
+            a["pending"], a["pending_bytes"] = [], 0
 
     def _fold_min(cur, v):
         return v if cur is None else (v if v is not None and v < cur
@@ -969,12 +980,16 @@ def profile_table(ds, columns: list) -> pa.Table:
             part_u = np.frombuffer(t["uniq"][k].as_py(),
                                    np.uint64).reshape(-1, 2)
             if part_u.size:
-                a["uniq"] = np.unique(
-                    np.concatenate([a["uniq"], part_u]), axis=0)
+                a["pending"].append(part_u)
+                a["pending_bytes"] += part_u.nbytes
+                if a["pending_bytes"] > MERGE_BYTES:
+                    _merge(a)
             a["mn_i"] = _fold_min(a["mn_i"], t["min_int"][k].as_py())
             a["mx_i"] = _fold_max(a["mx_i"], t["max_int"][k].as_py())
             a["mn_f"] = _fold_min(a["mn_f"], t["min_float"][k].as_py())
             a["mx_f"] = _fold_max(a["mx_f"], t["max_float"][k].as_py())
+    for name in columns:
+        _merge(acc[name])
     out = [(name, a["n_rows"], a["n_nulls"], int(a["uniq"].shape[0]),
             a["mn_i"], a["mx_i"], a["mn_f"], a["mx_f"])
            for name, a in ((n, acc[n]) for n in columns)]
