@@ -2225,3 +2225,74 @@ def test_cooccurrence_empty_keeps_value_type(ray_session):
     assert out.num_rows == 0
     assert out.schema.field("a").type == pa.int64()
     assert out.schema.field("b").type == pa.int64()
+
+
+def test_hash_split_string_keys(ray_session):
+    """String keys route through the vectorized 64-bit column hash: every
+    non-null key gets a label, assignment is deterministic across runs and
+    datasets (not SQL-replayable, documented)."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sampling import hash_split
+
+    t = pa.table({"k": pa.array([f"doc-{i}" for i in range(200)] + [None])})
+    runs = []
+    for _ in range(2):
+        out = pa.concat_tables(ray.get(
+            hash_split(ray.data.from_arrow(t).repartition(3), "k",
+                       [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+                       seed=3).to_arrow_refs())) \
+            .sort_by([("k", "ascending")])
+        runs.append(out)
+    assert runs[0].equals(runs[1])
+    labels = runs[0]["split"].to_pylist()
+    assert labels[-1] is None or runs[0]["k"].to_pylist()[-1] is not None
+    nonnull = [s for k, s in zip(runs[0]["k"].to_pylist(), labels)
+               if k is not None]
+    assert set(nonnull) <= {"train", "val", "test"}
+    assert nonnull.count("train") > nonnull.count("test")
+    # the null-key row got a null split
+    nulls = runs[0].filter(pa.compute.is_null(runs[0]["k"]))
+    assert nulls["split"].null_count == 1
+
+
+def test_adjacent_pairs_int_group_with_nulls(ray_session):
+    """Integer group keys WITH nulls route through the null-filled hash
+    (stages.groupcheck fix): groups stay whole across buckets and the null
+    group pairs like SQL PARTITION BY."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import adjacent_pairs
+
+    rows = [(2**53 + 7, 0, "user", "q"), (2**53 + 7, 1, "assistant", "r"),
+            (None, 0, "user", "nq"), (None, 1, "assistant", "nr"),
+            (5, 0, "assistant", "x"), (5, 1, "user", "y")]
+    t = pa.table({
+        "g": pa.array([r[0] for r in rows], pa.int64()),
+        "i": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = pa.concat_tables(ray.get(
+        adjacent_pairs(ray.data.from_arrow(t).repartition(3), "g", "i",
+                       "role", "user", "assistant", "text")
+        .to_arrow_refs()), promote_options="default")
+    got = {(g, f): to for g, f, to in zip(out["g"].to_pylist(),
+                                          out["text_from"].to_pylist(),
+                                          out["text_to"].to_pylist())}
+    assert got == {(2**53 + 7, "q"): "r", (None, "nq"): "nr"}
+
+
+def test_profile_table_empty_and_allnull(ray_session):
+    """Zero-row input and all-null columns profile without crashing: zero
+    distinct, null min/max."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import profile_table
+
+    t = pa.table({"i": pa.array([None, None], pa.int64())})
+    out = profile_table(ray.data.from_arrow(t), ["i"]).to_pylist()[0]
+    assert (out["n_rows"], out["n_nulls"], out["n_distinct"]) == (2, 2, 0)
+    assert out["min_int"] is None and out["max_int"] is None
