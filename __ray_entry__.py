@@ -1476,6 +1476,55 @@ def q_profile_table_events(sf_dir: str) -> pa.Table:
         .sort_by([("column", "ascending")])
 
 
+_PR_SUPP_OFFSET = 10_000_000   # suppkeys share the custkey integer range
+
+
+def q_pagerank_purchases(sf_dir: str) -> pa.Table:
+    """Weighted PageRank over the customer→supplier purchase graph
+    (``ops.graph.pagerank``) — the engine's second distributed ITERATIVE
+    algorithm (with k-means), and the one with an EXACT oracle: two power
+    iterations unroll to two CTEs. Edges come from one reduce-side
+    lineitem⋈orders join emitting per-bucket (src, dst, w) count partials
+    (duplicate partial edges are exact — contributions are linear in w);
+    each iteration is one rank-vector broadcast + one streaming partial
+    pass, no shuffle."""
+    from jsonschema_validator_ray.ops.graph import pagerank
+    from jsonschema_validator_ray.ops.join import reduce_side_hash_join
+
+    def to_edges(j: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(j.select(["o_custkey", "l_suppkey"]),
+                            ["o_custkey", "l_suppkey"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({
+            "src": g["o_custkey"].cast(pa.int64()),
+            "dst": pc.add(g["l_suppkey"].cast(pa.int64()),
+                          pa.scalar(_PR_SUPP_OFFSET, pa.int64())),
+            "w": g["count_all"].cast(pa.float64()),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]) \
+        .map_batches(lambda b: pa.table(
+            {"l_orderkey": b["l_orderkey"].cast(pa.int64()),
+             "l_suppkey": b["l_suppkey"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"].cast(pa.int64()),
+             "o_custkey": b["o_custkey"].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    edges = reduce_side_hash_join(
+        orders, li, "l_orderkey", group_fn=to_edges,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("l_suppkey", pa.int64())]))
+    out = pagerank(edges, "src", "dst", "w", damping=0.85, iterations=2)
+    return pa.table({
+        "node": out["node"],
+        "rank": pc.round(out["rank"], ndigits=6),
+    }).sort_by([("node", "ascending")])
+
+
 def q_local_supplier_volume(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape — the deepest join chain in the suite (6 tables):
     revenue from 1996 orders where the CUSTOMER and the SUPPLIER share a
@@ -3174,6 +3223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "response_latency_transcripts": q_response_latency_transcripts,
         "tool_cooccurrence_transcripts": q_tool_cooccurrence_transcripts,
         "profile_table_events": q_profile_table_events,
+        "pagerank_purchases": q_pagerank_purchases,
         "corr_lineitem": q_corr_lineitem,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "asof_join_events_orders": q_asof_join_events_orders,
@@ -3640,6 +3690,32 @@ def oracle_sql() -> dict[str, str]:
                    min(value), max(value)
             FROM events
             ORDER BY "column"
+        """,
+        "pagerank_purchases": f"""
+            WITH e AS (SELECT o.o_custkey AS src,
+                              l.l_suppkey + {_PR_SUPP_OFFSET} AS dst,
+                              CAST(count(*) AS DOUBLE) AS w
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       GROUP BY 1, 2),
+            ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            r0 AS (SELECT node, 1.0 AS r FROM n),
+            r1 AS (SELECT n.node,
+                          0.15 + 0.85 * coalesce(
+                              sum(r0.r * e.w / ow.ow), 0) AS r
+                   FROM n LEFT JOIN e ON e.dst = n.node
+                          LEFT JOIN ow ON ow.src = e.src
+                          LEFT JOIN r0 ON r0.node = e.src
+                   GROUP BY n.node),
+            r2 AS (SELECT n.node,
+                          0.15 + 0.85 * coalesce(
+                              sum(r1.r * e.w / ow.ow), 0) AS r
+                   FROM n LEFT JOIN e ON e.dst = n.node
+                          LEFT JOIN ow ON ow.src = e.src
+                          LEFT JOIN r1 ON r1.node = e.src
+                   GROUP BY n.node)
+            SELECT node, round(r, 6) AS rank FROM r2 ORDER BY node
         """,
         "incremental_dedup_documents": """
             SELECT d.doc_id FROM documents d

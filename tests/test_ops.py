@@ -2296,3 +2296,34 @@ def test_profile_table_empty_and_allnull(ray_session):
     out = profile_table(ray.data.from_arrow(t), ["i"]).to_pylist()[0]
     assert (out["n_rows"], out["n_nulls"], out["n_distinct"]) == (2, 2, 0)
     assert out["min_int"] is None and out["max_int"] is None
+
+
+def test_pagerank(ray_session):
+    """Two power iterations on a tiny weighted digraph match the hand
+    recurrence exactly; dangling nodes keep base rank; duplicate partial
+    edges sum linearly to the same answer."""
+    import math
+
+    import ray.data
+
+    from jsonschema_validator_ray.ops.graph import pagerank
+
+    # 1 -> 3 (w 2), 1 -> 4 (w 1), 2 -> 3 (w 1); 3, 4 dangling
+    edges = pa.table({
+        "s": pa.array([1, 1, 2, 1], pa.int64()),
+        "d": pa.array([3, 4, 3, 3], pa.int64()),
+        "w": pa.array([1.0, 1.0, 1.0, 1.0], pa.float64()),
+    })   # (1->3) appears twice: equivalent to w=2
+    out = pagerank(ray.data.from_arrow(edges).repartition(3),
+                   "s", "d", "w", damping=0.85, iterations=2)
+    r = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    d = 0.85
+    # iteration 1 from r0 = 1
+    r1 = {1: 0.15, 2: 0.15,
+          3: 0.15 + d * (1 * 2 / 3 + 1 * 1 / 1),
+          4: 0.15 + d * (1 * 1 / 3)}
+    r2_3 = 0.15 + d * (r1[1] * 2 / 3 + r1[2] * 1 / 1)
+    r2_4 = 0.15 + d * (r1[1] * 1 / 3)
+    assert math.isclose(r[1], 0.15) and math.isclose(r[2], 0.15)
+    assert math.isclose(r[3], r2_3, rel_tol=1e-12)
+    assert math.isclose(r[4], r2_4, rel_tol=1e-12)
