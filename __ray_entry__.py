@@ -456,8 +456,16 @@ def q_shipping_priority(sf_dir: str) -> pa.Table:
                        ("l_orderkey", "ascending")]).slice(0, 10)
         return g
 
-    out = _collect(reduce_side_hash_join(orders, lineitem, "l_orderkey",
-                                         group_fn=agg_topk))
+    out = _collect(reduce_side_hash_join(
+        orders, lineitem, "l_orderkey", group_fn=agg_topk,
+        # explicit schemas: a probe on these mapped sides would execute a
+        # limit-1 plan whose task-cancellation races Ray core (the gate
+        # crash site — review r4 batch 3)
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us")),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("rev_e4", pa.int64())])))
     out = out.sort_by([("rev_e4_sum", "descending"),
                        ("o_orderdate", "ascending"),
                        ("l_orderkey", "ascending")]).slice(0, 10)
@@ -2011,7 +2019,11 @@ def q_asof_join_events_orders(sf_dir: str) -> pa.Table:
                    ["o_custkey", "o_orderdate", "o_totalprice"])
     matched = asof_join(events, orders.select_columns(
         ["o_custkey", "o_orderdate"]), on="user_id", right_on="o_custkey",
-        left_ts="ts", right_ts="o_orderdate")
+        left_ts="ts", right_ts="o_orderdate",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us"))]),
+        right_ts_type=pa.timestamp("us"))
 
     def add_end(batch: pa.Table) -> pa.Table:
         a = batch["asof_ts"].cast(pa.int64())
@@ -2083,7 +2095,12 @@ def q_order_window_events(sf_dir: str) -> pa.Table:
     t = _collect(range_agg_join(ranges, points, on="o_custkey",
                                 point_on="user_id", start="w_start",
                                 end="w_end", point_ts="ts",
-                                value="value_cents"))
+                                value="value_cents",
+                                range_schema=pa.schema([
+                                    ("o_orderkey", pa.int64()),
+                                    ("o_custkey", pa.int64()),
+                                    ("w_start", pa.int64()),
+                                    ("w_end", pa.int64())])))
     return pa.table({
         "o_orderkey": t["o_orderkey"],
         "n_events": t["n_points"],
@@ -2374,7 +2391,11 @@ def q_customer_order_totals(sf_dir: str) -> pa.Table:
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     out = _collect(reduce_side_hash_join(
         cust, orders, "c_custkey", join_type="left outer",
-        right_fn=combine_right, group_fn=finish))
+        right_fn=combine_right, group_fn=finish,
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("n_part", pa.int64()),
+                                ("cents_part", pa.int64())])))
     return out.sort_by("c_custkey")
 
 
@@ -2621,7 +2642,11 @@ def q_top_returns_customers(sf_dir: str) -> pa.Table:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     per_cust = _collect(reduce_side_hash_join(
         orders, li, "o_orderkey", right_fn=combine_right,
-        group_fn=by_customer))
+        group_fn=by_customer,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("rev_part", pa.int64())])))
     total = pa.TableGroupBy(per_cust, "c_custkey") \
         .aggregate([("rev_part", "sum")])
 

@@ -1898,6 +1898,7 @@ def ngram_gram_blobs(ds, id_column: str, text_column: str, n: int):
 
 
 def ngram_hot_grams(grams_ds, hot_df: int, n_buckets: int,
+                    key_column: str = "doc_id",
                     sample_fraction: float = 1.0) -> pa.Table:
     """Distributed document-frequency pass over staged gram blobs: per-batch
     partial gram counts → one hash-bucket groupby sum → grams with
@@ -1916,7 +1917,10 @@ def ngram_hot_grams(grams_ds, hot_df: int, n_buckets: int,
     if sample_fraction < 1.0:
         from .sampling import hash_sample
 
-        grams_ds = hash_sample(grams_ds, grams_ds.schema().names[0],
+        # key_column is passed explicitly: schema() on the mapped gram
+        # stage would execute a limit-1 probe whose task cancellation
+        # races Ray core (the gate-crash pattern; review r4 batch 3)
+        grams_ds = hash_sample(grams_ds, key_column,
                                sample_fraction, seed=11)
         hot_df = max(1, int(hot_df * sample_fraction / 2))
 
@@ -2025,6 +2029,7 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
                         "df": pa.array([], pa.int64())})
     else:
         hot = ngram_hot_grams(grams_ds, hot_df, n_buckets,
+                              key_column=id_column,
                               sample_fraction=hot_sample_fraction)
     hot_ref = ray.put(_hot_levels(hot))
 

@@ -33,33 +33,46 @@ def pagerank(edges_ds, src: str, dst: str, weight: str,
     assumption — fine for 10^8 nodes; an edge-partitioned vertex state is
     the growth path beyond that).
 
-    Null src/dst/weight edges drop. Returns ``(node, rank)`` sorted by
-    node; ranks are float64 — round before hashing comparisons."""
+    Null src/dst and NON-POSITIVE-weight edges drop (PageRank is defined
+    on positive weights; w <= 0 would NaN-poison the division). Returns
+    ``(node, rank)`` sorted by node; ranks are float64 — round before
+    hashing comparisons."""
     import ray
 
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1): {damping}")
     edges = edges_ds.materialize()
 
+    def edge_filter(batch: pa.Table):
+        """Valid, POSITIVE-weight edges only: w <= 0 would zero (or flip)
+        a node's out-mass and a node whose edges ALL have w = 0 divides
+        0/0 into NaN ranks — PageRank is defined on positive weights, so
+        non-positive edges drop (the `weighted_sample` w > 0 precedent)."""
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch[src]), pc.is_valid(batch[dst])),
+            pc.greater(pc.cast(batch[weight], pa.float64()),
+                       pa.scalar(0.0)).fill_null(False))
+        return batch.filter(ok)
+
     def node_partial(batch: pa.Table) -> pa.Table:
-        ok = pc.and_(pc.and_(pc.is_valid(batch[src]),
-                             pc.is_valid(batch[dst])),
-                     pc.is_valid(batch[weight]))
-        b = batch.filter(ok)
+        b = edge_filter(batch)
+        if not b.num_rows:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "ow": pa.array([], pa.float64()),
+                             "nodes": pa.array([], pa.binary())})
         s = b[src].cast(pa.int64())
         t = pa.table({"src": s, "w": b[weight].cast(pa.float64())})
         g = pa.TableGroupBy(t, "src").aggregate([("w", "sum")])
+        blob = np.unique(np.concatenate([
+            s.to_numpy(zero_copy_only=False),
+            b[dst].cast(pa.int64())
+            .to_numpy(zero_copy_only=False)])).tobytes()
         return pa.table({
             "src": g["src"],
             "ow": g["w_sum"],
-            # every node seen in this batch (src or dst), for the index
-            "nodes": pa.array(
-                [np.unique(np.concatenate([
-                    s.to_numpy(zero_copy_only=False),
-                    b[dst].cast(pa.int64())
-                    .to_numpy(zero_copy_only=False)])).tobytes()
-                 if b.num_rows else b""] + [b""] * (g.num_rows - 1)
-                if g.num_rows else [], pa.binary()),
+            # batch's node set rides the FIRST row only
+            "nodes": pa.array([blob] + [b""] * (g.num_rows - 1),
+                              pa.binary()),
         })
 
     parts = [t for t in ray.get(
@@ -86,21 +99,20 @@ def pagerank(edges_ds, src: str, dst: str, weight: str,
             nds = ray.get(nodes_ref)
             ow = ray.get(outw_ref)
             r = ray.get(rank_ref)
-            ok = pc.and_(pc.and_(pc.is_valid(batch[src]),
-                                 pc.is_valid(batch[dst])),
-                         pc.is_valid(batch[weight]))
-            b = batch.filter(ok)
+            b = edge_filter(batch)
             si = np.searchsorted(nds, b[src].cast(pa.int64())
                                  .to_numpy(zero_copy_only=False))
             di = np.searchsorted(nds, b[dst].cast(pa.int64())
                                  .to_numpy(zero_copy_only=False))
             w = b[weight].cast(pa.float64()).to_numpy(zero_copy_only=False)
             contrib = r[si] * w / ow[si]
-            agg = np.zeros(nds.size, np.float64)
-            np.add.at(agg, di, contrib)
-            nz = np.flatnonzero(agg)
-            return pa.table({"idx": pa.array(nz, pa.int64()),
-                             "c": pa.array(agg[nz], pa.float64())})
+            # aggregate over the batch's DISTINCT dsts only — a dense
+            # node-sized array per batch would cost O(batches x nodes)
+            # alloc+scan per iteration (review r4 batch 3)
+            uniq, inv = np.unique(di, return_inverse=True)
+            c = np.bincount(inv, weights=contrib)
+            return pa.table({"idx": pa.array(uniq, pa.int64()),
+                             "c": pa.array(c, pa.float64())})
         return fn
 
     for _ in range(iterations):

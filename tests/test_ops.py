@@ -2327,3 +2327,28 @@ def test_pagerank(ray_session):
     assert math.isclose(r[1], 0.15) and math.isclose(r[2], 0.15)
     assert math.isclose(r[3], r2_3, rel_tol=1e-12)
     assert math.isclose(r[4], r2_4, rel_tol=1e-12)
+
+
+def test_pagerank_nonpositive_weights_drop(ray_session):
+    """Zero/negative-weight edges drop (no NaN poisoning): a node whose
+    only edges have w=0 behaves as if it had no out-edges at all."""
+    import math
+
+    import ray.data
+
+    from jsonschema_validator_ray.ops.graph import pagerank
+
+    edges = pa.table({
+        "s": pa.array([1, 2, 2], pa.int64()),
+        "d": pa.array([3, 3, 4], pa.int64()),
+        "w": pa.array([0.0, 1.0, -2.0], pa.float64()),
+    })
+    out = pagerank(ray.data.from_arrow(edges), "s", "d", "w",
+                   damping=0.85, iterations=2)
+    r = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    # node 1's w=0 edge dropped entirely: 1 is not even in the node set
+    assert 1 not in r
+    assert all(not math.isnan(v) for v in r.values())
+    # surviving graph is just 2->3 (w 1): r2(3) = .15 + .85*r1(2), r1(2)=.15
+    assert math.isclose(r[3], 0.15 + 0.85 * 0.15, rel_tol=1e-12)
+    assert 4 not in r   # its only in-edge had negative weight
