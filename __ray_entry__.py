@@ -3143,37 +3143,88 @@ def q_kmeans_clusters_embeddings(sf_dir: str) -> pa.Table:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """All gate queries, ORDER-CURATED for the driver's 50-row artifact cap.
+
+    The driver's CORRECTNESS_r{N}.json records at most the FIRST 50 entries
+    (in dict insertion order), so the first 50 below are a cross-section
+    spanning every operator family in VERDICT.md's tables: the flagship
+    validate/verdict pair, each constraint kind (struct/ref/enum/mono/
+    unique), aggregation + table profiler + HLL sketch, text analysis
+    (token count / quality / lang-id), a partitioned-sink round-trip, ALL
+    dedup families (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding,
+    SemDeDup, chunk, incremental-snapshot, connected components,
+    decontamination), every join shape (as-of, range, interval, full-outer,
+    table diff, TPC-H Q5 chain, Q3), the drift family (chi-square, KS, PSI),
+    Spearman, global quantiles, PageRank, k-means, similarity search
+    (brute + IVF), top-k, hash split, sessionization, the SFT-prep family
+    (turn pairs, context truncation, alternation, rendering, packing), and
+    multimodal image + audio. Entries 51+ are additional variants within
+    already-represented families, verified by scripts/driver_sim.py (the
+    full 115-query mirror) and tests/.
+    """
     return {
         "transcript_validate": q_transcript_validate,
         "transcript_verdict": q_transcript_verdict,
+        "struct_check_events": q_struct_check_events,
+        "ref_check_lineitem": q_ref_check_lineitem,
+        "enum_check_events": q_enum_check_events,
+        "mono_check_events": q_mono_check_events,
+        "unique_check_events": q_unique_check_events,
+        "pricing_summary_lineitem": q_pricing_summary_lineitem,
+        "profile_table_events": q_profile_table_events,
+        "hll_distinct_events": q_hll_distinct_events,
+        "token_count_documents": q_token_count_documents,
+        "quality_documents": q_quality_documents,
+        "langid_documents": q_langid_documents,
+        "hive_partition_roundtrip_documents": q_hive_partition_roundtrip_documents,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "minhash_neardup_documents": q_minhash_neardup_documents,
+        "simhash_neardup_documents": q_simhash_neardup_documents,
+        "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "chunk_dedup_documents": q_chunk_dedup_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
+        "neardup_components_documents": q_neardup_components_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "asof_join_events_orders": q_asof_join_events_orders,
+        "order_window_events": q_order_window_events,
+        "order_window_overlaps": q_order_window_overlaps,
+        "user_activity_full_outer": q_user_activity_full_outer,
+        "table_diff_orders": q_table_diff_orders,
+        "local_supplier_volume": q_local_supplier_volume,
+        "shipping_priority": q_shipping_priority,
+        "drift_events_type": q_drift_events_type,
+        "ks_drift_events": q_ks_drift_events,
+        "psi_drift_events": q_psi_drift_events,
+        "spearman_lineitem": q_spearman_lineitem,
+        "global_quantiles_lineitem": q_global_quantiles_lineitem,
+        "pagerank_purchases": q_pagerank_purchases,
+        "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
+        "simsearch_top5": q_simsearch_top5,
+        "ivf_search_embeddings": q_ivf_search_embeddings,
+        "topk_orders": q_topk_orders,
+        "split_assign_documents": q_split_assign_documents,
+        "sessionize_events": q_sessionize_events,
+        "turn_pairs_transcripts": q_turn_pairs_transcripts,
+        "truncate_context_transcripts": q_truncate_context_transcripts,
+        "alternation_transcripts": q_alternation_transcripts,
+        "render_sft_transcripts": q_render_sft_transcripts,
+        "pack_documents": q_pack_documents,
+        "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_frames": q_multimodal_audio_frames,
         "conv_stats": q_conv_stats,
         "profile_events": q_profile_events,
-        "enum_check_events": q_enum_check_events,
-        "ref_check_lineitem": q_ref_check_lineitem,
-        "unique_check_events": q_unique_check_events,
-        "mono_check_events": q_mono_check_events,
-        "struct_check_events": q_struct_check_events,
-        "pricing_summary_lineitem": q_pricing_summary_lineitem,
-        "topk_orders": q_topk_orders,
-        "shipping_priority": q_shipping_priority,
         "revenue_forecast": q_revenue_forecast,
         "normalized_dedup_documents": q_normalized_dedup_documents,
         "running_total_orders": q_running_total_orders,
         "top_words_documents": q_top_words_documents,
-        "exact_dedup_documents": q_exact_dedup_documents,
-        "token_count_documents": q_token_count_documents,
         "lang_stats_documents": q_lang_stats_documents,
         "events_per_day": q_events_per_day,
-        "simsearch_top5": q_simsearch_top5,
         "simsearch_multi": q_simsearch_multi,
-        "sessionize_events": q_sessionize_events,
         "sliding_window_events": q_sliding_window_events,
-        "quality_documents": q_quality_documents,
         "sample_events": q_sample_events,
         "viewers_without_purchase": q_viewers_without_purchase,
-        "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
-        "neardup_components_documents": q_neardup_components_documents,
-        "decontaminate_documents": q_decontaminate_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "events_rollup": q_events_rollup,
         "top_returns_customers": q_top_returns_customers,
@@ -3188,7 +3239,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "redact_events_props": q_redact_events_props,
         "cluster_assign_embeddings": q_cluster_assign_embeddings,
-        "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
         "heavy_hitters_events": q_heavy_hitters_events,
         "outlier_events_p99": q_outlier_events_p99,
         "funnel_events": q_funnel_events,
@@ -3201,65 +3251,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "rolling_window_events": q_rolling_window_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
-        "hive_partition_roundtrip_documents":
-            q_hive_partition_roundtrip_documents,
         "repetition_documents": q_repetition_documents,
         "tfidf_documents": q_tfidf_documents,
         "customer_order_totals": q_customer_order_totals,
-        "hll_distinct_events": q_hll_distinct_events,
-        "minhash_neardup_documents": q_minhash_neardup_documents,
-        "simhash_neardup_documents": q_simhash_neardup_documents,
-        "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
-        "ivf_search_embeddings": q_ivf_search_embeddings,
-        "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
-        "semdedup_embeddings": q_semdedup_embeddings,
         "weighted_sample_documents": q_weighted_sample_documents,
         "mode_event_type_by_user": q_mode_event_type_by_user,
         "latest_event_per_user": q_latest_event_per_user,
         "vocab_entropy_by_lang": q_vocab_entropy_by_lang,
-        "ks_drift_events": q_ks_drift_events,
-        "pack_documents": q_pack_documents,
         "concat_packed_documents": q_concat_packed_documents,
         "shuffle_positions_documents": q_shuffle_positions_documents,
         "jsonl_roundtrip_documents": q_jsonl_roundtrip_documents,
         "csv_roundtrip_documents": q_csv_roundtrip_documents,
         "mad_outliers_events": q_mad_outliers_events,
-        "spearman_lineitem": q_spearman_lineitem,
         "dense_hourly_events": q_dense_hourly_events,
         "zscore_flags_events": q_zscore_flags_events,
-        "global_quantiles_lineitem": q_global_quantiles_lineitem,
-        "order_window_overlaps": q_order_window_overlaps,
         "percent_rank_events": q_percent_rank_events,
-        "user_activity_full_outer": q_user_activity_full_outer,
-        "table_diff_orders": q_table_diff_orders,
         "bpe_token_count_documents": q_bpe_token_count_documents,
-        "local_supplier_volume": q_local_supplier_volume,
         "mixture_sample_documents": q_mixture_sample_documents,
-        "split_assign_documents": q_split_assign_documents,
-        "turn_pairs_transcripts": q_turn_pairs_transcripts,
-        "truncate_context_transcripts": q_truncate_context_transcripts,
-        "alternation_transcripts": q_alternation_transcripts,
-        "render_sft_transcripts": q_render_sft_transcripts,
-        "incremental_dedup_documents": q_incremental_dedup_documents,
-        "psi_drift_events": q_psi_drift_events,
         "cooccurrence_events": q_cooccurrence_events,
         "response_latency_transcripts": q_response_latency_transcripts,
         "tool_cooccurrence_transcripts": q_tool_cooccurrence_transcripts,
-        "profile_table_events": q_profile_table_events,
-        "pagerank_purchases": q_pagerank_purchases,
         "corr_lineitem": q_corr_lineitem,
-        "chunk_dedup_documents": q_chunk_dedup_documents,
-        "asof_join_events_orders": q_asof_join_events_orders,
-        "order_window_events": q_order_window_events,
         "value_quantiles_by_event_type": q_value_quantiles_by_event_type,
         "top3_orders_per_customer": q_top3_orders_per_customer,
-        "multimodal_image_features": q_multimodal_image_features,
-        "multimodal_audio_frames": q_multimodal_audio_frames,
         "multimodal_video_frames": q_multimodal_video_frames,
         "multimodal_resize_images": q_multimodal_resize_images,
-        "drift_events_type": q_drift_events_type,
     }
 
 
@@ -3276,9 +3294,14 @@ def _split_assign_sql() -> str:
     pairs = split_thresholds(_SPLITS)
     whens = "\n                        ".join(
         f"WHEN h < {t} THEN '{name}'" for name, t in pairs[:-1])
+    # NULL guard FIRST: hash_split emits a NULL split for a null doc_id,
+    # while a bare CASE would fall through to the ELSE label (NULL < t is
+    # never true) — latent divergence if the corpus ever plants null ids
+    # (ADVICE r4)
     return f"""
         SELECT doc_id, lang,
-               CASE {whens}
+               CASE WHEN doc_id IS NULL THEN NULL
+                    {whens}
                     ELSE '{pairs[-1][0]}' END AS split
         FROM (SELECT doc_id, lang,
                      (CAST(doc_id AS HUGEINT) * 2654435761
@@ -3685,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'event_id' AS "column", count(*) AS n_rows,
                    count(*) - count(event_id) AS n_nulls,
                    count(DISTINCT event_id) AS n_distinct,
+                   FALSE AS approx,
                    CAST(min(event_id) AS BIGINT) AS min_int,
                    CAST(max(event_id) AS BIGINT) AS max_int,
                    CAST(NULL AS DOUBLE) AS min_float,
@@ -3692,26 +3716,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             UNION ALL
             SELECT 'event_type', count(*), count(*) - count(event_type),
-                   count(DISTINCT event_type), NULL, NULL, NULL, NULL
+                   count(DISTINCT event_type), FALSE, NULL, NULL, NULL, NULL
             FROM events
             UNION ALL
             SELECT 'props', count(*), count(*) - count(props),
-                   count(DISTINCT props), NULL, NULL, NULL, NULL
+                   count(DISTINCT props), FALSE, NULL, NULL, NULL, NULL
             FROM events
             UNION ALL
             SELECT 'ts', count(*), count(*) - count(ts),
-                   count(DISTINCT ts),
+                   count(DISTINCT ts), FALSE,
                    epoch_us(min(ts)), epoch_us(max(ts)), NULL, NULL
             FROM events
             UNION ALL
             SELECT 'user_id', count(*), count(*) - count(user_id),
-                   count(DISTINCT user_id),
+                   count(DISTINCT user_id), FALSE,
                    CAST(min(user_id) AS BIGINT),
                    CAST(max(user_id) AS BIGINT), NULL, NULL
             FROM events
             UNION ALL
             SELECT 'value', count(*), count(*) - count(value),
-                   count(DISTINCT value), NULL, NULL,
+                   count(DISTINCT value), FALSE, NULL, NULL,
                    min(value), max(value)
             FROM events
             ORDER BY "column"
@@ -3722,7 +3746,14 @@ def oracle_sql() -> dict[str, str]:
                               CAST(count(*) AS DOUBLE) AS w
                        FROM lineitem l
                        JOIN orders o ON l.l_orderkey = o.o_orderkey
-                       GROUP BY 1, 2),
+                       -- null-endpoint edges are DROPPED by the engine
+                       -- (ops.graph.pagerank edge filter) — encode that
+                       -- contract here so a null custkey/suppkey can never
+                       -- plant a NULL node with rank 0.15 (ADVICE r4)
+                       WHERE o.o_custkey IS NOT NULL
+                             AND l.l_suppkey IS NOT NULL
+                       GROUP BY 1, 2
+                       HAVING count(*) > 0),
             ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
             n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
             r0 AS (SELECT node, 1.0 AS r FROM n),

@@ -15,6 +15,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module-level so worker closures carry these by value when the package
+# is cloudpickled by-value (runtime relative imports inside worker fns
+# break the no-PYTHONPATH fallback — ADVICE r4)
+from ..rayutil import strip_meta
+from ..stages.groupcheck import np_column_hash
+
 
 def profile_columns(ds, numeric_cols: Sequence[str] = (),
                     null_cols: Sequence[str] = (),
@@ -190,7 +196,6 @@ def grouped_argmax(ds, key: str, order_col: str, *,
     n_buckets = _hash_buckets(n_buckets)
 
     def partial(batch: pa.Table) -> pa.Table:
-        from ..stages.groupcheck import np_column_hash
 
         mask = pc.and_kleene(pc.is_valid(batch[key]),
                              pc.is_valid(batch[order_col])).fill_null(False)
@@ -210,8 +215,6 @@ def grouped_argmax(ds, key: str, order_col: str, *,
 
 def _add_bucket_fn(key: str, n_buckets: int):
     def add_bucket(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
-        from ..stages.groupcheck import np_column_hash
 
         h = (np_column_hash(batch[key]) % np.uint64(n_buckets)) \
             .astype(np.int64)
@@ -239,8 +242,6 @@ def grouped_mode(ds, key: str, value: str, n_buckets: int = 0):
         g = pa.TableGroupBy(sel, [key, value]).aggregate([([], "count_all")])
         t = pa.table({key: g[key], value: g[value],
                       "cnt": g["count_all"].cast(pa.int64())})
-        from ..rayutil import strip_meta
-        from ..stages.groupcheck import np_column_hash
         h = (np_column_hash(t[key]) % np.uint64(n_buckets)).astype(np.int64)
         return strip_meta(t).append_column("_bucket",
                                            pa.array(h, pa.int64()))
@@ -884,10 +885,11 @@ def cooccurrence_pairs(ds, key_col: str, value_col: str,
                      "n_keys": fold["n_keys_sum"].cast(pa.int64())})
 
 
-def profile_table(ds, columns: list) -> pa.Table:
+def profile_table(ds, columns: list,
+                  approx_above: int | None = None) -> pa.Table:
     """Full per-column data-quality profile — the "describe the table"
     sweep run before any pipeline: for every column, exact row/null counts,
-    exact distinct count, and min/max (int-family columns — integers and
+    distinct count, and min/max (int-family columns — integers and
     timestamps — in ``min_int``/``max_int`` as epoch-µs/int64; float
     columns in ``min_float``/``max_float``; other types null both).
 
@@ -896,11 +898,18 @@ def profile_table(ds, columns: list) -> pa.Table:
     collision-negligible at 10^12 rows) per batch and unions them
     INCREMENTALLY on the driver: exact, nulls excluded (SQL
     ``count(DISTINCT col)``), driver peak bounded by column cardinality
-    plus one batch's distincts. A column whose cardinality is itself
-    row-scale (unique ids at 10^12 rows) still costs cardinality-scale
-    driver memory — swap in ``HyperLogLog`` per column there. One
-    streaming pass, no shuffle."""
-    from ..state.hll import hash_pair128
+    plus one batch's distincts.
+
+    ``approx_above`` bounds that driver state for row-scale-cardinality
+    columns (unique ids at 10^12 rows): the moment a column's RUNNING exact
+    distinct count crosses the cap, its hash set is folded into a
+    ``HyperLogLog`` (p=14, ~0.8% standard error) and freed; later batches
+    feed the sketch directly, so driver memory per column is
+    min(cardinality, cap) hashes + 16 KiB of registers. Columns that
+    crossed the cap report the HLL estimate and ``approx = true`` in the
+    output; columns below it stay exact with ``approx = false``
+    (VERDICT r4 #8). One streaming pass, no shuffle either way."""
+    from ..state.hll import HyperLogLog, hash_pair128
 
     def partial(batch: pa.Table) -> pa.Table:
         rows = []
@@ -953,15 +962,28 @@ def profile_table(ds, columns: list) -> pa.Table:
     MERGE_BYTES = 64 << 20
     acc = {name: {"n_rows": 0, "n_nulls": 0,
                   "uniq": np.empty((0, 2), np.uint64),
-                  "pending": [], "pending_bytes": 0,
+                  "pending": [], "pending_bytes": 0, "hll": None,
                   "mn_i": None, "mx_i": None, "mn_f": None, "mx_f": None}
            for name in columns}
 
     def _merge(a):
+        if a["hll"] is not None:
+            # approx mode: pending partials feed the sketch (h1 alone is a
+            # uniform 64-bit hash — the second word only tightens the exact
+            # path's collision bound) and are freed immediately
+            for p in a["pending"]:
+                a["hll"].update_hashes(p[:, 0])
+            a["pending"], a["pending_bytes"] = [], 0
+            return
         if a["pending"]:
             a["uniq"] = np.unique(
                 np.concatenate([a["uniq"]] + a["pending"]), axis=0)
             a["pending"], a["pending_bytes"] = [], 0
+        if approx_above is not None and a["uniq"].shape[0] > approx_above:
+            h = HyperLogLog(p=14)
+            h.update_hashes(a["uniq"][:, 0])
+            a["hll"] = h
+            a["uniq"] = np.empty((0, 2), np.uint64)   # free the exact set
 
     def _fold_min(cur, v):
         return v if cur is None else (v if v is not None and v < cur
@@ -990,7 +1012,10 @@ def profile_table(ds, columns: list) -> pa.Table:
             a["mx_f"] = _fold_max(a["mx_f"], t["max_float"][k].as_py())
     for name in columns:
         _merge(acc[name])
-    out = [(name, a["n_rows"], a["n_nulls"], int(a["uniq"].shape[0]),
+    out = [(name, a["n_rows"], a["n_nulls"],
+            int(round(a["hll"].cardinality())) if a["hll"] is not None
+            else int(a["uniq"].shape[0]),
+            a["hll"] is not None,
             a["mn_i"], a["mx_i"], a["mn_f"], a["mx_f"])
            for name, a in ((n, acc[n]) for n in columns)]
     return pa.table({
@@ -998,10 +1023,11 @@ def profile_table(ds, columns: list) -> pa.Table:
         "n_rows": pa.array([r[1] for r in out], pa.int64()),
         "n_nulls": pa.array([r[2] for r in out], pa.int64()),
         "n_distinct": pa.array([r[3] for r in out], pa.int64()),
-        "min_int": pa.array([r[4] for r in out], pa.int64()),
-        "max_int": pa.array([r[5] for r in out], pa.int64()),
-        "min_float": pa.array([r[6] for r in out], pa.float64()),
-        "max_float": pa.array([r[7] for r in out], pa.float64()),
+        "approx": pa.array([r[4] for r in out], pa.bool_()),
+        "min_int": pa.array([r[5] for r in out], pa.int64()),
+        "max_int": pa.array([r[6] for r in out], pa.int64()),
+        "min_float": pa.array([r[7] for r in out], pa.float64()),
+        "max_float": pa.array([r[8] for r in out], pa.float64()),
     })
 
 
@@ -1248,8 +1274,6 @@ def grouped_exact_distinct(ds, key: str, value: str,
     n_buckets = _hash_buckets(n_buckets)
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
-        from ..stages.groupcheck import np_column_hash
 
         t = batch.select([key, value]).group_by([key, value]) \
             .aggregate([]).drop_null()
@@ -1427,7 +1451,6 @@ def mad_outlier_filter(ds_factory, key: str, value: str, k: float = 3.0,
                           n_buckets=n_buckets), "q50")
 
     def absdev(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
         pos = pc.index_in(batch[key], value_set=med_keys)
         posv = pos.to_numpy(zero_copy_only=False)
         valid = pc.and_(pc.is_valid(pos), pc.is_valid(batch[value])) \
@@ -1486,7 +1509,6 @@ def dense_time_counts(ds, ts_col: str, unit: str = "hour") -> pa.Table:
             "minute": np.timedelta64(60 * 10**6, "us")}[unit]
 
     def partial(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
         col = batch[ts_col].drop_null()
         b = pc.floor_temporal(col, unit=unit)
         t = pa.table({"bucket": b})
@@ -1527,7 +1549,6 @@ def grouped_zscore_flags(ds_factory, key: str, value: str,
     import ray
 
     def moments(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
         sel = batch.select([key, value])
         both = pc.and_kleene(pc.is_valid(sel[key]), pc.is_valid(sel[value]))
         sel = sel.filter(both.fill_null(False))
@@ -1555,7 +1576,6 @@ def grouped_zscore_flags(ds_factory, key: str, value: str,
         folded["s2_sum"].to_numpy(zero_copy_only=False) / nn - mu * mu, 0.0))
 
     def flags(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
         pos = pc.index_in(batch[key], value_set=keys)
         valid = pc.and_(pc.is_valid(pos), pc.is_valid(batch[value])) \
             .to_numpy(zero_copy_only=False)

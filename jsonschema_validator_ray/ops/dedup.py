@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..state.hll import hash64
+from ..state.hll import hash64, hash_pair128
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _FNV_OFFSET = np.uint64(1469598103934665603)
@@ -1286,9 +1286,11 @@ def exact_dedup_keepers(ds, id_column: str, text_column: str):
 
 def _snap_hash_pair(col):
     """Two independent 64-bit polars hashes of a text column → uint64
-    (delegates to the repo-wide 128-bit key, review r4 batch 2)."""
-    from ..state.hll import hash_pair128
-
+    (delegates to the repo-wide 128-bit key, review r4 batch 2).
+    ``hash_pair128`` is imported at MODULE top, not here: this function runs
+    inside Ray worker closures, and a runtime package-relative import breaks
+    the by-value cloudpickle fallback when workers can't import the package
+    (ADVICE r4, reproduced via driver_sim without PYTHONPATH)."""
     return hash_pair128(col)
 
 

@@ -22,11 +22,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..rayutil import strip_meta
+
 
 def _add_grp_fn(id_col: str, size_col: str, part_size: int,
                 carry_cols: tuple[str, ...]):
     def add_grp(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
 
         sel = batch.select([id_col, size_col, *carry_cols])
         mask = pc.and_kleene(pc.is_valid(sel[id_col]),

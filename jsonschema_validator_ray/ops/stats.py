@@ -26,10 +26,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..rayutil import strip_meta
+
 
 def _fold_partial(value_col: str, side_col: str):
     def fold(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
 
         sel = batch.select([value_col, side_col])
         mask = pc.and_kleene(pc.is_valid(sel[value_col]),
@@ -253,7 +254,6 @@ def _sorted_distinct_scan(folded, key: str, val_cols, block_fn):
 
 def _count_fold(col: str):
     def fold(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
         sel = batch.select([col]).drop_null()
         g = pa.TableGroupBy(sel, col).aggregate([([], "count_all")])
         return strip_meta(pa.table({
@@ -307,7 +307,6 @@ def spearman_corr(ds_factory, x: str, y: str,
 
     def base():
         def dropnulls(batch: pa.Table) -> pa.Table:
-            from ..rayutil import strip_meta
             sel = batch.select([x, y])
             both = pc.and_kleene(pc.is_valid(sel[x]), pc.is_valid(sel[y]))
             return strip_meta(sel.filter(both.fill_null(False)))
@@ -346,7 +345,6 @@ def spearman_corr(ds_factory, x: str, y: str,
     xranks = xtab["rx"].to_numpy(zero_copy_only=False)
 
     def fold_y(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
         pos = pc.index_in(batch[a], value_set=xkeys) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         rx = xranks[pos]

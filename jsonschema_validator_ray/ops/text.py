@@ -11,6 +11,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.groupcheck import np_column_hash
+
 # minimal public stopword lists (top function words per language)
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on",
@@ -428,7 +430,6 @@ def vocab_entropy(ds, key: str, column: str = "text", n_buckets: int = 0):
     n_buckets = default_buckets(n_buckets)
 
     def partial(batch: pa.Table) -> pa.Table:
-        from ..stages.groupcheck import np_column_hash
 
         sel = batch.select([key, column])
         mask = pc.and_kleene(pc.is_valid(sel[key]),

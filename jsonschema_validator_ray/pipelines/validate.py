@@ -34,6 +34,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..constraints.ir import ConstraintIR, compile_constraints
+from ..rayutil import strip_meta
 from ..constraints.kernels import (
     VIOLATION_SCHEMA,
     group_check_table,
@@ -211,7 +212,6 @@ def validate(source: Source, spec: Optional[dict] = None,
         # already fired required/type kernels) — and Ray's sort/groupby key
         # comparators cannot order None against strings anyway
         def _drop_null_keys(batch: pa.Table) -> pa.Table:
-            from ..rayutil import strip_meta
 
             # strip_meta: metadata-carrying schemas are unhashable and defeat
             # Ray's schema dedup inside the downstream sort/groupby shuffle

@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..constraints.ir import GroupCheck
+from ..rayutil import strip_meta
 from ..constraints.kernels import (
     VIOLATION_SCHEMA,
     group_check_table,
@@ -297,7 +298,6 @@ def make_bucket_adder(gc: GroupCheck, n_buckets: int):
     """Vectorized hash-partition key: ``_bucket = np_column_hash(key) % n``
     — no Python row materialization; import-failure-tolerant."""
     def add_bucket(batch: pa.Table) -> pa.Table:
-        from ..rayutil import strip_meta
 
         h = (np_column_hash(batch[gc.group_key])
              % np.uint64(n_buckets)).astype(np.int64)
@@ -333,7 +333,6 @@ def add_salt_column(gc: GroupCheck):
     def fn(batch: pa.Table) -> pa.Table:
         # order_key_int64 nulls uncastable keys; _np turns those into NaN
         tid = _np(order_key_int64(batch[gc.order_by])).astype(np.float64)
-        from ..rayutil import strip_meta
 
         salt = np.floor_divide(np.nan_to_num(tid, nan=-float(gc.salt_span)),
                                float(gc.salt_span)).astype(np.int64)

@@ -114,3 +114,41 @@ def test_weighted_sample_deterministic_and_weight_biased(ray_session):
     assert 0 not in ids1 and 1 not in ids1         # null/zero weight dropped
     n_heavy = sum(1 for i in ids1 if i % 2 == 0)
     assert n_heavy > 170                           # ~198 expected at 100:1
+
+
+class TestWorkerIndexCaches:
+    """VERDICT r4 #6: the pair and sets indexes each have their OWN
+    one-entry worker cache, so interleaved lookups (one verify run's pair
+    index, another run's sets index) never evict each other mid-run."""
+
+    def test_interleaved_lookups_do_not_cross_evict(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from jsonschema_validator_ray.ops import dedup as dd
+
+        pairs = pa.table({"id_a": pa.array([1, 2], pa.int64()),
+                          "id_b": pa.array([2, 3], pa.int64())})
+        blob = np.arange(4, dtype=np.uint64).tobytes()
+        sets = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                         "shingles": pa.array([blob, blob])})
+        pref = [ray.put(pairs)]
+        sref = [ray.put(sets)]
+        dd._PAIR_INDEX_CACHE.clear()
+        dd._SETS_INDEX_CACHE.clear()
+        p1 = dd._pair_index(pref, 4)
+        s1 = dd._sets_index(sref)
+        # a DIFFERENT pair-index key (new n_verify_parts) misses and
+        # replaces the pair cache — the sets cache must be untouched
+        dd._pair_index(pref, 8)
+        assert dd._sets_index(sref) is s1          # zero rebuilds
+        # and vice versa: a sets miss must not evict the pair index
+        p2 = dd._pair_index(pref, 8)
+        dd._sets_index(sref, id_col="doc_id", blob_col="shingles")
+        sets2 = pa.table({"doc_id": pa.array([5], pa.int64()),
+                          "shingles": pa.array([blob])})
+        dd._sets_index([ray.put(sets2)])
+        assert dd._pair_index(pref, 8) is p2       # zero rebuilds
+        assert len(dd._PAIR_INDEX_CACHE) == 1      # one entry per kind
+        assert len(dd._SETS_INDEX_CACHE) == 1

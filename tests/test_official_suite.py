@@ -170,7 +170,7 @@ SKIPPED_GROUPS = {
     "properties, patternProperties, additionalProperties interaction":
         "patternProperties/additionalProperties",
     "remote ref, containing refs itself": "network (loader mock-tested in"
-                                          " test_loader.py)",
+                                          " test_fixtures_bytematch.py)",
     "Recursive references between schemas": "id/items",
     "refs with quote": "definitions member with quote — covered by escaped"
                        " pointer ref percent/tilde/slash cases",

