@@ -91,30 +91,54 @@ def add_quality_score(ds, column: str = "text"):
 
 class LangIdStage:
     """Language-ID actor stage: stopword-hit voting over the four supported
-    languages; ties/no-hits → 'unknown'. Stopword hash sets + tokenizer are
-    built ONCE per actor (the model-load pattern)."""
+    languages; ties/no-hits → 'unknown'. Stopword value-sets are built ONCE
+    per actor (the model-load pattern).
+
+    Vectorized ACROSS documents (VERDICT r4 #5): ONE slice+lower pass, ONE
+    regex split to a flat token array, ONE ``pc.is_in`` per language over
+    the flattened tokens, per-doc vote sums via ``np.add.reduceat`` — no
+    per-doc Python. Tokens = maximal ``[a-zà-ÿäöüß]+`` runs of the
+    lowercased first 2000 chars (splitting on the complement yields the
+    same runs plus boundary ''s, which hit no stopword); votes count token
+    MULTIPLICITY; ties keep the earlier language in en/de/fr/es order
+    (``np.argmax`` first-max, matching the old strictly-greater loop)."""
 
     def __init__(self, column: str = "text", out: str = "lang_pred"):
         self.column = column
         self.out = out
-        self.word = re.compile(r"[a-zà-ÿäöüß]+")
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = list(_STOPWORDS)            # insertion order en/de/fr/es
+        self.value_sets = [pa.array(sorted(_STOPWORDS[lg]))
+                           for lg in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.column].to_pylist()
-        preds = []
-        for t in texts:
-            if not t:
-                preds.append("unknown")
-                continue
-            toks = self.word.findall(t.lower()[:2000])
-            best, best_hits = "unknown", 0
-            for lang, table in self.tables.items():
-                hits = sum(1 for w in toks if w in table)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
-        return batch.append_column(self.out, pa.array(preds, pa.string()))
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(self.out, pa.array([], pa.string()))
+        col = pc.fill_null(batch[self.column].combine_chunks()
+                           if isinstance(batch[self.column], pa.ChunkedArray)
+                           else batch[self.column], "")
+        low = pc.utf8_lower(pc.utf8_slice_codeunits(col, 0, 2000))
+        toks = pc.split_pattern_regex(low, "[^a-zà-ÿäöüß]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+            .astype(np.int64)
+        hits = np.zeros((n, len(self.langs)), np.int64)
+        nonempty = counts > 0
+        for j, vs in enumerate(self.value_sets):
+            m = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if m.size:
+                hits[nonempty, j] = np.add.reduceat(
+                    m, starts[nonempty])[:np.count_nonzero(nonempty)]
+        best = np.argmax(hits, axis=1)
+        preds = np.array(["unknown"] + self.langs, object)[
+            np.where(hits[np.arange(n), best] > 0, best + 1, 0)]
+        return batch.append_column(self.out,
+                                   pa.array(preds.tolist(), pa.string()))
 
 
 def add_lang_id(ds, column: str = "text", concurrency=(1, 4)):
@@ -123,44 +147,68 @@ def add_lang_id(ds, column: str = "text", concurrency=(1, 4)):
 
 
 def add_fingerprint(ds, column: str = "text", out: str = "fingerprint",
-                    window: int = 64):
+                    window: int = 64, cap: int = 4096):
     """Rolling-hash document fingerprint (winnowing-style): the minimum of a
     64-bit polynomial rolling hash over byte windows — stable under small
-    shifts, vectorized with numpy."""
-    B = np.uint64(1000003)
-    # B^(window-1) mod 2^64 for the rolling update (wraparound intended)
-    Bw = np.uint64(pow(1000003, window - 1, 1 << 64))
+    shifts. Docs shorter than ``window`` hash their whole byte string; only
+    the first ``cap`` UTF-8 bytes count.
+
+    Vectorized ACROSS documents (VERDICT r4 #5) via the invertible-base
+    prefix trick: hash(w at j) = B^{j+w-1} · (p_{j+w} − p_j) with
+    p_i = Σ_{u<i} b_u·B^{−u}, all mod 2^64 (B odd ⇒ invertible). One
+    truncated-bytes pool per batch, one weighted cumsum, one gather per
+    window boundary, one ``np.minimum.reduceat`` per doc — zero per-doc
+    Python. Power tables (B^i and B^{−i}, i ≤ cap) build once at factory
+    time and ship with the closure."""
+    B = 1000003
+    Binv = pow(B, -1, 1 << 64)
+    BP = np.empty(cap + 1, np.uint64)     # BP[i] = B^i mod 2^64
+    PW = np.empty(cap + 1, np.uint64)     # PW[i] = B^-i mod 2^64
+    BP[0] = PW[0] = 1
+    with np.errstate(over="ignore"):
+        for i in range(1, cap + 1):
+            BP[i] = BP[i - 1] * np.uint64(B)
+            PW[i] = PW[i - 1] * np.uint64(Binv)
 
     def fn(batch: pa.Table) -> pa.Table:
-        out_vals = np.zeros(batch.num_rows, np.uint64)
-        texts = batch[column].to_pylist()
+        n = batch.num_rows
+        out_vals = np.zeros(n, np.uint64)
+        if n == 0:
+            return batch.append_column(out, pa.array(out_vals, pa.uint64()))
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bcol = pc.binary_slice(pc.fill_null(col, "").cast(pa.binary()),
+                               0, cap)
+        boff = np.frombuffer(bcol.buffers()[1], np.int32)[
+            bcol.offset: bcol.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(bcol.buffers()[2], np.uint8)[boff[0]:boff[-1]] \
+            .astype(np.uint64)
+        boff = boff - boff[0]
+        lens = boff[1:] - boff[:-1]
         # errstate CONTEXT, not np.seterr: a bare seterr would permanently
         # disable overflow reporting for every other stage sharing the
         # worker process (review r4); uint64 wraparound IS the hash here
         with np.errstate(over="ignore"):
-            for i, t in enumerate(texts):
-                if not t:
-                    continue
-                b = np.frombuffer(t.encode()[:4096], np.uint8).astype(np.uint64)
-                if b.size < window:
-                    h = np.uint64(0)
-                    for x in b:
-                        h = h * B + x
-                    out_vals[i] = h
-                    continue
-                # rolling hash over all windows, vectorized via cumulative trick
-                powers = np.empty(window, np.uint64)
-                powers[window - 1] = 1
-                for j in range(window - 2, -1, -1):
-                    powers[j] = powers[j + 1] * B
-                first = np.uint64((b[:window] * powers).sum())
-                hashes = np.empty(b.size - window + 1, np.uint64)
-                hashes[0] = first
-                h = first
-                for j in range(1, hashes.size):
-                    h = (h - b[j - 1] * Bw) * B + b[j + window - 1]
-                    hashes[j] = h
-                out_vals[i] = hashes.min()
+            wlen = np.minimum(lens, window)            # short docs: full doc
+            wcnt = np.where(lens > 0, lens - wlen + 1, 0)
+            total = int(wcnt.sum())
+            if total == 0:
+                return batch.append_column(out,
+                                           pa.array(out_vals, pa.uint64()))
+            doc_of = np.repeat(np.arange(n), wcnt)
+            c0 = np.concatenate([[0], np.cumsum(wcnt)[:-1]]).astype(np.int64)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(c0, wcnt)
+            # weighted prefix sums: q_i = b_i * B^-(pos within doc)
+            inpos = np.arange(data.size, dtype=np.int64) \
+                - np.repeat(boff[:-1], lens)
+            ce = np.zeros(data.size + 1, np.uint64)
+            np.cumsum(data * PW[inpos], out=ce[1:])
+            g0 = boff[:-1][doc_of] + pos
+            g1 = g0 + wlen[doc_of]
+            h = (ce[g1] - ce[g0]) * BP[pos + wlen[doc_of] - 1]
+            nz = np.flatnonzero(wcnt)
+            out_vals[nz] = np.minimum.reduceat(h, c0[nz])[:nz.size]
         return batch.append_column(out, pa.array(out_vals, pa.uint64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -2381,3 +2381,43 @@ def test_profile_table_approx_above_caps_driver_state(ray_session):
     out2 = profile_table(ray.data.from_arrow(t), ["uid"])
     r2 = out2.to_pylist()[0]
     assert r2["approx"] is False and r2["n_distinct"] == n
+
+
+def test_shingle_hashes_batch_matches_per_doc():
+    """The pooled batch shingler (VERDICT r4 #5) is hash-identical to the
+    per-doc `_shingle_hashes` path for every edge: nulls, empty strings,
+    short docs (char-count fallback incl. multibyte), duplicates inside a
+    doc, and unicode text; unique=True reproduces np.unique per segment."""
+    from jsonschema_validator_ray.ops.dedup import (_shingle_hashes,
+                                                    _shingle_hashes_batch)
+
+    texts = [None, "", "ab", "abcd", "abcde", "abcdefghij",
+             "aaaaaaaaaa",                # heavy in-doc duplicates
+             "héllo wörld, héllo wörld",  # multibyte + repetition
+             "日本語テキスト",                 # 7 chars, 21 bytes
+             "日本",                        # 2 chars >= 6 bytes: CHAR fallback
+             "x" * 1000]
+    col = pa.array(texts, pa.string())
+    for unique in (False, True):
+        pool, lens = _shingle_hashes_batch(col, k=5, unique=unique)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        for i, t in enumerate(texts):
+            ref = _shingle_hashes(t or "", 5)   # sorted unique
+            got = pool[off[i]:off[i + 1]]
+            if unique:
+                assert np.array_equal(got, ref), (i, t)
+            else:
+                assert np.array_equal(np.unique(got), ref), (i, t)
+
+
+def test_pooled_blob_array_roundtrip():
+    """_pooled_blob_array is the exact inverse of _blob_pool."""
+    from jsonschema_validator_ray.ops.dedup import (_blob_pool,
+                                                    _pooled_blob_array)
+
+    rng = np.random.default_rng(5)
+    lens = np.array([3, 0, 1, 7, 2], np.int64)
+    pool = rng.integers(0, 2**63, int(lens.sum()), dtype=np.uint64)
+    arr = _pooled_blob_array(pool, lens)
+    p2, l2 = _blob_pool(arr)
+    assert np.array_equal(p2, pool) and np.array_equal(l2, lens)
