@@ -59,6 +59,14 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):
                                  filter=filter)
 
 
+
+def _nrows(sf_dir: str, table: str) -> int:
+    """Parquet-footer row count (microseconds) — lets size-gated operators
+    (ngram hot-df pass, gram staging) skip a ds.count() execution."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+
 def _collect(ds) -> pa.Table:
     """Materialize a (result-sized) Dataset to one pa.Table, driver-side.
 
@@ -731,7 +739,8 @@ def q_ngram_jaccard_neardup(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     t = ngram_jaccard_near_duplicates(ds, "doc_id", "text", n=3,
-                                      threshold=0.5)
+                                      threshold=0.5,
+                                      n_docs=_nrows(sf_dir, "documents"))
     return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
                      "jaccard": pc.round(t["jaccard"], ndigits=4)})
 
@@ -748,7 +757,8 @@ def q_neardup_components_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = ngram_jaccard_near_duplicates(ds, "doc_id", "text", n=3,
-                                          threshold=0.5)
+                                          threshold=0.5,
+                                          n_docs=_nrows(sf_dir, "documents"))
     cc = connected_components(pairs)
     return pa.table({
         "doc_id": cc["node"],
@@ -3010,7 +3020,8 @@ def q_neardup_keep_best_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = ngram_jaccard_near_duplicates(ds, "doc_id", "text", n=3,
-                                          threshold=0.5)
+                                          threshold=0.5,
+                                          n_docs=_nrows(sf_dir, "documents"))
     cc = connected_components(pairs)
     members = pa.array(sorted(cc["node"].to_pylist()), pa.int64())
 

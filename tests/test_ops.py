@@ -2421,3 +2421,36 @@ def test_pooled_blob_array_roundtrip():
     arr = _pooled_blob_array(pool, lens)
     p2, l2 = _blob_pool(arr)
     assert np.array_equal(p2, pool) and np.array_equal(l2, lens)
+
+
+def test_ngram_local_route_matches_distributed(ray_session):
+    """The small-corpus route (r5: gram blobs staged once, verify on the
+    broadcast fast path, vectorized triu pair emission) emits EXACTLY the
+    full distributed PPJoin route's verified pairs — same ids, same
+    jaccard, same order."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import \
+        ngram_jaccard_near_duplicates
+
+    rng = np.random.default_rng(11)
+    base = ["alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine ten"]
+    texts, ids = [], []
+    for i in range(120):
+        t = base[i % 2]
+        words = t.split()
+        if i % 3 == 0:                      # perturb some copies
+            words[rng.integers(0, len(words))] = f"w{i}"
+        texts.append(" ".join(words))
+        ids.append(i)
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(docs)
+    local = ngram_jaccard_near_duplicates(ds, "doc_id", "text", n=3,
+                                          threshold=0.5, n_docs=len(ids))
+    dist = ngram_jaccard_near_duplicates(
+        ray.data.from_arrow(docs), "doc_id", "text", n=3,
+        threshold=0.5, hot_min_docs=0)      # force the distributed route
+    assert local.num_rows == dist.num_rows and local.num_rows > 0
+    assert local.equals(dist.select(local.column_names).cast(local.schema))
