@@ -3763,8 +3763,7 @@ def oracle_sql() -> dict[str, str]:
                        -- plant a NULL node with rank 0.15 (ADVICE r4)
                        WHERE o.o_custkey IS NOT NULL
                              AND l.l_suppkey IS NOT NULL
-                       GROUP BY 1, 2
-                       HAVING count(*) > 0),
+                       GROUP BY 1, 2),
             ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
             n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
             r0 AS (SELECT node, 1.0 AS r FROM n),

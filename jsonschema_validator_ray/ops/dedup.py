@@ -125,7 +125,10 @@ def _pooled_blob_array(pool: np.ndarray, lens: np.ndarray) -> pa.Array:
     n = lens.size
     offs = np.zeros(n + 1, np.int64)
     np.cumsum(lens * 8, out=offs[1:])
-    assert offs[-1] <= np.iinfo(np.int32).max, "blob batch exceeds 2 GiB"
+    if offs[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            "pooled blob batch exceeds 2 GiB of int32 binary offsets — "
+            "lower the stage's batch_size so one batch's blobs fit")
     return pa.Array.from_buffers(
         pa.binary(), n,
         [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
@@ -1727,10 +1730,12 @@ def chunk_dedup(ds, id_column: str, text_column: str, window: int = 3):
             dropped = _hash_membership(ddoc[dorder], dci[dorder],
                                        qdoc, pos)
         kept = chunks.filter(pa.array(~dropped))
-        kept_counts = np.zeros(len(doc_ids), np.int64)
         if dropped.size:
-            np.add.at(kept_counts, np.repeat(np.arange(len(doc_ids)),
-                                             counts), ~dropped)
+            kept_counts = np.bincount(
+                np.repeat(np.arange(len(doc_ids)), counts)[~dropped],
+                minlength=len(doc_ids)).astype(np.int64)
+        else:
+            kept_counts = np.zeros(len(doc_ids), np.int64)
         koff = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
         joined = pc.binary_join(
             pa.ListArray.from_arrays(pa.array(koff, pa.int32()),
@@ -2212,15 +2217,12 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
     if small_corpus:
         hot = pa.table({"gh": pa.array([], pa.uint64()),
                         "df": pa.array([], pa.int64())})
-        # a small corpus's gram blobs are broadcast-scale: stage them in
-        # the object store ONCE so the prefix pass reads memory and the
-        # verify join takes its broadcast fast path instead of re-executing
-        # the gram scan (one whole execution saved; verification itself
-        # stays a parallel fan-out — it is compute-dense, measured 3.7 s
-        # single-core vs 0.8 s across tasks at gate scale). At scale
-        # (≥ hot_min_docs) grams stay a streamed derivation —
-        # materializing 100 TB of blobs is what the recompute design avoids
-        grams_ds = grams_ds.materialize()
+        # a small corpus skips the hot-gram df scan entirely (one whole
+        # dataset execution saved); the blobs from ngram_gram_blobs are
+        # already staged in the object store, so the verify join takes its
+        # broadcast fast path and verification stays a parallel fan-out —
+        # it is compute-dense, measured 3.7 s single-core vs 0.8 s across
+        # tasks at gate scale
     else:
         hot = ngram_hot_grams(grams_ds, hot_df, n_buckets,
                               key_column=id_column,
@@ -2266,9 +2268,15 @@ def ngram_jaccard_near_duplicates(ds, id_column: str, text_column: str,
         gh = srt["gh"].combine_chunks().to_numpy(zero_copy_only=False)
         ids = srt["id"].combine_chunks().to_numpy(zero_copy_only=False)
         # vectorized triu emission over equal-gh runs (no per-run Python);
-        # (gh, id) rows are unique — a doc holds each distinct gram once —
-        # so within-run ids are strictly ascending after the sort
+        # (gh, id) rows are unique per document — a doc holds each distinct
+        # gram once — so within-run ids are ASCENDING after the sort, but a
+        # corpus with duplicate doc_id rows (re-ingested data) yields equal
+        # adjacent ids, whose triu pairs are (a, a) self-pairs: mask them
+        # so the output can never carry id_a == id_b (review r5)
         a, b = _triu_pairs_runs(gh, ids)
+        if a.size:
+            ne = a != b
+            a, b = a[ne], b[ne]
         if a.size:     # local dedup before the shuffle (grams repeat)
             a, b = _unique_rows2(a, b)
         return pa.table({"pb2": pa.array(_pair_bucket(a, b, n_buckets),

@@ -2454,3 +2454,31 @@ def test_ngram_local_route_matches_distributed(ray_session):
         threshold=0.5, hot_min_docs=0)      # force the distributed route
     assert local.num_rows == dist.num_rows and local.num_rows > 0
     assert local.equals(dist.select(local.column_names).cast(local.schema))
+
+
+def test_ngram_duplicate_doc_ids_no_self_pairs(ray_session):
+    """A corpus with duplicate doc_id rows (re-ingested data) must never
+    emit id_a == id_b self-pairs: duplicate (gram, id) rows make adjacent
+    within-run ids EQUAL, and the vectorized triu emission would pair them
+    without the explicit a != b mask (review r5)."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.dedup import \
+        ngram_jaccard_near_duplicates
+
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon zeta",     # same id twice
+             "alpha beta gamma delta epsilon thorn",
+             "one two three four five six seven"]
+    ids = [7, 7, 9, 11]
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    for kwargs in ({"n_docs": 4},              # small-corpus route
+                   {"hot_min_docs": 0}):       # distributed route
+        out = ngram_jaccard_near_duplicates(
+            ray.data.from_arrow(docs), "doc_id", "text", n=3,
+            threshold=0.5, **kwargs)
+        a = out["id_a"].to_numpy(zero_copy_only=False)
+        b = out["id_b"].to_numpy(zero_copy_only=False)
+        assert (a != b).all()
+        assert {(7, 9)} <= set(zip(a.tolist(), b.tolist()))
