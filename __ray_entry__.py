@@ -1891,6 +1891,89 @@ def q_csv_roundtrip_documents(sf_dir: str) -> pa.Table:
     }).sort_by("lang")
 
 
+def q_ipc_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """Arrow IPC (Feather V2) source/sink losslessness: documents ->
+    write_ipc (one self-describing .arrow shard per block) -> read_ipc
+    (one zero-copy decode task per shard) -> aggregate recomputed from the
+    REREAD rows (text length recomputed, not carried) — equal to the
+    oracle over the original table iff the IPC roundtrip preserved every
+    row and string. The write-side shard manifest cross-checks the reread
+    row count."""
+    from jsonschema_validator_ray.sources.files import read_ipc, write_ipc
+
+    path = "/tmp/graft_files/ipc_documents"
+    manifest = write_ipc(_read(sf_dir, "documents",
+                               ["doc_id", "lang", "text"]), path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from jsonschema_validator_ray.rayutil import strip_meta
+        return strip_meta(pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "sum_ids": pa.array([pc.sum(batch["doc_id"]).as_py() or 0],
+                                pa.int64()),
+            "sum_text_chars": pa.array(
+                [pc.sum(pc.utf8_length(batch["text"])).as_py() or 0],
+                pa.int64()),
+        }))
+
+    parts = _collect(read_ipc(path).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    n_reread = pc.sum(parts["n_docs"]).as_py()
+    if n_reread != pc.sum(manifest["n_rows"]).as_py():
+        raise AssertionError("IPC reread row count != written manifest")
+    return pa.table({
+        "n_docs": pa.array([n_reread], pa.int64()),
+        "sum_ids": pa.array([pc.sum(parts["sum_ids"]).as_py()], pa.int64()),
+        "sum_text_chars": pa.array(
+            [pc.sum(parts["sum_text_chars"]).as_py()], pa.int64()),
+    })
+
+
+def q_npy_roundtrip_embeddings(sf_dir: str) -> pa.Table:
+    """NumPy .npy source/sink over the embedding matrix: embeddings
+    (list<float>) -> one float32 matrix shard per block (write_numpy) ->
+    read_npy -> an order-independent quantized checksum recomputed from
+    the REREAD ndarrays. The checksum quantizes each element with
+    floor(x*1e6 + 0.5) in float64 — bit-deterministic IEEE ops that DuckDB
+    evaluates identically, avoiding both float-summation order and the
+    round-half-even vs half-away divergence."""
+    import numpy as np
+
+    from jsonschema_validator_ray.sources.files import read_npy, write_npy
+
+    path = "/tmp/graft_files/npy_embeddings"
+
+    def to_mat(batch: pa.Table) -> dict:
+        emb = batch["embedding"].combine_chunks()
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if widths.size and (widths != widths[0]).any():
+            raise ValueError("ragged embedding lists cannot shard to .npy")
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float32, copy=False)
+        return {"data": flat.reshape(len(emb), int(widths[0]))
+                if widths.size else flat.reshape(0, 0)}
+
+    write_npy(_read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        to_mat, batch_format="pyarrow", zero_copy_batch=True),
+        path, "data")
+
+    def checks(batch: dict) -> dict:
+        m = np.asarray(batch["data"], dtype=np.float64)
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        return {"n_vecs": np.array([m.shape[0]], np.int64),
+                "dim": np.array([m.shape[1]], np.int64),
+                "qsum": np.array([int(q.sum())], np.int64)}
+
+    parts = _collect(read_npy(path).map_batches(checks,
+                                                batch_format="numpy"))
+    return pa.table({
+        "n_vecs": pa.array([pc.sum(parts["n_vecs"]).as_py()], pa.int64()),
+        "dim": pa.array([pc.max(parts["dim"]).as_py()], pa.int64()),
+        "qsum": pa.array([pc.sum(parts["qsum"]).as_py()], pa.int64()),
+    })
+
+
 def q_spearman_lineitem(sf_dir: str) -> pa.Table:
     """Exact tie-aware Spearman rank correlation of quantity vs
     extendedprice (ops.stats.spearman_corr: JOIN-FREE — broadcast x-rank
@@ -3275,6 +3358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_positions_documents": q_shuffle_positions_documents,
         "jsonl_roundtrip_documents": q_jsonl_roundtrip_documents,
         "csv_roundtrip_documents": q_csv_roundtrip_documents,
+        "ipc_roundtrip_documents": q_ipc_roundtrip_documents,
+        "npy_roundtrip_embeddings": q_npy_roundtrip_embeddings,
         "mad_outliers_events": q_mad_outliers_events,
         "dense_hourly_events": q_dense_hourly_events,
         "zscore_flags_events": q_zscore_flags_events,
@@ -4640,6 +4725,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "ipc_roundtrip_documents": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+            FROM documents
+        """,
+        "npy_roundtrip_embeddings": """
+            WITH el AS (SELECT unnest(embedding) AS x,
+                               len(embedding) AS d
+                        FROM embeddings)
+            SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+                       AS n_vecs,
+                   CAST(max(d) AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS qsum
+            FROM el
         """,
         "spearman_lineitem": """
             WITH base AS (

@@ -1,8 +1,12 @@
-"""JSONL / CSV sources and sinks (SURVEY.md §2.2 sources/sinks row).
+"""JSONL / CSV / Arrow-IPC / NumPy sources and sinks (SURVEY.md §2.2
+sources/sinks row).
 
 The reference validates JSON documents; at table scale the natural
-interchange formats beside Parquet are JSONL (one JSON object per line)
-and CSV. Both map onto Ray Data's native parallel readers/writers:
+interchange formats beside Parquet are JSONL (one JSON object per line),
+CSV, Arrow IPC (Feather V2 — the zero-copy schema-carrying handoff format
+between Arrow-native tools), and ``.npy`` (the embedding-matrix dump
+format model-side loaders read). JSONL/CSV map onto Ray Data's native
+parallel readers/writers:
 ``read_json`` / ``read_csv`` fan out one read task per file (so a
 directory of shards parallelizes for free), and ``write_json`` /
 ``write_csv`` emit one shard per block — the same resumable
@@ -51,3 +55,97 @@ def read_csv(path: str):
     import ray
 
     return ray.data.read_csv(path)
+
+
+def write_ipc(ds, path: str):
+    """Arrow IPC (Feather V2, ``.arrow``) sink: one self-describing IPC
+    file per block under ``path`` (replaced). The writer task streams each
+    Arrow block straight from the object store to disk through
+    ``pa.ipc.new_file`` — no pandas / Python-object detour, and the file
+    carries its own schema so the read side needs no footer scan. Returns
+    the shard manifest (path, n_rows; one row per shard — driver-scale),
+    which is also what forces execution."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: "pa.Table") -> "pa.Table":
+        # content-addressed + atomic (serialize -> hash -> tmp -> rename):
+        # Ray may re-run a side-effecting block (schema probes, task
+        # retries at cluster scale) — identical content then lands on the
+        # SAME name instead of planting a stray duplicate shard, the same
+        # idempotency contract as ops.sink's parquet parts
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, batch.schema) as w:
+            w.write_table(batch)
+        buf = sink.getvalue()
+        name = os.path.join(
+            path, f"shard-{hashlib.md5(buf).hexdigest()}.arrow")
+        if not os.path.exists(name):
+            tmp = name + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, name)
+        return pa.table({"path": pa.array([name], pa.string()),
+                         "n_rows": pa.array([batch.num_rows], pa.int64())})
+
+    # materialize() first: to_arrow_refs on a lazy plan appends a limit-1
+    # schema probe that would re-run write_block on one block (harmless
+    # skip-write thanks to content addressing, but pay it once, not twice)
+    parts = [t for t in ray.get(
+        ds.map_batches(write_block, batch_format="pyarrow",
+                       batch_size=None,          # whole blocks
+                       zero_copy_batch=True).materialize().to_arrow_refs())
+        if t.num_rows]
+    # dedupe by path: identical-content blocks commit one file
+    per_file: dict = {}
+    for t in parts:
+        for p, n in zip(t["path"].to_pylist(), t["n_rows"].to_pylist()):
+            per_file[p] = int(n)
+    names = sorted(per_file)
+    return pa.table({"path": pa.array(names, pa.string()),
+                     "n_rows": pa.array([per_file[p] for p in names],
+                                        pa.int64())})
+
+
+def read_ipc(path: str):
+    """Parallel Arrow IPC read: one decode task per shard file.
+    ``read_binary_files`` hands each task the raw file bytes zero-copy
+    from the object store; ``pa.ipc.open_file`` over a BufferReader then
+    maps the columns without a byte copy. ``batch_size=1`` keeps one file
+    per decode call so a shard's memory footprint bounds the task, the
+    same per-file parallelism contract as the JSONL/CSV readers."""
+    import pyarrow as pa
+    import ray
+
+    def decode(batch: "pa.Table") -> "pa.Table":
+        col = batch["bytes"].combine_chunks()
+        return pa.concat_tables(
+            pa.ipc.open_file(pa.BufferReader(col[i].as_buffer())).read_all()
+            for i in range(len(col)))
+
+    return ray.data.read_binary_files(path, file_extensions=["arrow"]) \
+        .map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
+def write_npy(ds, path: str, column: str):
+    """NumPy ``.npy`` sink for a single ndarray column: one matrix shard
+    per block under ``path`` (replaced) — the interchange format of
+    embedding dumps and model-side loaders. Rides Ray Data's native
+    ``write_numpy`` (one shard per block, parallel)."""
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ds.write_numpy(path, column=column)
+    return path
+
+
+def read_npy(path: str):
+    """Parallel ``.npy`` read: one task per shard; rows come back under
+    the ``data`` column as ndarrays (Ray tensor extension)."""
+    import ray
+
+    return ray.data.read_numpy(path)
