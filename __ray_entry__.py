@@ -2060,6 +2060,50 @@ def q_corr_lineitem(sf_dir: str) -> pa.Table:
     }).sort_by("l_returnflag")
 
 
+def q_regression_events(sf_dir: str) -> pa.Table:
+    """Per-event-type OLS fit of value on hour-of-day
+    (ops.aggregates.grouped_linear_regression — mergeable moments
+    partial+final, no shuffle): the load/quality-trend primitive. SQL
+    regr_slope/regr_intercept semantics, 6 dp."""
+    from jsonschema_validator_ray.ops.aggregates import \
+        grouped_linear_regression
+    from jsonschema_validator_ray.rayutil import strip_meta
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_hod(batch: pa.Table) -> pa.Table:
+        return strip_meta(pa.table({
+            "event_type": batch["event_type"],
+            "hod": pc.hour(batch["ts"]).cast(pa.float64()),
+            "value": batch["value"],
+        }))
+
+    out = grouped_linear_regression(
+        ds.map_batches(add_hod, batch_format="pyarrow",
+                       zero_copy_batch=True), "event_type", "hod", "value")
+    return pa.table({
+        "event_type": out["event_type"],
+        "n": out["n"],
+        "slope_r6": pc.round(out["slope"], ndigits=6),
+        "intercept_r6": pc.round(out["intercept"], ndigits=6),
+    }).sort_by("event_type")
+
+
+def q_covariance_embeddings(sf_dir: str) -> pa.Table:
+    """Population covariance matrix of the first 4 embedding coordinates
+    (ops.stats.embedding_covariance — ONE streaming pass, one BLAS matmul
+    partial per batch, O(dims²) fold state, no shuffle): the
+    whitening/PCA-prep primitive. SQL covar_pop semantics, 6 dp."""
+    from jsonschema_validator_ray.ops.stats import embedding_covariance
+
+    out = embedding_covariance(
+        _read(sf_dir, "embeddings", ["embedding"]), "embedding", dims=4)
+    return pa.table({
+        "i": out["i"], "j": out["j"], "n": out["n"],
+        "cov_r6": pc.round(out["cov"], ndigits=6),
+    }).sort_by([("i", "ascending"), ("j", "ascending")])
+
+
 def q_weighted_sample_documents(sf_dir: str) -> pa.Table:
     """A-Res weighted sample: 50 docs selected with probability ∝ length,
     deterministic hash uniforms — SQL reproduces the exact selection."""
@@ -3360,6 +3404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip_documents": q_csv_roundtrip_documents,
         "ipc_roundtrip_documents": q_ipc_roundtrip_documents,
         "npy_roundtrip_embeddings": q_npy_roundtrip_embeddings,
+        "regression_events": q_regression_events,
+        "covariance_embeddings": q_covariance_embeddings,
         "mad_outliers_events": q_mad_outliers_events,
         "dense_hourly_events": q_dense_hourly_events,
         "zscore_flags_events": q_zscore_flags_events,
@@ -4806,6 +4852,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.value IS NOT NULL
               AND abs(e.value - med.m) > 3.0 * mad.s
             ORDER BY e.event_id
+        """,
+        "regression_events": """
+            SELECT event_type,
+                   CAST(count(CASE WHEN value IS NOT NULL
+                              AND ts IS NOT NULL
+                              THEN 1 END) AS BIGINT) AS n,
+                   round(regr_slope(value, hour(ts)), 6) AS slope_r6,
+                   round(regr_intercept(value, hour(ts)), 6)
+                       AS intercept_r6
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "covariance_embeddings": """
+            WITH b AS (SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+                              CAST(embedding[2] AS DOUBLE) AS x1,
+                              CAST(embedding[3] AS DOUBLE) AS x2,
+                              CAST(embedding[4] AS DOUBLE) AS x3
+                       FROM embeddings
+                       WHERE embedding IS NOT NULL
+                         AND len(embedding) >= 4)
+            SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   CAST((SELECT count(*) FROM b) AS BIGINT) AS n,
+                   round(cov, 6) AS cov_r6
+            FROM (
+                SELECT 0 AS i, 0 AS j, covar_pop(x0, x0) AS cov FROM b
+                UNION ALL SELECT 0, 1, covar_pop(x0, x1) FROM b
+                UNION ALL SELECT 0, 2, covar_pop(x0, x2) FROM b
+                UNION ALL SELECT 0, 3, covar_pop(x0, x3) FROM b
+                UNION ALL SELECT 1, 1, covar_pop(x1, x1) FROM b
+                UNION ALL SELECT 1, 2, covar_pop(x1, x2) FROM b
+                UNION ALL SELECT 1, 3, covar_pop(x1, x3) FROM b
+                UNION ALL SELECT 2, 2, covar_pop(x2, x2) FROM b
+                UNION ALL SELECT 2, 3, covar_pop(x2, x3) FROM b
+                UNION ALL SELECT 3, 3, covar_pop(x3, x3) FROM b)
+            ORDER BY i, j
         """,
         "corr_lineitem": """
             SELECT l_returnflag,

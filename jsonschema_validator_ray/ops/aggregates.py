@@ -376,6 +376,59 @@ def grouped_corr(ds, key: str, x: str, y: str) -> pa.Table:
                      "corr": corr_arr}).sort_by(key)
 
 
+def grouped_linear_regression(ds, key: str, x: str, y: str) -> pa.Table:
+    """Per-group ordinary-least-squares fit of ``y`` on ``x`` via the same
+    mergeable-moments shape as ``grouped_corr``: each batch emits per-key
+    ``(n, Σx, Σy, Σx², Σxy)`` partials (one vectorized Arrow groupby,
+    float64), the driver folds the tiny partial table and finishes
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``,
+    ``intercept = (Σy − slope·Σx) / n`` — SQL ``regr_slope`` /
+    ``regr_intercept`` semantics. No shuffle at any size — partial rows
+    are ``distinct keys × blocks``.
+
+    Rows where either coordinate is NULL are skipped; zero-variance or
+    single-point groups yield NULL slope/intercept (matching SQL)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key, x, y])
+        both = pc.and_kleene(pc.is_valid(sel[x]), pc.is_valid(sel[y]))
+        sel = sel.filter(both.fill_null(False))
+        xf = sel[x].cast(pa.float64())
+        yf = sel[y].cast(pa.float64())
+        t = pa.table({key: sel[key], "x": xf, "y": yf,
+                      "xx": pc.multiply(xf, xf),
+                      "xy": pc.multiply(xf, yf)})
+        return pa.TableGroupBy(t, key).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("xy", "sum")])
+
+    import ray
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    final = pa.TableGroupBy(parts, key).aggregate(
+        [("x_count", "sum"), ("x_sum", "sum"), ("y_sum", "sum"),
+         ("xx_sum", "sum"), ("xy_sum", "sum")])
+    n = final["x_count_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    sx = final["x_sum_sum"].to_numpy(zero_copy_only=False)
+    sy = final["y_sum_sum"].to_numpy(zero_copy_only=False)
+    sxx = final["xx_sum_sum"].to_numpy(zero_copy_only=False)
+    sxy = final["xy_sum_sum"].to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        denom = n * sxx - sx * sx
+        slope = np.where(denom > 0, (n * sxy - sx * sy) / denom, np.nan)
+        intercept = np.where(denom > 0, (sy - slope * sx) / n, np.nan)
+    def _nullify(v):
+        arr = pa.array(v, pa.float64())
+        return pc.if_else(pc.is_nan(arr),
+                          pa.nulls(len(v), pa.float64()), arr)
+    return pa.table({key: final[key],
+                     "n": final["x_count_sum"].cast(pa.int64()),
+                     "slope": _nullify(slope),
+                     "intercept": _nullify(intercept)}).sort_by(key)
+
+
 def grouped_quantiles(ds, key: str, value: str, qs: Sequence[float],
                       n_buckets: int = 0):
     """EXACT grouped quantiles (linear interpolation, = SQL

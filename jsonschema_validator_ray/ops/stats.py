@@ -524,3 +524,79 @@ def psi_drift(ds, value_col: str, ts_col: str, split_ts_us: int,
     psi = float(np.sum((p_cur - p_ref) * np.log(p_cur / p_ref)))
     return {"psi": psi, "n_buckets_used": int(use.sum()),
             "n_ref": tot_ref, "n_cur": tot_cur}
+
+
+def embedding_covariance(ds, list_col: str, dims: int) -> pa.Table:
+    """Population covariance matrix of the first ``dims`` coordinates of a
+    ``list<float>`` embedding column, in ONE streaming pass with NO
+    shuffle: each batch reshapes the list column's flat value buffer into
+    an (B, D) float64 matrix and emits a single partial row
+    ``(n, Σx[dims], Σxᵀx[dims×dims])`` (one BLAS matmul per batch); the
+    driver folds the tiny partials and finishes
+    ``cov(i,j) = Σxixj/n − μiμj`` — SQL ``covar_pop`` semantics. This is
+    the whitening/PCA-prep primitive: at 100 TB the fold state is
+    O(dims²) per block regardless of row count.
+
+    Rows with a null or ragged list are dropped (documented: covariance
+    needs complete coordinate vectors). Returns the upper triangle as
+    ``(i, j, n, cov)`` rows, i ≤ j."""
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[list_col].combine_chunks()
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            col = col.filter(valid)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if widths.size and (widths < dims).any():
+            keep = widths >= dims
+            col = col.filter(pa.array(keep))
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if n and (widths == widths[0]).all():
+            mat = flat.reshape(n, int(widths[0]))[:, :dims]
+        else:                       # ragged tail: gather per-row starts
+            starts = offs[:-1].astype(np.int64)
+            idx = starts[:, None] + np.arange(dims)[None, :]
+            mat = flat[idx] if n else np.zeros((0, dims))
+        sx = mat.sum(axis=0)
+        sxx = mat.T @ mat
+        return strip_meta(pa.table({
+            "n": pa.array([n], pa.int64()),
+            "sx": pa.array([sx.tolist()],
+                           pa.list_(pa.float64())),
+            "sxx": pa.array([sxx.reshape(-1).tolist()],
+                            pa.list_(pa.float64())),
+        }))
+
+    import ray
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize().to_arrow_refs())
+        if t.num_rows]
+    n_tot = 0
+    sx = np.zeros(dims)
+    sxx = np.zeros((dims, dims))
+    for t in parts:
+        n_tot += int(pc.sum(t["n"]).as_py() or 0)
+        for row_sx, row_sxx in zip(t["sx"].to_pylist(),
+                                   t["sxx"].to_pylist()):
+            sx += np.asarray(row_sx)
+            sxx += np.asarray(row_sxx).reshape(dims, dims)
+    if n_tot == 0:
+        raise ValueError("embedding_covariance: no complete rows")
+    mu = sx / n_tot
+    cov = sxx / n_tot - np.outer(mu, mu)
+    iu, ju = np.triu_indices(dims)
+    return pa.table({
+        "i": pa.array(iu.astype(np.int64), pa.int64()),
+        "j": pa.array(ju.astype(np.int64), pa.int64()),
+        "n": pa.array(np.full(iu.size, n_tot, np.int64), pa.int64()),
+        "cov": pa.array(cov[iu, ju], pa.float64()),
+    })

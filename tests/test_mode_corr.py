@@ -95,3 +95,61 @@ def test_vocab_entropy_known_distribution(ray_session):
     assert set(got) == {"g1", "g2"}
     assert math.isclose(got["g1"][0], 1.5) and got["g1"][1] == 4
     assert math.isclose(got["g2"][0], 1.0) and got["g2"][1] == 2
+
+
+def test_grouped_linear_regression_matches_numpy(ray_session):
+    """Per-group OLS slope/intercept equal numpy lstsq; rows with a null
+    coordinate are skipped; a zero-variance-x group yields NULL."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import \
+        grouped_linear_regression
+
+    rng = np.random.default_rng(5)
+    n = 400
+    key = np.where(rng.random(n) < 0.5, "a", "b").tolist()
+    x = rng.uniform(0, 23, n)
+    y = 3.5 * x + rng.normal(0, 2, n)
+    tab = pa.table({
+        "k": pa.array(key + ["flat"] * 5 + ["nullish"] * 3),
+        "x": pa.array(x.tolist() + [7.0] * 5 + [1.0, None, 2.0],
+                      pa.float64()),
+        "y": pa.array(y.tolist() + [1.0, 2.0, 3.0, 4.0, 5.0]
+                      + [None, 9.0, 4.0], pa.float64()),
+    })
+    out = grouped_linear_regression(
+        ray.data.from_arrow(tab).repartition(5), "k", "x", "y")
+    rows = {r["k"]: r for r in out.to_pylist()}
+    for g in ("a", "b"):
+        mask = np.array([k == g for k in key])
+        A = np.vstack([x[mask], np.ones(mask.sum())]).T
+        slope_np, icept_np = np.linalg.lstsq(A, y[mask], rcond=None)[0]
+        assert abs(rows[g]["slope"] - slope_np) < 1e-9
+        assert abs(rows[g]["intercept"] - icept_np) < 1e-9
+        assert rows[g]["n"] == int(mask.sum())
+    assert rows["flat"]["slope"] is None          # zero variance in x
+    assert rows["flat"]["intercept"] is None
+    assert rows["nullish"]["n"] == 1              # null x / null y skipped
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    """Streaming covariance equals np.cov(bias=True); null and too-short
+    lists are dropped."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import embedding_covariance
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(300, 6)).astype(np.float32)
+    rows = [list(map(float, mat[i])) for i in range(300)]
+    rows += [None, [1.0, 2.0]]                    # dropped: null, short
+    tab = pa.table({"embedding": pa.array(rows, pa.list_(pa.float32()))})
+    out = embedding_covariance(
+        ray.data.from_arrow(tab).repartition(4), "embedding", dims=4)
+    want = np.cov(mat.astype(np.float64)[:, :4], rowvar=False, bias=True)
+    got = {(r["i"], r["j"]): r["cov"] for r in out.to_pylist()}
+    assert all(r == 300 for r in out["n"].to_pylist())
+    for i in range(4):
+        for j in range(i, 4):
+            assert abs(got[(i, j)] - want[i, j]) < 1e-9
+    assert len(got) == 10
