@@ -502,9 +502,10 @@ def grouped_top_k(ds, key: str, order_col: str, k: int, *,
     segmented ``arange`` for ranks — no per-row Python. Only k rows per key
     leave the shuffle stage. Returns a Dataset with ``ds``'s columns + rk.
 
-    Key requirement (ADVICE r3): ``key`` must be non-null and
-    integer-castable (the in-bucket rank path casts it to int64 — string
-    keys raise); hash-bucket a string key to an int column first.
+    Keys of ANY hashable Arrow type work (string/int/...): the in-bucket
+    rank path segments on dictionary codes, not on the raw values (r5 —
+    lifts the ADVICE-r3 integer-key restriction). Null keys form their own
+    group, matching SQL ``PARTITION BY`` null semantics.
     """
     from ..rayutil import ensure_worker_importable
     ensure_worker_importable()
@@ -514,7 +515,9 @@ def grouped_top_k(ds, key: str, order_col: str, k: int, *,
         body = group.drop_columns(["_bucket"])
         if group.num_rows == 0:
             return body.append_column("rk", pa.array([], pa.int64()))
-        kv = group[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(group[key].combine_chunks()) \
+            .indices.cast(pa.int64())
+        kv = codes.fill_null(-1).to_numpy(zero_copy_only=False)
         ov = group[order_col].to_numpy(zero_copy_only=False)
         sort_keys = [-ov if descending else ov, kv]
         if tiebreak is not None:

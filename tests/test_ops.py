@@ -2482,3 +2482,30 @@ def test_ngram_duplicate_doc_ids_no_self_pairs(ray_session):
         b = out["id_b"].to_numpy(zero_copy_only=False)
         assert (a != b).all()
         assert {(7, 9)} <= set(zip(a.tolist(), b.tolist()))
+
+
+def test_grouped_top_k_string_and_null_keys(ray_session):
+    """r5: string keys work (dictionary-code segmentation replaced the
+    int64 cast) and null keys form their own group — SQL PARTITION BY
+    semantics."""
+    import ray
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_top_k
+
+    t = pa.table({
+        "g": pa.array(["en", "fr", "en", None, "fr", None, "en"],
+                      pa.string()),
+        "x": pa.array([5, 9, 7, 2, 1, 8, 6], pa.int64()),
+        "id": pa.array(range(7), pa.int64()),
+    })
+    got = pa.concat_tables([b for b in ray.get(
+        grouped_top_k(ray.data.from_arrow(t), "g", "x", 2,
+                      descending=True, tiebreak="id").to_arrow_refs())
+        if b.num_rows]).to_pylist()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["g"], []).append((r["rk"], r["x"]))
+    assert sorted(by_group["en"]) == [(1, 7), (2, 6)]
+    assert sorted(by_group["fr"]) == [(1, 9), (2, 1)]
+    assert sorted(by_group[None]) == [(1, 8), (2, 2)]
