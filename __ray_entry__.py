@@ -2075,6 +2075,72 @@ def q_corr_lineitem(sf_dir: str) -> pa.Table:
     }).sort_by("l_returnflag")
 
 
+def q_schema_union_documents(sf_dir: str) -> pa.Table:
+    """Schema-evolution union (sources.files.union_by_name): documents is
+    split into two on-disk parquet generations with DIFFERENT column sets
+    (even doc_ids carry (doc_id, lang, n_chars); odd ones the later
+    (doc_id, source) shape), read back as two Datasets and unioned by
+    name over the null-filled superset schema — then one aggregate whose
+    per-column null counts prove both the row union and the padding."""
+    from jsonschema_validator_ray.ops.sink import write_partitioned_parquet
+    from jsonschema_validator_ray.rayutil import clean_read_schema, strip_meta
+
+    def keep_parity(par: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ok = pc.equal(pc.bit_wise_and(batch["doc_id"],
+                                          pa.scalar(1, pa.int64())),
+                          pa.scalar(par, pa.int64()))
+            return strip_meta(batch.filter(ok))
+        return fn
+
+    even = _read(sf_dir, "documents",
+                 ["doc_id", "lang", "n_chars"]).map_batches(
+        keep_parity(0), batch_format="pyarrow", zero_copy_batch=True)
+    odd = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        keep_parity(1), batch_format="pyarrow", zero_copy_batch=True)
+    import shutil
+
+    # the sink is resume-by-skip (content-addressed): clear the fixture
+    # dir so a different-sf rerun cannot union stale generations
+    shutil.rmtree("/tmp/graft_files/schema_union", ignore_errors=True)
+    dirs = {}
+    for name, part in (("gen_a", even), ("gen_b", odd)):
+        out_dir = f"/tmp/graft_files/schema_union/{name}"
+        write_partitioned_parquet(part, out_dir)
+        dirs[name] = out_dir
+
+    import ray.data
+
+    from jsonschema_validator_ray.sources.files import union_by_name
+
+    def _rd(d):
+        import glob
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        sch = clean_read_schema(files[0], None)
+        return ray.data.read_parquet(files, schema=sch), sch
+
+    ds_a, sch_a = _rd(dirs["gen_a"])
+    ds_b, sch_b = _rd(dirs["gen_b"])
+    u = union_by_name([ds_a, ds_b], [sch_a, sch_b])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return strip_meta(pa.table({
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+            "n_lang": pa.array(
+                [batch.num_rows - batch["lang"].null_count], pa.int64()),
+            "n_source": pa.array(
+                [batch.num_rows - batch["source"].null_count], pa.int64()),
+            "sum_chars": pa.array(
+                [pc.sum(batch["n_chars"]).as_py() or 0], pa.int64()),
+        }))
+
+    parts = _collect(u.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    return pa.table({
+        c: pa.array([pc.sum(parts[c]).as_py() or 0], pa.int64())
+        for c in ("n_rows", "n_lang", "n_source", "sum_chars")})
+
+
 def q_regression_events(sf_dir: str) -> pa.Table:
     """Per-event-type OLS fit of value on hour-of-day
     (ops.aggregates.grouped_linear_regression — mergeable moments
@@ -3427,6 +3493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "npy_roundtrip_embeddings": q_npy_roundtrip_embeddings,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
+        "schema_union_documents": q_schema_union_documents,
         "mad_outliers_events": q_mad_outliers_events,
         "dense_hourly_events": q_dense_hourly_events,
         "zscore_flags_events": q_zscore_flags_events,
@@ -4873,6 +4940,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.value IS NOT NULL
               AND abs(e.value - med.m) > 3.0 * mad.s
             ORDER BY e.event_id
+        """,
+        "schema_union_documents": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END)
+                        AS BIGINT) AS n_lang,
+                   CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END)
+                        AS BIGINT) AS n_source,
+                   CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars
+                            ELSE 0 END) AS BIGINT) AS sum_chars
+            FROM documents
         """,
         "regression_events": """
             SELECT event_type,

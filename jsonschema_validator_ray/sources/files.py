@@ -149,3 +149,44 @@ def read_npy(path: str):
     import ray
 
     return ray.data.read_numpy(path)
+
+
+def union_by_name(datasets, schemas):
+    """Schema-evolution-tolerant union: combine Datasets whose schemas
+    differ by column SET (the late-added-column / dropped-column case a
+    long-lived ingest inevitably hits) into one Dataset over the superset
+    schema, missing columns null-filled — SQL ``UNION ALL BY NAME``.
+
+    ``schemas`` are the per-dataset Arrow schemas, passed EXPLICITLY (the
+    repo-wide rule: ``Dataset.schema()`` on a lazy plan executes a limit-1
+    probe). A column appearing in several inputs must carry one type (the
+    first occurrence wins; later conflicting types raise — silent casts
+    would corrupt data). Each input gets one vectorized pad stage; the
+    union itself is metadata-only, so inputs stream independently."""
+    import pyarrow as pa
+
+    from ..ops.join import _pad_to
+    from ..rayutil import strip_meta
+
+    if not datasets or len(datasets) != len(schemas):
+        raise ValueError("need one explicit schema per dataset")
+    fields: dict = {}
+    for sch in schemas:
+        for f in sch:
+            if f.name not in fields:
+                fields[f.name] = f.type
+            elif fields[f.name] != f.type:
+                raise TypeError(
+                    f"union_by_name: column {f.name!r} has conflicting "
+                    f"types {fields[f.name]} vs {f.type}")
+    superset = pa.schema(list(fields.items()))
+
+    def pad(batch: pa.Table) -> pa.Table:
+        return strip_meta(_pad_to(batch, superset))
+
+    padded = [d.map_batches(pad, batch_format="pyarrow",
+                            zero_copy_batch=True) for d in datasets]
+    out = padded[0]
+    for d in padded[1:]:
+        out = out.union(d)
+    return out

@@ -176,3 +176,27 @@ def test_npy_roundtrip_matrix(ray_session, tmp_path):
     got = np.sort(np.stack([r["data"] for r in back]), axis=0)
     assert got.shape == (64, 8)
     assert np.array_equal(got, np.sort(mat, axis=0))
+
+
+def test_union_by_name_pads_and_rejects_conflicts(ray_session):
+    """Superset columns null-fill per input; conflicting types raise
+    instead of silently casting."""
+    import pytest
+    import ray.data
+
+    from jsonschema_validator_ray.sources.files import union_by_name
+
+    a = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "lang": pa.array(["en", "fr"], pa.string())})
+    b = pa.table({"id": pa.array([3], pa.int64()),
+                  "score": pa.array([0.5], pa.float64())})
+    u = union_by_name([ray.data.from_arrow(a), ray.data.from_arrow(b)],
+                      [a.schema, b.schema])
+    rows = sorted(u.take_all(), key=lambda r: r["id"])
+    assert [r["lang"] for r in rows] == ["en", "fr", None]
+    assert [r["score"] for r in rows] == [None, None, 0.5]
+
+    c = pa.table({"id": pa.array(["x"], pa.string())})
+    with pytest.raises(TypeError):
+        union_by_name([ray.data.from_arrow(a), ray.data.from_arrow(c)],
+                      [a.schema, c.schema])
