@@ -3348,9 +3348,12 @@ def q_kmeans_clusters_embeddings(sf_dir: str) -> pa.Table:
     # size-gate (ngram hot-df precedent): below the cap, stage the corpus
     # blocks in the object store ONCE and let every Lloyd pass re-execute
     # from memory — each fresh-scan iteration otherwise pays a full
-    # read+plan (~1 s of pure orchestration per pass at gate scale). At
-    # scale the factory returns fresh scans, the documented streaming
-    # contract of kmeans_fit.
+    # read+plan (~1 s of pure orchestration per pass at gate scale).
+    # Above the cap _read_staged hands back the LAZY scan, and the factory
+    # returns that same re-executable plan each call — every Lloyd pass
+    # re-runs the read (streaming, nothing pinned), which satisfies
+    # kmeans_fit's ds_factory contract as long as passes only consume the
+    # Dataset (don't attach per-pass state to the shared object).
     base = _read_staged(sf_dir, "embeddings", ["vec_id", "embedding"])
     factory = lambda: base                                      # noqa: E731
 

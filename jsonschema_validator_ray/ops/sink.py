@@ -37,33 +37,43 @@ import pyarrow.parquet as pq
 
 
 
-def _commit_part(table: pa.Table, out_dir: str) -> tuple[str, bool]:
-    """Content-addressed atomic part commit, shared by both sinks: hash the
-    table's IPC bytes for a deterministic name, write to a UNIQUE tmp (two
-    identical-content blocks in one run target the same final path — a
+def _commit_file(out_dir: str, basename: str, write_fn) -> tuple[str, bool]:
+    """Atomic content-addressed file commit shared by every sink (parquet
+    parts here, IPC shards in sources/files.py): write through a UNIQUE tmp
+    (two identical-content blocks in one run target the same final path — a
     shared tmp would let concurrent writers interleave before the rename),
-    os.replace for the atomic commit, skip when the part already exists.
+    os.replace for the atomic commit, skip when the file already exists.
+    The tmp basename is "_"-prefixed: parquet/Ray directory readers skip
+    '_'/'.'-prefixed files, so a crash mid-write can't leave a truncated
+    file that breaks the documented read-back (review r4). ``write_fn``
+    receives the tmp path and must write the complete file there.
     Returns (path, skipped)."""
-    import hashlib
     import uuid
+
+    path = os.path.join(out_dir, basename)
+    skipped = os.path.exists(path)
+    if not skipped:
+        stem = os.path.splitext(basename)[0]
+        tmp = os.path.join(
+            out_dir, f"_{stem}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp")
+        write_fn(tmp)
+        os.replace(tmp, path)
+    return path, skipped
+
+
+def _commit_part(table: pa.Table, out_dir: str) -> tuple[str, bool]:
+    """Content-addressed atomic parquet part commit, shared by both parquet
+    sinks: hash the table's IPC bytes for a deterministic name, then commit
+    through `_commit_file`. Returns (path, skipped)."""
+    import hashlib
 
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, table.schema) as w:
         w.write_table(table)
     digest = hashlib.blake2b(sink.getvalue().to_pybytes(),
                              digest_size=12).hexdigest()
-    path = os.path.join(out_dir, f"part-{digest}.parquet")
-    skipped = os.path.exists(path)
-    if not skipped:
-        # "_"-prefixed tmp basename: parquet/Ray directory readers skip
-        # '_'/'.'-prefixed files, so a crash mid-write can't leave a
-        # truncated file that breaks the documented read-back (review r4)
-        tmp = os.path.join(
-            out_dir,
-            f"_part-{digest}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp")
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
-    return path, skipped
+    return _commit_file(out_dir, f"part-{digest}.parquet",
+                        lambda tmp: pq.write_table(table, tmp))
 
 
 def _sweep_stale_tmps(out_dir: str) -> int:

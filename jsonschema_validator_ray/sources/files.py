@@ -70,26 +70,32 @@ def write_ipc(ds, path: str):
     import pyarrow as pa
     import ray
 
+    # bound at op-construction time (driver-side) so the worker closure
+    # carries the helper by value — the repo-wide rule for the
+    # driver-inits-Ray-before-PYTHONPATH fallback (rayutil.py)
+    from ..ops.sink import _commit_file
+
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
 
     def write_block(batch: "pa.Table") -> "pa.Table":
-        # content-addressed + atomic (serialize -> hash -> tmp -> rename):
-        # Ray may re-run a side-effecting block (schema probes, task
-        # retries at cluster scale) — identical content then lands on the
-        # SAME name instead of planting a stray duplicate shard, the same
-        # idempotency contract as ops.sink's parquet parts
+        # content-addressed + atomic: Ray may re-run a side-effecting
+        # block (schema probes, task retries at cluster scale) —
+        # identical content then lands on the SAME name instead of
+        # planting a stray duplicate shard; _commit_file's unique tmp
+        # keeps two concurrent writers of that same name from
+        # interleaving, the same contract as ops.sink's parquet parts
         sink = pa.BufferOutputStream()
         with pa.ipc.new_file(sink, batch.schema) as w:
             w.write_table(batch)
         buf = sink.getvalue()
-        name = os.path.join(
-            path, f"shard-{hashlib.md5(buf).hexdigest()}.arrow")
-        if not os.path.exists(name):
-            tmp = name + ".tmp"
+        basename = f"shard-{hashlib.md5(buf).hexdigest()}.arrow"
+
+        def _write(tmp: str) -> None:
             with open(tmp, "wb") as f:
                 f.write(buf)
-            os.replace(tmp, name)
+
+        name, _skipped = _commit_file(path, basename, _write)
         return pa.table({"path": pa.array([name], pa.string()),
                          "n_rows": pa.array([batch.num_rows], pa.int64())})
 
