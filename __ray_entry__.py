@@ -3370,6 +3370,25 @@ def q_kmeans_clusters_embeddings(sf_dir: str) -> pa.Table:
     })
 
 
+def q_lm_score_documents(sf_dir: str) -> pa.Table:
+    """Unigram LM corpus fit + per-document mean token log-probability
+    (ops/lm.py) — the CCNet-style quality/outlier signal in its
+    exactly-SQL-checkable form. Fit is one partial+final pass at
+    vocabulary scale; scoring broadcasts (vocab, logprob) once and runs
+    one vectorized map_batches pass (index_in lookup + reduceat means)."""
+    from jsonschema_validator_ray.ops.lm import unigram_fit, unigram_score
+
+    corpus = _read_staged(sf_dir, "documents", ["doc_id", "text"])
+    vocab, logprob, _total = unigram_fit(corpus, "text")
+    out = _collect(unigram_score(corpus, "doc_id", "text", vocab, logprob))
+    out = out.sort_by("doc_id")
+    return pa.table({
+        "doc_id": out["doc_id"],
+        "n_tokens": out["n_tokens"],
+        "avg_logprob_r6": pc.round(out["avg_logprob"], ndigits=6),
+    })
+
+
 def q_fuzzy_match_part_names(sf_dir: str) -> pa.Table:
     """Blocked Levenshtein similarity SELF-join over distinct part names
     (ops/fuzzy.py): every unordered pair of distinct p_name values within
@@ -3570,6 +3589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize_images": q_multimodal_resize_images,
         "alternation_transcripts": q_alternation_transcripts,
         "fuzzy_match_part_names": q_fuzzy_match_part_names,
+        "lm_score_documents": q_lm_score_documents,
     }
 
 
@@ -5188,5 +5208,17 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 2
             ORDER BY name_a, name_b
+        """,
+        "lm_score_documents": """
+            WITH words AS (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS w
+                           FROM documents WHERE text IS NOT NULL),
+                 c AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+                 t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM words)
+            SELECT words.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(c.cnt / t.tot)), 6) AS avg_logprob_r6
+            FROM words JOIN c ON words.w = c.w CROSS JOIN t
+            GROUP BY words.doc_id ORDER BY words.doc_id
         """,
     }
