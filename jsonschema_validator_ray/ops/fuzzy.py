@@ -133,9 +133,18 @@ def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
     Pass ``right_ds is left_ds`` and ``right_col == left_col`` for a
     SELF-join: each unordered pair is emitted once, canonicalized so
     ``name_a < name_b`` lexicographically (identical values never pair —
-    the inputs are distinct sets). Output columns:
+    the input is one distinct set). In CROSS mode (two different
+    inputs), side attribution is preserved instead: ``name_a`` is always
+    the LEFT value and ``name_b`` the RIGHT value, so shared values can
+    legitimately yield both ``(x, y)`` and ``(y, x)`` rows and
+    ``name_a == name_b`` rows (distance 0). Output columns:
     ``name_a, name_b, dist`` sorted by (name_a, name_b); result is
     match-scale, collected driver-side.
+
+    Driver memory is INDEX-scale, not pair-string-scale: candidate
+    chunks ship as (i, j) int64 pairs (16 B/pair) and the distinct value
+    arrays broadcast once via ``ray.put``; verify tasks gather their own
+    strings (review r5).
     """
     import ray
 
@@ -155,33 +164,31 @@ def fuzzy_join(left_ds, right_ds, left_col: str, right_col: str,
     if len(ii) == 0:
         return empty
 
-    a_arr = pa.array(a_vals, pa.string())
-    b_arr = a_arr if self_join else pa.array(b_vals, pa.string())
-    chunks = []
-    for s in range(0, len(ii), chunk_pairs):
-        e = min(s + chunk_pairs, len(ii))
-        chunks.append(pa.table({
-            "a": a_arr.take(pa.array(ii[s:e])),
-            "b": b_arr.take(pa.array(jj[s:e])),
-        }))
+    a_ref = ray.put(pa.array(a_vals, pa.string()))
+    b_ref = a_ref if self_join else ray.put(pa.array(b_vals, pa.string()))
+    chunks = [pa.table({"i": pa.array(ii[s:s + chunk_pairs]),
+                        "j": pa.array(jj[s:s + chunk_pairs])})
+              for s in range(0, len(ii), chunk_pairs)]
 
     def verify(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        d = levenshtein_batch(a, b)
+        ka = ray.get(a_ref).take(batch["i"].combine_chunks())
+        kb = ray.get(b_ref).take(batch["j"].combine_chunks())
+        d = levenshtein_batch(ka.to_pylist(), kb.to_pylist())
         keep = d <= max_dist
         if not keep.any():
             return empty
         mask = pa.array(keep)
-        ka = batch["a"].combine_chunks().filter(mask)
-        kb = batch["b"].combine_chunks().filter(mask)
+        ka = ka.filter(mask)
+        kb = kb.filter(mask)
         kd = pa.array(d[keep], pa.int64())
-        # canonical a < b ordering (self-join emits length-ordered pairs,
-        # which is not lexicographic)
-        lt = pc.less(ka, kb)
-        return pa.table({"name_a": pc.if_else(lt, ka, kb),
-                         "name_b": pc.if_else(lt, kb, ka),
-                         "dist": kd})
+        if self_join:
+            # canonical a < b ordering (self-join emits length-ordered
+            # pairs, which is not lexicographic)
+            lt = pc.less(ka, kb)
+            return pa.table({"name_a": pc.if_else(lt, ka, kb),
+                             "name_b": pc.if_else(lt, kb, ka),
+                             "dist": kd})
+        return pa.table({"name_a": ka, "name_b": kb, "dist": kd})
 
     parts = [t for t in ray.get(
         ray.data.from_arrow(chunks)

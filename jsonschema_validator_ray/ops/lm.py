@@ -87,7 +87,13 @@ def unigram_score(ds, id_col: str, column: str, vocab, logprob):
         flat = pc.list_flatten(words)
         idx = pc.index_in(flat, value_set=voc).fill_null(-1) \
             .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        vals = np.where(idx >= 0, lp[np.maximum(idx, 0)], -np.inf)
+        # masked gather, not np.where(lp[maximum(idx,0)]): an EMPTY fitted
+        # vocab (all-null fit corpus) must score every token -inf, and
+        # np.where would eagerly index lp[0] out of bounds (review r5)
+        vals = np.full(len(idx), -np.inf)
+        hit = idx >= 0
+        if hit.any():
+            vals[hit] = lp[idx[hit]]
         # split_pattern yields >= 1 token per non-null text ('' -> ['']),
         # so every segment is non-empty and reduceat is well-defined
         starts = np.zeros(len(lens), np.int64)

@@ -86,7 +86,27 @@ def test_fuzzy_cross_join_two_tables(ray_session):
         "r": pa.array(["acme c0rp", "acme", "yyy"], pa.string())}))
     out = fuzzy_join(left, right, "l", "r", max_dist=1)
     pairs = set(zip(out["name_a"].to_pylist(), out["name_b"].to_pylist()))
-    assert pairs == {("acme c0rp", "acme corp")}
+    # cross mode preserves side attribution: name_a is the LEFT value
+    assert pairs == {("acme corp", "acme c0rp")}
+
+
+def test_fuzzy_cross_join_shared_values_keep_sides(ray_session):
+    """Shared values across the two sides must yield BOTH directed rows
+    plus the distance-0 identity rows — no canonical collapse in cross
+    mode (review r5)."""
+    import ray
+
+    from jsonschema_validator_ray.ops.fuzzy import fuzzy_join
+
+    left = ray.data.from_arrow(pa.table({
+        "l": pa.array(["abc", "abd"], pa.string())}))
+    right = ray.data.from_arrow(pa.table({
+        "r": pa.array(["abd", "abc"], pa.string())}))
+    out = fuzzy_join(left, right, "l", "r", max_dist=1)
+    rows = set(zip(out["name_a"].to_pylist(), out["name_b"].to_pylist(),
+                   out["dist"].to_pylist()))
+    assert rows == {("abc", "abc", 0), ("abd", "abd", 0),
+                    ("abc", "abd", 1), ("abd", "abc", 1)}
 
 
 def test_fuzzy_join_empty_and_no_match(ray_session):

@@ -51,6 +51,25 @@ def test_oov_scores_minus_inf(ray_session):
     assert out[10] == -math.inf            # unseen token 'z'
 
 
+def test_empty_vocab_scores_all_minus_inf(ray_session):
+    """Fitting on an all-null corpus yields an empty vocab; scoring must
+    then give every doc -inf, not IndexError (review r5)."""
+    import ray
+
+    from jsonschema_validator_ray.ops.lm import unigram_fit, unigram_score
+
+    fit_ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "text": pa.array([None], pa.string())}))
+    vocab, logprob, total = unigram_fit(fit_ds, "text")
+    assert total == 0 and len(vocab) == 0
+    score_ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([5], pa.int64()),
+        "text": pa.array(["a b"], pa.string())}))
+    out = unigram_score(score_ds, "id", "text", vocab, logprob).take_all()
+    assert out[0]["avg_logprob"] == -math.inf
+
+
 def test_empty_string_is_one_empty_token(ray_session):
     """'' splits to [''] on both the engine and DuckDB sides — it must
     count as one token, not zero."""
