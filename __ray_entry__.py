@@ -3370,6 +3370,21 @@ def q_kmeans_clusters_embeddings(sf_dir: str) -> pa.Table:
     })
 
 
+def q_bm25_search_documents(sf_dir: str) -> pa.Table:
+    """BM25 ranked retrieval (ops/index.py::bm25_search) for the 3-term
+    query ('spark','data','slow') over documents: two streaming passes
+    (per-term df/doc/token partials, then broadcast-idf scoring with
+    per-batch bincount tf matrices and composable local top-k under the
+    (rounded score desc, doc_id asc) total order). Lucene idf, k1=1.2,
+    b=0.75, top 10; the oracle replays the exact formula in SQL."""
+    from jsonschema_validator_ray.ops.index import bm25_search
+
+    ds = _read_staged(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_search(ds, ["spark", "data", "slow"],
+                       id_column="doc_id", column="text",
+                       k1=1.2, b=0.75, top_k=10)
+
+
 def q_lm_score_documents(sf_dir: str) -> pa.Table:
     """Unigram LM corpus fit + per-document mean token log-probability
     (ops/lm.py) — the CCNet-style quality/outlier signal in its
@@ -3590,6 +3605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alternation_transcripts": q_alternation_transcripts,
         "fuzzy_match_part_names": q_fuzzy_match_part_names,
         "lm_score_documents": q_lm_score_documents,
+        "bm25_search_documents": q_bm25_search_documents,
     }
 
 
@@ -5220,5 +5236,34 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c.cnt / t.tot)), 6) AS avg_logprob_r6
             FROM words JOIN c ON words.w = c.w CROSS JOIN t
             GROUP BY words.doc_id ORDER BY words.doc_id
+        """,
+        "bm25_search_documents": """
+            WITH words AS (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS w
+                           FROM documents WHERE text IS NOT NULL),
+                 dl AS (SELECT doc_id, count(*) AS dl
+                        FROM words GROUP BY doc_id),
+                 st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                        FROM dl),
+                 tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+                        FROM words WHERE w IN ('spark', 'data', 'slow')
+                        GROUP BY doc_id, w),
+                 df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                                   AS df
+                        FROM words WHERE w IN ('spark', 'data', 'slow')
+                        GROUP BY w)
+            SELECT tf.doc_id,
+                   round(sum(ln((st.n_docs - df.df + 0.5)
+                                / (df.df + 0.5) + 1.0)
+                             * tf.tf * (1.2 + 1.0)
+                             / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * dl.dl / st.avgdl))), 6)
+                       AS score_r6
+            FROM tf JOIN df ON tf.w = df.w
+                 JOIN dl ON tf.doc_id = dl.doc_id
+                 CROSS JOIN st
+            GROUP BY tf.doc_id
+            ORDER BY score_r6 DESC, tf.doc_id LIMIT 10
         """,
     }

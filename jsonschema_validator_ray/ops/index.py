@@ -136,3 +136,123 @@ def term_search(index_ds, terms: list[str], mode: str = "and") -> np.ndarray:
         else:
             acc = np.union1d(acc, d)
     return acc
+
+
+def bm25_search(ds, terms: list[str], id_column: str = "doc_id",
+                column: str = "text", k1: float = 1.2, b: float = 0.75,
+                top_k: int = 10) -> pa.Table:
+    """BM25 ranked retrieval for a SMALL query over the raw corpus — the
+    relevance-ranked sibling of `term_search`, shaped for the "few query
+    terms, huge corpus" case where materializing an index first would be
+    wasted work (retrieval-augmented dataset curation runs thousands of
+    such ad-hoc scoring passes).
+
+    Two streaming passes, NO shuffle:
+    1. STATS — per-batch partials of (per-term df, doc count, token
+       count), folded driver-side (one row per query term per block).
+       Assumes one input row per document (the `build_inverted_index`
+       contract).
+    2. SCORE — broadcasts (terms, idf, avgdl) and computes each doc's
+       ``Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
+       one bincount-matrix per batch (no per-doc Python), using the
+       Lucene idf ``ln((N − df + 0.5)/(df + 0.5) + 1)``. Each batch
+       emits only its local top-k by the TOTAL order (rounded-6dp score
+       desc, id asc) — a per-batch top-k under a total order composes
+       exactly, so the driver merge of block partials is the global
+       top-k, and the 6dp pre-rounding makes the cut SQL-replayable.
+
+    Tokenization is the repo-wide space-split convention; docs matching
+    no query term are excluded (SQL inner-join semantics). Returns
+    ``(id_column, score_r6)``.
+    """
+    import ray
+
+    qterms = list(dict.fromkeys(terms))            # stable-order distinct
+    want = pa.array(qterms, pa.string())
+
+    def _tok(batch: pa.Table):
+        """(flat tokens, per-doc lens, query-term idx, doc_rep) for the
+        batch's non-null-text rows."""
+        sel = batch.filter(pc.is_valid(batch[column]))
+        words = pc.split_pattern(sel[column], " ")
+        lens = pc.list_value_length(words).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        idx = pc.index_in(flat, value_set=want).fill_null(-1) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        return sel, lens, idx, doc_rep
+
+    T = len(qterms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _sel, lens, idx, doc_rep = _tok(batch)
+        hit = idx >= 0
+        # df = docs containing the term at least once: dedupe (term, doc)
+        pair = idx[hit] * np.int64(len(lens) + 1) + doc_rep[hit]
+        upair = np.unique(pair)
+        df = np.bincount((upair // np.int64(len(lens) + 1)).astype(np.int64),
+                         minlength=T) if len(lens) else np.zeros(T, np.int64)
+        return pa.table({
+            "term_i": pa.array(np.arange(T, dtype=np.int64)),
+            "df": pa.array(df.astype(np.int64), pa.int64()),
+            "n_docs": pa.array([len(lens)] + [0] * (T - 1), pa.int64()),
+            "n_tokens": pa.array([int(lens.sum())] + [0] * (T - 1),
+                                 pa.int64()),
+        })
+
+    parts = [t for t in ray.get(
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    df = np.zeros(T, np.int64)
+    n_docs = 0
+    n_tokens = 0
+    for t in parts:
+        df[t["term_i"].to_numpy(zero_copy_only=False)] += \
+            t["df"].to_numpy(zero_copy_only=False)
+        n_docs += int(pc.sum(t["n_docs"]).as_py() or 0)
+        n_tokens += int(pc.sum(t["n_tokens"]).as_py() or 0)
+
+    empty = pa.table({id_column: pa.array([], pa.int64()),
+                      "score_r6": pa.array([], pa.float64())})
+    if n_docs == 0:
+        return empty
+    avgdl = n_tokens / n_docs
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(idf_ref)
+        sel, lens, idx, doc_rep = _tok(batch)
+        if not len(lens):
+            return empty
+        hit = idx >= 0
+        tf = np.bincount(doc_rep[hit] * np.int64(T) + idx[hit],
+                         minlength=len(lens) * T) \
+            .reshape(len(lens), T).astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * (lens[:, None] / avgdl))
+        s = ((tf * (k1 + 1.0) / denom) * w[None, :]).sum(axis=1)
+        keep = tf.sum(axis=1) > 0            # inner-join semantics
+        if not keep.any():
+            return empty
+        ids = sel[id_column]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        r6 = np.round(s[keep], 6)
+        order = np.lexsort((ids, -r6))[:top_k]  # local top-k, total order
+        return pa.table({id_column: pa.array(ids[order], pa.int64()),
+                         "score_r6": pa.array(r6[order], pa.float64())})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts)
+    ids = merged[id_column].to_numpy(zero_copy_only=False)
+    r6 = merged["score_r6"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -r6))[:top_k]
+    return pa.table({id_column: pa.array(ids[order], pa.int64()),
+                     "score_r6": pa.array(r6[order], pa.float64())})
