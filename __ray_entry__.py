@@ -3370,6 +3370,24 @@ def q_kmeans_clusters_embeddings(sf_dir: str) -> pa.Table:
     })
 
 
+def q_skewkurt_events(sf_dir: str) -> pa.Table:
+    """Per-event-type sample skewness / excess kurtosis of value
+    (ops.aggregates.grouped_skew_kurt — mergeable power-sum partials,
+    no shuffle): the distribution-shape drift signal. Bias-corrected
+    G1/G2, exactly DuckDB's skewness()/kurtosis(), 6 dp."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_skew_kurt
+
+    out = grouped_skew_kurt(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value")
+    return pa.table({
+        "event_type": out["event_type"],
+        "n": out["n"],
+        "skew_r6": pc.round(out["skew"], ndigits=6),
+        "kurt_r6": pc.round(out["kurt"], ndigits=6),
+    })
+
+
 def q_bm25_search_documents(sf_dir: str) -> pa.Table:
     """BM25 ranked retrieval (ops/index.py::bm25_search) for the 3-term
     query ('spark','data','slow') over documents: two streaming passes
@@ -3606,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_part_names": q_fuzzy_match_part_names,
         "lm_score_documents": q_lm_score_documents,
         "bm25_search_documents": q_bm25_search_documents,
+        "skewkurt_events": q_skewkurt_events,
     }
 
 
@@ -5265,5 +5284,12 @@ def oracle_sql() -> dict[str, str]:
                  CROSS JOIN st
             GROUP BY tf.doc_id
             ORDER BY score_r6 DESC, tf.doc_id LIMIT 10
+        """,
+        "skewkurt_events": """
+            SELECT event_type,
+                   CAST(count(value) AS BIGINT) AS n,
+                   round(skewness(value), 6) AS skew_r6,
+                   round(kurtosis(value), 6) AS kurt_r6
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

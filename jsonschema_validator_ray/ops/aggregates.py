@@ -429,6 +429,71 @@ def grouped_linear_regression(ds, key: str, x: str, y: str) -> pa.Table:
                      "intercept": _nullify(intercept)}).sort_by(key)
 
 
+def grouped_skew_kurt(ds, key: str, x: str) -> pa.Table:
+    """Per-group sample skewness (G1) and excess kurtosis (G2) — the
+    distribution-shape tail of the mergeable-moments family
+    (`grouped_corr` / `grouped_linear_regression`): each batch emits
+    per-key ``(n, Σx, Σx², Σx³, Σx⁴)`` partials via one vectorized Arrow
+    groupby, the driver folds the tiny partial table and finishes with
+    the bias-corrected estimators DuckDB's ``skewness``/``kurtosis``
+    implement: ``G1 = (m₃/m₂^1.5)·√(n(n−1))/(n−2)`` and
+    ``G2 = ((n+1)(m₄/m₂² − 3) + 6)·(n−1)/((n−2)(n−3))`` over central
+    moments recovered from the raw power sums. No shuffle at any size.
+
+    NULL semantics match SQL: skewness needs n ≥ 3, kurtosis n ≥ 4, and
+    both are NULL for zero-variance groups; NULL x rows are skipped."""
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key, x])
+        sel = sel.filter(pc.is_valid(sel[x]))
+        xf = sel[x].cast(pa.float64())
+        x2 = pc.multiply(xf, xf)
+        t = pa.table({key: sel[key], "x": xf, "x2": x2,
+                      "x3": pc.multiply(x2, xf),
+                      "x4": pc.multiply(x2, x2)})
+        return pa.TableGroupBy(t, key).aggregate(
+            [("x", "count"), ("x", "sum"), ("x2", "sum"),
+             ("x3", "sum"), ("x4", "sum")])
+
+    import ray
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()),
+        promote_options="default")
+    final = pa.TableGroupBy(parts, key).aggregate(
+        [("x_count", "sum"), ("x_sum", "sum"), ("x2_sum", "sum"),
+         ("x3_sum", "sum"), ("x4_sum", "sum")])
+    n = final["x_count_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    s1 = final["x_sum_sum"].to_numpy(zero_copy_only=False)
+    s2 = final["x2_sum_sum"].to_numpy(zero_copy_only=False)
+    s3 = final["x3_sum_sum"].to_numpy(zero_copy_only=False)
+    s4 = final["x4_sum_sum"].to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        m = s1 / n
+        m2 = (s2 - n * m * m) / n
+        m3 = (s3 - 3.0 * m * s2 + 2.0 * n * m ** 3) / n
+        m4 = (s4 - 4.0 * m * s3 + 6.0 * m * m * s2 - 3.0 * n * m ** 4) / n
+        ok2 = m2 > 0
+        skew = np.where(
+            ok2 & (n >= 3),
+            (m3 / np.where(ok2, m2, 1.0) ** 1.5)
+            * np.sqrt(n * (n - 1.0)) / (n - 2.0), np.nan)
+        kurt = np.where(
+            ok2 & (n >= 4),
+            ((n + 1.0) * (m4 / np.where(ok2, m2, 1.0) ** 2 - 3.0) + 6.0)
+            * (n - 1.0) / ((n - 2.0) * (n - 3.0)), np.nan)
+
+    def _nullify(v):
+        arr = pa.array(v, pa.float64())
+        return pc.if_else(pc.is_nan(arr),
+                          pa.nulls(len(v), pa.float64()), arr)
+
+    return pa.table({key: final[key],
+                     "n": final["x_count_sum"].cast(pa.int64()),
+                     "skew": _nullify(skew),
+                     "kurt": _nullify(kurt)}).sort_by(key)
+
+
 def grouped_quantiles(ds, key: str, value: str, qs: Sequence[float],
                       n_buckets: int = 0):
     """EXACT grouped quantiles (linear interpolation, = SQL
