@@ -419,60 +419,129 @@ def grouped_linear_regression(ds, key: str, x: str, y: str) -> pa.Table:
         denom = n * sxx - sx * sx
         slope = np.where(denom > 0, (n * sxy - sx * sy) / denom, np.nan)
         intercept = np.where(denom > 0, (sy - slope * sx) / n, np.nan)
-    def _nullify(v):
-        arr = pa.array(v, pa.float64())
-        return pc.if_else(pc.is_nan(arr),
-                          pa.nulls(len(v), pa.float64()), arr)
     return pa.table({key: final[key],
                      "n": final["x_count_sum"].cast(pa.int64()),
-                     "slope": _nullify(slope),
-                     "intercept": _nullify(intercept)}).sort_by(key)
+                     "slope": _nan_to_null(slope),
+                     "intercept": _nan_to_null(intercept)}).sort_by(key)
+
+
+def _nan_to_null(v) -> pa.Array:
+    """float64 array with NaN encoded as Arrow NULL (shared by the
+    mergeable-moments family's finish steps)."""
+    arr = pa.array(v, pa.float64())
+    return pc.if_else(pc.is_nan(arr), pa.nulls(len(arr), pa.float64()), arr)
 
 
 def grouped_skew_kurt(ds, key: str, x: str) -> pa.Table:
     """Per-group sample skewness (G1) and excess kurtosis (G2) — the
     distribution-shape tail of the mergeable-moments family
-    (`grouped_corr` / `grouped_linear_regression`): each batch emits
-    per-key ``(n, Σx, Σx², Σx³, Σx⁴)`` partials via one vectorized Arrow
-    groupby, the driver folds the tiny partial table and finishes with
-    the bias-corrected estimators DuckDB's ``skewness``/``kurtosis``
-    implement: ``G1 = (m₃/m₂^1.5)·√(n(n−1))/(n−2)`` and
-    ``G2 = ((n+1)(m₄/m₂² − 3) + 6)·(n−1)/((n−2)(n−3))`` over central
-    moments recovered from the raw power sums. No shuffle at any size.
+    (`grouped_corr` / `grouped_linear_regression`). Numerically STABLE:
+    each batch computes per-key CENTRAL moments ``(n, mean, M2, M3, M4)``
+    with one dictionary-code segmentation (sort + reduceat, no per-row
+    Python), and the driver folds partials with Pébay's pairwise update
+    formulas — raw Σx⁴ power sums would catastrophically cancel for
+    large-mean data (epoch timestamps, ids), which is exactly where
+    DuckDB's own raw-moment accumulation degrades; on such columns this
+    op is deliberately MORE accurate than the SQL replay (documented
+    divergence; the gate column is O(100)-scale where both agree to
+    6 dp). Driver fold state is distinct-keys × blocks rows. Finishes
+    with the bias-corrected estimators DuckDB's ``skewness`` /
+    ``kurtosis`` implement: ``G1 = (m₃/m₂^1.5)·√(n(n−1))/(n−2)``,
+    ``G2 = ((n+1)(m₄/m₂² − 3) + 6)·(n−1)/((n−2)(n−3))``.
 
-    NULL semantics match SQL: skewness needs n ≥ 3, kurtosis n ≥ 4, and
-    both are NULL for zero-variance groups; NULL x rows are skipped."""
+    NULL semantics match SQL: every key group appears in the output —
+    including all-NULL-value groups (n = 0) and NULL keys (their own
+    group, as in GROUP BY); skewness needs n ≥ 3, kurtosis n ≥ 4, both
+    NULL for zero-variance groups; NULL x rows are skipped from the
+    moments but not from group membership."""
     def partial(batch: pa.Table) -> pa.Table:
-        sel = batch.select([key, x])
-        sel = sel.filter(pc.is_valid(sel[x]))
-        xf = sel[x].cast(pa.float64())
-        x2 = pc.multiply(xf, xf)
-        t = pa.table({key: sel[key], "x": xf, "x2": x2,
-                      "x3": pc.multiply(x2, xf),
-                      "x4": pc.multiply(x2, x2)})
-        return pa.TableGroupBy(t, key).aggregate(
-            [("x", "count"), ("x", "sum"), ("x2", "sum"),
-             ("x3", "sum"), ("x4", "sum")])
+        karr = batch[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        denc = pc.dictionary_encode(karr)
+        codes = denc.indices.fill_null(-1).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        xarr = batch[x]
+        if isinstance(xarr, pa.ChunkedArray):
+            xarr = xarr.combine_chunks()
+        valid = pc.is_valid(xarr).to_numpy(zero_copy_only=False)
+        xv = np.where(valid,
+                      xarr.cast(pa.float64()).fill_null(0.0)
+                      .to_numpy(zero_copy_only=False), 0.0)
+        order = np.argsort(codes, kind="stable")
+        cs, xs, vs = codes[order], xv[order], valid[order]
+        if not len(cs):
+            return pa.table({key: karr.slice(0, 0),
+                             "pn": pa.array([], pa.int64()),
+                             "pm": pa.array([], pa.float64()),
+                             "p2": pa.array([], pa.float64()),
+                             "p3": pa.array([], pa.float64()),
+                             "p4": pa.array([], pa.float64())})
+        starts = np.flatnonzero(np.diff(cs, prepend=cs[0] - 1))
+        counts = np.diff(np.append(starts, cs.size))
+        nv = np.add.reduceat(vs.astype(np.int64), starts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(nv > 0,
+                            np.add.reduceat(xs * vs, starts)
+                            / np.maximum(nv, 1), 0.0)
+        d = (xs - np.repeat(mean, counts)) * vs
+        d2 = d * d
+        m2s = np.add.reduceat(d2, starts)
+        m3s = np.add.reduceat(d2 * d, starts)
+        m4s = np.add.reduceat(d2 * d2, starts)
+        keys_out = karr.take(pa.array(order[starts], pa.int64()))
+        return pa.table({key: keys_out,
+                         "pn": pa.array(nv, pa.int64()),
+                         "pm": pa.array(mean, pa.float64()),
+                         "p2": pa.array(m2s, pa.float64()),
+                         "p3": pa.array(m3s, pa.float64()),
+                         "p4": pa.array(m4s, pa.float64())})
 
     import ray
-    parts = pa.concat_tables(ray.get(
-        ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).to_arrow_refs()),
-        promote_options="default")
-    final = pa.TableGroupBy(parts, key).aggregate(
-        [("x_count", "sum"), ("x_sum", "sum"), ("x2_sum", "sum"),
-         ("x3_sum", "sum"), ("x4_sum", "sum")])
-    n = final["x_count_sum"].to_numpy(zero_copy_only=False) \
-        .astype(np.float64)
-    s1 = final["x_sum_sum"].to_numpy(zero_copy_only=False)
-    s2 = final["x2_sum_sum"].to_numpy(zero_copy_only=False)
-    s3 = final["x3_sum_sum"].to_numpy(zero_copy_only=False)
-    s4 = final["x4_sum_sum"].to_numpy(zero_copy_only=False)
+    tables = ray.get(ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                     .materialize().to_arrow_refs())
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    parts = pa.concat_tables(tables, promote_options="default")
+    # driver fold: Pébay pairwise merge per key, sequential over the
+    # distinct-keys × blocks partial rows (same driver scale as the
+    # profiler's merges). None stands for the NULL key group.
+    state: dict = {}
+    for krow, nB, mB, M2B, M3B, M4B in zip(
+            parts[key].to_pylist(), parts["pn"].to_pylist(),
+            parts["pm"].to_pylist(), parts["p2"].to_pylist(),
+            parts["p3"].to_pylist(), parts["p4"].to_pylist()):
+        cur = state.get(krow)
+        if cur is None or cur[0] == 0:
+            state[krow] = [nB, mB, M2B, M3B, M4B]
+            continue
+        if nB == 0:
+            continue
+        nA, mA, M2A, M3A, M4A = cur
+        n = nA + nB
+        delta = mB - mA
+        mean = mA + delta * nB / n
+        M2 = M2A + M2B + delta * delta * nA * nB / n
+        M3 = (M3A + M3B
+              + delta ** 3 * nA * nB * (nA - nB) / n ** 2
+              + 3.0 * delta * (nA * M2B - nB * M2A) / n)
+        M4 = (M4A + M4B
+              + delta ** 4 * nA * nB * (nA * nA - nA * nB + nB * nB)
+              / n ** 3
+              + 6.0 * delta * delta * (nA * nA * M2B + nB * nB * M2A)
+              / n ** 2
+              + 4.0 * delta * (nA * M3B - nB * M3A) / n)
+        state[krow] = [n, mean, M2, M3, M4]
+
+    keys_list = list(state.keys())
+    n = np.array([state[k][0] for k in keys_list], np.float64)
+    M2 = np.array([state[k][2] for k in keys_list], np.float64)
+    M3 = np.array([state[k][3] for k in keys_list], np.float64)
+    M4 = np.array([state[k][4] for k in keys_list], np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
-        m = s1 / n
-        m2 = (s2 - n * m * m) / n
-        m3 = (s3 - 3.0 * m * s2 + 2.0 * n * m ** 3) / n
-        m4 = (s4 - 4.0 * m * s3 + 6.0 * m * m * s2 - 3.0 * n * m ** 4) / n
+        m2 = M2 / n
+        m3 = M3 / n
+        m4 = M4 / n
         ok2 = m2 > 0
         skew = np.where(
             ok2 & (n >= 3),
@@ -483,15 +552,11 @@ def grouped_skew_kurt(ds, key: str, x: str) -> pa.Table:
             ((n + 1.0) * (m4 / np.where(ok2, m2, 1.0) ** 2 - 3.0) + 6.0)
             * (n - 1.0) / ((n - 2.0) * (n - 3.0)), np.nan)
 
-    def _nullify(v):
-        arr = pa.array(v, pa.float64())
-        return pc.if_else(pc.is_nan(arr),
-                          pa.nulls(len(v), pa.float64()), arr)
-
-    return pa.table({key: final[key],
-                     "n": final["x_count_sum"].cast(pa.int64()),
-                     "skew": _nullify(skew),
-                     "kurt": _nullify(kurt)}).sort_by(key)
+    key_type = parts.schema.field(key).type
+    return pa.table({key: pa.array(keys_list, key_type),
+                     "n": pa.array(n.astype(np.int64), pa.int64()),
+                     "skew": _nan_to_null(skew),
+                     "kurt": _nan_to_null(kurt)}).sort_by(key)
 
 
 def grouped_quantiles(ds, key: str, value: str, qs: Sequence[float],

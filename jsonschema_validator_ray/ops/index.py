@@ -162,13 +162,20 @@ def bm25_search(ds, terms: list[str], id_column: str = "doc_id",
        top-k, and the 6dp pre-rounding makes the cut SQL-replayable.
 
     Tokenization is the repo-wide space-split convention; docs matching
-    no query term are excluded (SQL inner-join semantics). Returns
-    ``(id_column, score_r6)``.
+    no query term are excluded (SQL inner-join semantics). Repeated
+    query terms weight linearly (Lucene query-tf semantics: each term's
+    contribution is multiplied by its multiplicity in ``terms``).
+    Returns ``(id_column, score_r6)``.
     """
     import ray
 
     qterms = list(dict.fromkeys(terms))            # stable-order distinct
+    qtf = np.array([terms.count(t) for t in qterms], np.float64)
     want = pa.array(qterms, pa.string())
+    empty = pa.table({id_column: pa.array([], pa.int64()),
+                      "score_r6": pa.array([], pa.float64())})
+    if not qterms:
+        return empty
 
     def _tok(batch: pa.Table):
         """(flat tokens, per-doc lens, query-term idx, doc_rep) for the
@@ -214,16 +221,15 @@ def bm25_search(ds, terms: list[str], id_column: str = "doc_id",
         n_docs += int(pc.sum(t["n_docs"]).as_py() or 0)
         n_tokens += int(pc.sum(t["n_tokens"]).as_py() or 0)
 
-    empty = pa.table({id_column: pa.array([], pa.int64()),
-                      "score_r6": pa.array([], pa.float64())})
     if n_docs == 0:
         return empty
     avgdl = n_tokens / n_docs
-    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-    idf_ref = ray.put(idf)
+    # query-tf-weighted idf, captured in the closure directly: a
+    # |query|-sized float array ships with the serialized fn for free —
+    # ray.put broadcast only pays off for large arrays (review r5)
+    w = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) * qtf
 
     def score(batch: pa.Table) -> pa.Table:
-        w = ray.get(idf_ref)
         sel, lens, idx, doc_rep = _tok(batch)
         if not len(lens):
             return empty

@@ -59,3 +59,45 @@ def test_null_semantics_match_sql(ray_session):
         "SELECT skewness(x) FROM (VALUES (1.0),(2.0),(5.0)) v(x)"
     ).fetchone()[0]
     assert abs(d["n3"][0] - s3) < 1e-12
+
+
+def test_large_mean_numerically_stable(ray_session):
+    """Epoch-scale means must not cancel: central-moment partials +
+    Pebay merge keep G1/G2 accurate where raw power sums explode
+    (review r5 — the old power-sum version returned ~1e8 here)."""
+    import ray
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_skew_kurt
+
+    rng = np.random.default_rng(9)
+    v = 1.7e12 + rng.normal(0.0, 1000.0, 4000)
+    t = pa.table({"k": pa.array(["a"] * 4000), "v": pa.array(v)})
+    out = grouped_skew_kurt(ray.data.from_arrow(t).repartition(7),
+                            "k", "v")
+    # ground truth from centered data
+    c = v - v.mean()
+    n = float(len(v))
+    m2, m3, m4 = (c**2).mean(), (c**3).mean(), (c**4).mean()
+    g1 = (m3 / m2**1.5) * np.sqrt(n * (n - 1)) / (n - 2)
+    g2 = ((n + 1) * (m4 / m2**2 - 3) + 6) * (n - 1) / ((n - 2) * (n - 3))
+    assert abs(out["skew"][0].as_py() - g1) < 1e-6
+    assert abs(out["kurt"][0].as_py() - g2) < 1e-6
+
+
+def test_all_null_group_emitted_with_n0(ray_session):
+    """A key whose values are ALL NULL must appear with n=0 and NULL
+    stats — matching GROUP BY + count(v) SQL output (review r5)."""
+    import ray
+
+    from jsonschema_validator_ray.ops.aggregates import grouped_skew_kurt
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "a", "b", "b"]),
+        "v": pa.array([1.0, 2.0, 4.0, 9.0, None, None]),
+    })
+    out = grouped_skew_kurt(ray.data.from_arrow(t), "k", "v")
+    d = {k: (n, s, u) for k, n, s, u in zip(
+        out["k"].to_pylist(), out["n"].to_pylist(),
+        out["skew"].to_pylist(), out["kurt"].to_pylist())}
+    assert d["b"] == (0, None, None)
+    assert d["a"][0] == 4 and d["a"][1] is not None
