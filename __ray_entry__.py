@@ -3442,36 +3442,34 @@ def q_integrity_check_tables(sf_dir: str) -> pa.Table:
     — the four real TPC-H-ish edges (all clean in the corpus, asserting
     ZERO violations is itself the check) and the deliberately-unsatisfied
     events.user_id->supplier.s_suppkey audit edge, whose orphan count
-    exercises the non-zero path. One pruned single-column scan per
-    (table, column) pair, no shuffle; oracle is the UNION ALL of
+    exercises the non-zero path. Each table is read ONCE with all its
+    checked key columns pruned at the scan (lineitem's three fk columns
+    share a single pass), no shuffle; oracle is the UNION ALL of
     count(DISTINCT) / NOT EXISTS counts."""
     from jsonschema_validator_ray.ops.integrity import integrity_report
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
     part = _read(sf_dir, "part", ["p_partkey"])
     supp = _read(sf_dir, "supplier", ["s_suppkey"])
-    orders_pk = _read(sf_dir, "orders", ["o_orderkey"])
-    orders_fk = _read(sf_dir, "orders", ["o_custkey"])
-    li_ok = _read(sf_dir, "lineitem", ["l_orderkey"])
-    li_pk = _read(sf_dir, "lineitem", ["l_partkey"])
-    li_sk = _read(sf_dir, "lineitem", ["l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
     ev = _read(sf_dir, "events", ["user_id"])
     return integrity_report(
         pk_checks=[
             ("pk:customer.c_custkey", cust, "c_custkey"),
-            ("pk:orders.o_orderkey", orders_pk, "o_orderkey"),
+            ("pk:orders.o_orderkey", orders, "o_orderkey"),
             ("pk:part.p_partkey", part, "p_partkey"),
             ("pk:supplier.s_suppkey", supp, "s_suppkey"),
         ],
         fk_checks=[
             ("fk:orders.o_custkey->customer.c_custkey",
-             orders_fk, "o_custkey", cust, "c_custkey"),
+             orders, "o_custkey", cust, "c_custkey"),
             ("fk:lineitem.l_orderkey->orders.o_orderkey",
-             li_ok, "l_orderkey", orders_pk, "o_orderkey"),
+             li, "l_orderkey", orders, "o_orderkey"),
             ("fk:lineitem.l_partkey->part.p_partkey",
-             li_pk, "l_partkey", part, "p_partkey"),
+             li, "l_partkey", part, "p_partkey"),
             ("fk:lineitem.l_suppkey->supplier.s_suppkey",
-             li_sk, "l_suppkey", supp, "s_suppkey"),
+             li, "l_suppkey", supp, "s_suppkey"),
             ("fk:events.user_id->supplier.s_suppkey",
              ev, "user_id", supp, "s_suppkey"),
         ])

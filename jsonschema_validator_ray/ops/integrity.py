@@ -27,46 +27,62 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _key_partials(ds, col: str):
-    """One streaming pass over ``ds``: returns ``(keys, counts, n_rows,
-    n_null)`` — sorted distinct non-null int64 keys with their aligned
-    row counts. Per-block work is one vectorized ``value_counts`` kept
-    FLAT (null keys ride along as a null-valued count row, so block row
-    totals need no side channel); the driver fold is one
-    ``concat + TableGroupBy.sum`` — no Python per-key loop anywhere
-    (review r5; same fold shape as `aggregates.value_counts`)."""
+def _key_partials(ds, cols):
+    """One streaming pass over ``ds`` covering ALL ``cols`` at once:
+    returns ``{col: (keys, counts, n_rows, n_null)}`` — sorted distinct
+    non-null int64 keys with aligned row counts per column. Per-block
+    work is one vectorized ``value_counts`` per column, kept FLAT and
+    column-tagged (null keys ride along as a null-valued count row, so
+    block row totals need no side channel); the driver fold is one
+    ``concat + TableGroupBy.sum`` over (col, k) — no Python per-key loop
+    anywhere (review r5; same fold shape as `aggregates.value_counts`).
+    A table referenced by several checks is therefore read exactly once,
+    with only the checked columns leaving storage."""
     import ray
 
+    cols = list(cols)
+
     def part(batch: pa.Table) -> pa.Table:
-        arr = batch[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        vc = pc.value_counts(arr.cast(pa.int64()))   # nulls counted too
-        return pa.table({"k": vc.field("values"),
-                         "c": vc.field("counts").cast(pa.int64())})
+        outs = []
+        for col in cols:
+            arr = batch[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            vc = pc.value_counts(arr.cast(pa.int64()))  # nulls counted too
+            outs.append(pa.table({
+                "col": pa.array([col] * len(vc), pa.string()),
+                "k": vc.field("values"),
+                "c": vc.field("counts").cast(pa.int64())}))
+        return pa.concat_tables(outs)
 
     parts = [t for t in ray.get(
         ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
         .materialize().to_arrow_refs()) if t.num_rows]
+    out = {}
     if not parts:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int64), 0, 0)
-    folded = pa.TableGroupBy(pa.concat_tables(parts), "k") \
+        for col in cols:
+            out[col] = (np.zeros(0, np.int64), np.zeros(0, np.int64), 0, 0)
+        return out
+    folded = pa.TableGroupBy(pa.concat_tables(parts), ["col", "k"]) \
         .aggregate([("c", "sum")])
-    karr = folded["k"]
-    if isinstance(karr, pa.ChunkedArray):
-        karr = karr.combine_chunks()
-    carr = folded["c_sum"]
-    null_mask = pc.is_null(karr)
-    n_null = int(pc.sum(pc.if_else(null_mask, carr,
-                                   pa.scalar(0, pa.int64()))).as_py() or 0)
-    n_rows = int(pc.sum(carr).as_py() or 0)
-    valid = pc.invert(null_mask)
-    keys = karr.filter(valid).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    counts = carr.combine_chunks().filter(valid) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(keys)
-    return keys[order], counts[order], n_rows, n_null
+    for col in cols:
+        sel = folded.filter(pc.equal(folded["col"], col))
+        karr = sel["k"]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        carr = sel["c_sum"]
+        null_mask = pc.is_null(karr)
+        n_null = int(pc.sum(pc.if_else(
+            null_mask, carr, pa.scalar(0, pa.int64()))).as_py() or 0)
+        n_rows = int(pc.sum(carr).as_py() or 0)
+        valid = pc.invert(null_mask)
+        keys = karr.filter(valid).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = carr.combine_chunks().filter(valid) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys)
+        out[col] = (keys[order], counts[order], n_rows, n_null)
+    return out
 
 
 def integrity_report(pk_checks, fk_checks) -> pa.Table:
@@ -85,17 +101,22 @@ def integrity_report(pk_checks, fk_checks) -> pa.Table:
     upstream for optional-reference semantics).
 
     Each distinct Dataset is scanned ONCE even when it appears in several
-    checks (keyed by object identity). Keys must be integer-castable
-    (the repo-wide join-key contract). Output columns:
+    checks or contributes several columns (keyed by object identity; all
+    of a table's checked columns fold in the same pass). Keys must be
+    integer-castable (the repo-wide join-key contract). Output columns:
     ``check_name, n_rows, n_violations``, sorted by ``check_name``.
     """
-    scans: dict = {}
+    wanted: dict = {}          # id(ds) -> (ds, {cols})
+    for _label, ds, col in pk_checks:
+        wanted.setdefault(id(ds), (ds, set()))[1].add(col)
+    for _label, child, fk_col, parent, pk_col in fk_checks:
+        wanted.setdefault(id(child), (child, set()))[1].add(fk_col)
+        wanted.setdefault(id(parent), (parent, set()))[1].add(pk_col)
+    scans = {ds_id: _key_partials(ds, sorted(cols))
+             for ds_id, (ds, cols) in wanted.items()}
 
     def scan(ds, col):
-        key = (id(ds), col)
-        if key not in scans:
-            scans[key] = _key_partials(ds, col)
-        return scans[key]
+        return scans[id(ds)][col]
 
     rows = []
     for label, ds, col in pk_checks:
