@@ -1944,6 +1944,49 @@ def q_ipc_roundtrip_documents(sf_dir: str) -> pa.Table:
     })
 
 
+def q_orc_roundtrip_documents(sf_dir: str) -> pa.Table:
+    """Apache ORC source/sink losslessness: documents -> write_orc (one
+    content-addressed .orc shard per block, pyarrow.orc encode straight
+    from the Arrow block) -> read_orc (one zero-copy decode task per
+    shard) -> per-lang aggregate recomputed from the REREAD rows (char
+    count recomputed, not carried) — equal to the oracle over the
+    original parquet iff the ORC roundtrip preserved every row, string
+    and group key. The write-side shard manifest cross-checks the reread
+    row count."""
+    from jsonschema_validator_ray.sources.files import read_orc, write_orc
+
+    path = "/tmp/graft_files/orc_documents"
+    manifest = write_orc(_read(sf_dir, "documents",
+                               ["doc_id", "lang", "text"]), path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from jsonschema_validator_ray.rayutil import strip_meta
+        t = pa.table({"lang": batch["lang"],
+                      "chars": pc.utf8_length(batch["text"]),
+                      "doc_id": batch["doc_id"]})
+        g = t.group_by("lang").aggregate(
+            [("chars", "sum"), ("doc_id", "count"), ("doc_id", "sum")])
+        return strip_meta(pa.table({
+            "lang": g["lang"],
+            "n_docs": g["doc_id_count"].cast(pa.int64()),
+            "sum_ids": g["doc_id_sum"].cast(pa.int64()),
+            "sum_chars": g["chars_sum"].cast(pa.int64())}))
+
+    parts = _collect(read_orc(path).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    n_reread = pc.sum(parts["n_docs"]).as_py()
+    if n_reread != pc.sum(manifest["n_rows"]).as_py():
+        raise AssertionError("ORC reread row count != written manifest")
+    g = parts.group_by("lang").aggregate(
+        [("n_docs", "sum"), ("sum_ids", "sum"), ("sum_chars", "sum")])
+    return pa.table({
+        "lang": g["lang"],
+        "n_docs": g["n_docs_sum"].cast(pa.int64()),
+        "sum_ids": g["sum_ids_sum"].cast(pa.int64()),
+        "sum_chars": g["sum_chars_sum"].cast(pa.int64()),
+    }).sort_by("lang")
+
+
 def q_npy_roundtrip_embeddings(sf_dir: str) -> pa.Table:
     """NumPy .npy source/sink over the embedding matrix: embeddings
     (list<float>) -> one float32 matrix shard per block (write_numpy) ->
@@ -3600,6 +3643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_documents": q_jsonl_roundtrip_documents,
         "csv_roundtrip_documents": q_csv_roundtrip_documents,
         "ipc_roundtrip_documents": q_ipc_roundtrip_documents,
+        "orc_roundtrip_documents": q_orc_roundtrip_documents,
         "npy_roundtrip_embeddings": q_npy_roundtrip_embeddings,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
@@ -4980,6 +5024,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
             FROM documents
+        """,
+        "orc_roundtrip_documents": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "npy_roundtrip_embeddings": """
             WITH el AS (SELECT unnest(embedding) AS x,

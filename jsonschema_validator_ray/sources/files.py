@@ -138,6 +138,90 @@ def read_ipc(path: str):
         .map_batches(decode, batch_format="pyarrow", batch_size=1)
 
 
+def write_orc(ds, path: str):
+    """Apache ORC sink: one self-describing ``.orc`` file per block under
+    ``path`` (replaced) — the columnar interchange format of
+    Hive/Trino-era warehouses, so egress to those stacks needs no
+    re-encode step. Ray Data has no native ORC writer, so this rides the
+    same block-parallel content-addressed shape as :func:`write_ipc`:
+    each writer task encodes its Arrow block with ``pyarrow.orc`` straight
+    from the object store (no pandas detour), names the shard by content
+    hash (a Ray schema probe or task retry re-commits the SAME file
+    instead of planting a stray duplicate), and commits through
+    ``ops.sink._commit_file``'s unique-tmp atomic rename. Returns the
+    shard manifest (path, n_rows — one row per shard, driver-scale),
+    which is also what forces execution."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+    from pyarrow import orc
+
+    # bound at op-construction time (driver-side) so the worker closure
+    # carries the helper by value — the repo-wide rule for the
+    # driver-inits-Ray-before-PYTHONPATH fallback (rayutil.py)
+    from ..ops.sink import _commit_file
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: "pa.Table") -> "pa.Table":
+        sink = pa.BufferOutputStream()
+        orc.write_table(batch, sink)
+        buf = sink.getvalue()
+        basename = f"shard-{hashlib.md5(buf).hexdigest()}.orc"
+
+        def _write(tmp: str) -> None:
+            with open(tmp, "wb") as f:
+                f.write(buf)
+
+        name, _skipped = _commit_file(path, basename, _write)
+        return pa.table({"path": pa.array([name], pa.string()),
+                         "n_rows": pa.array([batch.num_rows], pa.int64())})
+
+    # materialize() first: to_arrow_refs on a lazy plan appends a limit-1
+    # schema probe that would re-run write_block on one block (harmless
+    # skip-write thanks to content addressing, but pay it once, not twice)
+    parts = [t for t in ray.get(
+        ds.map_batches(write_block, batch_format="pyarrow",
+                       batch_size=None,          # whole blocks
+                       zero_copy_batch=True).materialize().to_arrow_refs())
+        if t.num_rows]
+    # dedupe by path: identical-content blocks commit one file
+    per_file: dict = {}
+    for t in parts:
+        for p, n in zip(t["path"].to_pylist(), t["n_rows"].to_pylist()):
+            per_file[p] = int(n)
+    names = sorted(per_file)
+    return pa.table({"path": pa.array(names, pa.string()),
+                     "n_rows": pa.array([per_file[p] for p in names],
+                                        pa.int64())})
+
+
+def read_orc(path: str):
+    """Parallel ORC read: one decode task per shard file.
+    ``read_binary_files`` hands each task the raw bytes zero-copy from the
+    object store; ``pyarrow.orc.ORCFile`` over a BufferReader decodes
+    stripes into Arrow without an intermediate copy. ``batch_size=1``
+    keeps one file per decode call so a shard's memory footprint bounds
+    the task — the same per-file parallelism contract as the IPC reader.
+    (At 100 TB, stripe-level splitting inside huge single files would be
+    the next step; the sink's one-file-per-block layout keeps shards
+    block-sized so file-level parallelism is already full-width.)"""
+    import pyarrow as pa
+    import ray
+    from pyarrow import orc
+
+    def decode(batch: "pa.Table") -> "pa.Table":
+        col = batch["bytes"].combine_chunks()
+        return pa.concat_tables(
+            orc.ORCFile(pa.BufferReader(col[i].as_buffer())).read()
+            for i in range(len(col)))
+
+    return ray.data.read_binary_files(path, file_extensions=["orc"]) \
+        .map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
 def write_npy(ds, path: str, column: str):
     """NumPy ``.npy`` sink for a single ndarray column: one matrix shard
     per block under ``path`` (replaced) — the interchange format of

@@ -159,6 +159,43 @@ def test_ipc_roundtrip_lossless(ray_session, tmp_path):
     assert sum(manifest2["n_rows"].to_pylist()) == 100
 
 
+def test_orc_roundtrip_lossless(ray_session, tmp_path):
+    """write_orc -> read_orc preserves rows, nulls, and multibyte strings
+    across multiple shards; the manifest matches the files on disk; the
+    write is idempotent (content-addressed shards, same contract as IPC)."""
+    import os
+
+    import ray.data
+
+    from jsonschema_validator_ray.sources.files import read_orc, write_orc
+
+    tab = pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "text": pa.array([None if i % 7 == 0 else f"día-{i}-über"
+                          for i in range(100)], pa.string()),
+        "score": pa.array([None if i % 11 == 0 else i / 3.0
+                           for i in range(100)], pa.float64()),
+    })
+    ds = ray.data.from_arrow(tab).repartition(4)
+    path = str(tmp_path / "orc")
+    manifest = write_orc(ds, path)
+    files = sorted(f for f in os.listdir(path) if f.endswith(".orc"))
+    assert [os.path.basename(p) for p in
+            manifest["path"].to_pylist()] == files
+    assert sum(manifest["n_rows"].to_pylist()) == 100
+
+    back = read_orc(path).take_all()
+    got = sorted((r["doc_id"], r["text"], r["score"]) for r in back)
+    want = sorted(zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist(),
+                      tab["score"].to_pylist()))
+    assert got == want
+
+    manifest2 = write_orc(ray.data.from_arrow(tab).repartition(4), path)
+    files2 = sorted(f for f in os.listdir(path) if f.endswith(".orc"))
+    assert files2 == files
+    assert sum(manifest2["n_rows"].to_pylist()) == 100
+
+
 def test_npy_roundtrip_matrix(ray_session, tmp_path):
     """write_npy -> read_npy round-trips a float32 matrix column shard by
     shard with exact bits."""
