@@ -1766,9 +1766,9 @@ def q_ks_drift_events(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.stats import ks_two_sample
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
+    from jsonschema_validator_ray.rayutil import strip_meta
 
     def tag(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
         keep = pc.is_in(batch["event_type"],
                         value_set=pa.array(["purchase", "view"]))
         sel = batch.filter(keep.fill_null(False))
@@ -1832,9 +1832,9 @@ def q_shuffle_positions_documents(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.ops.stats import assign_global_rank
 
     ds = _read(sf_dir, "documents", ["doc_id"])
+    from jsonschema_validator_ray.rayutil import strip_meta
 
     def keyfn(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
         ids = batch["doc_id"].cast(pa.int64()) \
             .to_numpy(zero_copy_only=False).astype(np.uint64)
         k = ids * np.uint64(2654435761)   # odd multiplier: bijective mod 2^64
@@ -1861,9 +1861,9 @@ def q_jsonl_roundtrip_documents(sf_dir: str) -> pa.Table:
     path = "/tmp/graft_files/jsonl_documents"
     write_jsonl(_read(sf_dir, "documents",
                       ["doc_id", "lang", "text"]), path)
+    from jsonschema_validator_ray.rayutil import strip_meta
 
     def partial(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
         return strip_meta(pa.table({
             "n_docs": pa.array([batch.num_rows], pa.int64()),
             "sum_ids": pa.array([pc.sum(batch["doc_id"]).as_py() or 0],
@@ -1919,9 +1919,9 @@ def q_ipc_roundtrip_documents(sf_dir: str) -> pa.Table:
     path = "/tmp/graft_files/ipc_documents"
     manifest = write_ipc(_read(sf_dir, "documents",
                                ["doc_id", "lang", "text"]), path)
+    from jsonschema_validator_ray.rayutil import strip_meta
 
     def partial(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
         return strip_meta(pa.table({
             "n_docs": pa.array([batch.num_rows], pa.int64()),
             "sum_ids": pa.array([pc.sum(batch["doc_id"]).as_py() or 0],
@@ -1958,9 +1958,9 @@ def q_orc_roundtrip_documents(sf_dir: str) -> pa.Table:
     path = "/tmp/graft_files/orc_documents"
     manifest = write_orc(_read(sf_dir, "documents",
                                ["doc_id", "lang", "text"]), path)
+    from jsonschema_validator_ray.rayutil import strip_meta
 
     def partial(batch: pa.Table) -> pa.Table:
-        from jsonschema_validator_ray.rayutil import strip_meta
         t = pa.table({"lang": batch["lang"],
                       "chars": pc.utf8_length(batch["text"]),
                       "doc_id": batch["doc_id"]})
@@ -1985,6 +1985,106 @@ def q_orc_roundtrip_documents(sf_dir: str) -> pa.Table:
         "sum_ids": g["sum_ids_sum"].cast(pa.int64()),
         "sum_chars": g["sum_chars_sum"].cast(pa.int64()),
     }).sort_by("lang")
+
+
+def q_user_journeys_events(sf_dir: str) -> pa.Table:
+    """Per-user ordered event-type journey (first 8 events by (ts,
+    event_id)) via ops.aggregates.grouped_string_agg — SQL
+    ``string_agg(... ORDER BY ...)`` over ``row_number() <= 8``, the
+    funnel-mining path-extraction primitive. One key-hash bucket shuffle;
+    paths built by a single ListArray + binary_join kernel per bucket."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_string_agg
+
+    out = _collect(grouped_string_agg(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                 "event_type"]),
+        "user_id", "event_type", ["ts", "event_id"], sep=">", cap=8))
+    return out.sort_by("user_id")
+
+
+def q_apply_changes_orders(sf_dir: str) -> pa.Table:
+    """CDC merge (ops.merge.apply_changes — SQL MERGE/upsert in ONE hash
+    shuffle): a deterministic change stream synthesized from orders
+    (updates for key%10==3, deletes for key%10==7, inserts at key+1e9 for
+    key%10==1, and a SECOND higher-seq update for key%100==13 so
+    latest-wins is exercised) applied to the orders snapshot; the merged
+    table is fingerprinted per status with an int64 cents quantization
+    (floor(p*100+0.5) — bit-deterministic IEEE, no float-sum-order
+    hazard). All change arithmetic (+1000, *0.5, *2) is exact-IEEE and
+    identical in the oracle."""
+    from jsonschema_validator_ray.ops.merge import apply_changes
+    from jsonschema_validator_ray.rayutil import strip_meta
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    snap_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64())])
+    ch_schema = pa.schema(
+        list(zip(snap_schema.names, snap_schema.types))
+        + [("seq", pa.int64()), ("op", pa.string())])
+
+    def make_changes(batch: pa.Table) -> pa.Table:
+        kk = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        parts = []
+
+        def emit(t: pa.Table, key_col, price, seq: int, op: str,
+                 null_vals: bool = False):
+            n = t.num_rows
+            parts.append(pa.table({
+                "o_orderkey": key_col,
+                "o_custkey": pa.nulls(n, pa.int64()) if null_vals
+                else t["o_custkey"],
+                "o_orderstatus": pa.nulls(n, pa.string()) if null_vals
+                else t["o_orderstatus"],
+                "o_totalprice": price,
+                "seq": pa.array(np.full(n, seq, np.int64), pa.int64()),
+                "op": pa.array([op] * n, pa.string()),
+            }, schema=ch_schema))
+
+        t = batch.filter(pa.array(kk % 10 == 3))
+        emit(t, t["o_orderkey"], pc.add(t["o_totalprice"], 1000.0), 2, "U")
+        t = batch.filter(pa.array(kk % 10 == 7))
+        emit(t, t["o_orderkey"], pa.nulls(t.num_rows, pa.float64()),
+             1, "D", null_vals=True)
+        t = batch.filter(pa.array(kk % 10 == 1))
+        emit(t, pc.add(t["o_orderkey"],
+                       pa.scalar(1_000_000_000, pa.int64())),
+             pc.multiply(t["o_totalprice"], 0.5), 3, "U")
+        t = batch.filter(pa.array(kk % 100 == 13))
+        emit(t, t["o_orderkey"], pc.multiply(t["o_totalprice"], 2.0),
+             5, "U")
+        return strip_meta(pa.concat_tables(parts))
+
+    merged = apply_changes(
+        _read(sf_dir, "orders", cols),
+        _read(sf_dir, "orders", cols).map_batches(
+            make_changes, batch_format="pyarrow", zero_copy_batch=True),
+        key="o_orderkey", snapshot_schema=snap_schema,
+        changes_schema=ch_schema)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["o_totalprice"], 100.0), 0.5)), pa.int64())
+        t = pa.table({"o_orderstatus": batch["o_orderstatus"],
+                      "cents": cents, "k": batch["o_orderkey"]})
+        g = t.group_by("o_orderstatus").aggregate(
+            [("cents", "sum"), ("k", "sum"), ("k", "count")])
+        return strip_meta(pa.table({
+            "o_orderstatus": g["o_orderstatus"],
+            "n_rows": g["k_count"].cast(pa.int64()),
+            "sum_cents": g["cents_sum"].cast(pa.int64()),
+            "sum_keys": g["k_sum"].cast(pa.int64())}))
+
+    parts = _collect(merged.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    g = parts.group_by("o_orderstatus").aggregate(
+        [("n_rows", "sum"), ("sum_cents", "sum"), ("sum_keys", "sum")])
+    return pa.table({
+        "o_orderstatus": g["o_orderstatus"],
+        "n_rows": g["n_rows_sum"].cast(pa.int64()),
+        "sum_cents": g["sum_cents_sum"].cast(pa.int64()),
+        "sum_keys": g["sum_keys_sum"].cast(pa.int64()),
+    }).sort_by("o_orderstatus")
 
 
 def q_npy_roundtrip_embeddings(sf_dir: str) -> pa.Table:
@@ -3645,6 +3745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip_documents": q_ipc_roundtrip_documents,
         "orc_roundtrip_documents": q_orc_roundtrip_documents,
         "npy_roundtrip_embeddings": q_npy_roundtrip_embeddings,
+        "apply_changes_orders": q_apply_changes_orders,
+        "user_journeys_events": q_user_journeys_events,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
         "schema_union_documents": q_schema_union_documents,
@@ -5024,6 +5126,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
             FROM documents
+        """,
+        "user_journeys_events": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS cnt
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            )
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path,
+                   CAST(max(cnt) AS BIGINT) AS n_events
+            FROM r WHERE rn <= 8
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "apply_changes_orders": """
+            WITH ch AS (
+                SELECT o_orderkey AS k, 2 AS seq, 'U' AS op,
+                       o_orderstatus AS s, o_totalprice + 1000.0 AS p
+                FROM orders WHERE o_orderkey % 10 = 3
+                UNION ALL
+                SELECT o_orderkey, 1, 'D', NULL, NULL
+                FROM orders WHERE o_orderkey % 10 = 7
+                UNION ALL
+                SELECT o_orderkey + 1000000000, 3, 'U',
+                       o_orderstatus, o_totalprice * 0.5
+                FROM orders WHERE o_orderkey % 10 = 1
+                UNION ALL
+                SELECT o_orderkey, 5, 'U',
+                       o_orderstatus, o_totalprice * 2.0
+                FROM orders WHERE o_orderkey % 100 = 13
+            ),
+            latest AS (
+                SELECT k, op, s, p FROM (
+                    SELECT ch.*, row_number() OVER (
+                        PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+                    FROM ch) t
+                WHERE rn = 1
+            ),
+            merged AS (
+                SELECT o.o_orderkey AS k, o.o_orderstatus AS s,
+                       o.o_totalprice AS p
+                FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM latest l
+                                  WHERE l.k = o.o_orderkey)
+                UNION ALL
+                SELECT k, s, p FROM latest WHERE op <> 'D'
+            )
+            SELECT s AS o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(sum(k) AS BIGINT) AS sum_keys
+            FROM merged GROUP BY s ORDER BY s
         """,
         "orc_roundtrip_documents": """
             SELECT lang,

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 # is cloudpickled by-value (runtime relative imports inside worker fns
 # break the no-PYTHONPATH fallback — ADVICE r4)
 from ..rayutil import strip_meta
-from ..stages.groupcheck import np_column_hash
+from ..stages.groupcheck import np_column_hash, run_starts
 
 
 def profile_columns(ds, numeric_cols: Sequence[str] = (),
@@ -167,15 +167,7 @@ def _argmax_rows(table: pa.Table, key: str, order_col: str,
     if tiebreak is not None:
         keys.append((tiebreak, "ascending"))
     srt = table.sort_by(keys)
-    karr = srt[key]
-    if isinstance(karr, pa.ChunkedArray):
-        karr = karr.combine_chunks()
-    n = len(karr)
-    first = np.ones(n, bool)
-    if n > 1:
-        first[1:] = ~pc.equal(karr.slice(1), karr.slice(0, n - 1)) \
-            .to_numpy(zero_copy_only=False)
-    return srt.filter(pa.array(first))
+    return srt.filter(pa.array(run_starts(srt[key])))
 
 
 def grouped_argmax(ds, key: str, order_col: str, *,
@@ -256,20 +248,76 @@ def grouped_mode(ds, key: str, value: str, n_buckets: int = 0):
         srt = folded.sort_by([(key, "ascending"),
                               ("cnt_sum", "descending"),
                               (value, "ascending")])
-        karr = srt[key].combine_chunks() \
-            if isinstance(srt[key], pa.ChunkedArray) else srt[key]
-        n = len(karr)
-        first = np.ones(n, bool)
-        if n > 1:
-            first[1:] = ~pc.equal(karr.slice(1), karr.slice(0, n - 1)) \
-                .to_numpy(zero_copy_only=False)
-        top = srt.filter(pa.array(first))
+        top = srt.filter(pa.array(run_starts(srt[key])))
         return pa.table({key: top[key], "mode": top[value],
                          "n": top["cnt_sum"].cast(pa.int64())})
 
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("_bucket").map_groups(bucket_mode, batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, key: str, value: str,
+                       order_cols: "Sequence[str]", *, sep: str = ">",
+                       cap: int = 8, n_buckets: int = 0):
+    """Per-group ORDERED string aggregation capped at the first ``cap``
+    elements (SQL ``string_agg(value, sep ORDER BY order_cols)`` over
+    ``row_number() <= cap``) — the journey/path-extraction primitive
+    (per-user event sequences for funnel mining, per-conversation role
+    traces). Emits one row per key: ``(key, path, n_events)`` where
+    ``n_events`` is the UNCAPPED group size.
+
+    Scale shape: rows shrink to ``(key, order_cols, value)`` at the scan,
+    ONE key-hash bucket shuffle co-locates each key, and the in-bucket
+    fold is fully vectorized — sort, key-run detection, a segmented rank
+    (``arange - starts[seg]``) for the cap, then ``ListArray`` offsets +
+    ``pc.binary_join`` (the render_sft idiom) build every path in one
+    kernel call. The cap bounds output row width, so a hot key costs its
+    row count in the sort, never an unbounded string. Null keys and null
+    values are dropped (documented join-key contract)."""
+    from ..rayutil import default_buckets
+    n_buckets = default_buckets(n_buckets)
+    cols = [key, *order_cols, value]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select(cols)
+        ok = pc.and_kleene(pc.is_valid(sel[key]), pc.is_valid(sel[value]))
+        sel = sel.filter(ok.fill_null(False))
+        h = (np_column_hash(sel[key]) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return strip_meta(sel).append_column("_bucket",
+                                             pa.array(h, pa.int64()))
+
+    def bucket_agg(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        if body.num_rows == 0:
+            return pa.table({key: body[key],
+                             "path": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64())})
+        srt = body.sort_by([(key, "ascending")]
+                           + [(c, "ascending") for c in order_cols])
+        karr = srt[key].combine_chunks()
+        vals = srt[value].combine_chunks()
+        n = len(karr)
+        first = run_starts(karr)
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        seg = np.cumsum(first) - 1
+        rank = np.arange(n) - starts[seg]
+        kept_vals = vals.filter(pa.array(rank < cap))
+        kept_sizes = np.minimum(sizes, cap)
+        offsets = np.concatenate(([0], np.cumsum(kept_sizes))) \
+            .astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_vals)
+        return pa.table({
+            key: karr.take(pa.array(starts, pa.int64())),
+            "path": pc.binary_join(lst, sep),
+            "n_events": pa.array(sizes, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_agg, batch_format="pyarrow")
 
 
 def grouped_percent_rank(ds, key: str, value: str, id_col: str,

@@ -11,7 +11,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.groupcheck import np_column_hash
+from ..stages.groupcheck import np_column_hash, run_starts
 
 # minimal public stopword lists (top function words per language)
 _STOPWORDS = {
@@ -512,11 +512,7 @@ def vocab_entropy(ds, key: str, column: str = "text", n_buckets: int = 0):
         if isinstance(karr, pa.ChunkedArray):
             karr = karr.combine_chunks()
         c = srt["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = len(karr)
-        first = np.ones(n, bool)
-        if n > 1:
-            first[1:] = ~pc.equal(karr.slice(1), karr.slice(0, n - 1)) \
-                .to_numpy(zero_copy_only=False)
+        first = run_starts(karr)
         gid = np.cumsum(first) - 1
         tot = np.bincount(gid, weights=c)
         p = c / tot[gid]

@@ -57,14 +57,18 @@ def read_csv(path: str):
     return ray.data.read_csv(path)
 
 
-def write_ipc(ds, path: str):
-    """Arrow IPC (Feather V2, ``.arrow``) sink: one self-describing IPC
-    file per block under ``path`` (replaced). The writer task streams each
-    Arrow block straight from the object store to disk through
-    ``pa.ipc.new_file`` — no pandas / Python-object detour, and the file
-    carries its own schema so the read side needs no footer scan. Returns
-    the shard manifest (path, n_rows; one row per shard — driver-scale),
-    which is also what forces execution."""
+def _write_shards(ds, path: str, ext: str, encode):
+    """Shared block-parallel shard sink: one ``encode``-d file per block
+    under ``path`` (replaced), content-addressed + atomic. Ray may re-run
+    a side-effecting block (schema probes, task retries at cluster
+    scale) — identical content then lands on the SAME name instead of
+    planting a stray duplicate shard; ``_commit_file``'s unique tmp keeps
+    two concurrent writers of that same name from interleaving, the same
+    contract as ops.sink's parquet parts. ``encode(batch) -> bytes-like``
+    runs inside the writer task, straight from the Arrow block (no
+    pandas / Python-object detour). Returns the shard manifest
+    (path, n_rows; one row per shard — driver-scale), which is also what
+    forces execution."""
     import hashlib
 
     import pyarrow as pa
@@ -79,17 +83,8 @@ def write_ipc(ds, path: str):
     os.makedirs(path, exist_ok=True)
 
     def write_block(batch: "pa.Table") -> "pa.Table":
-        # content-addressed + atomic: Ray may re-run a side-effecting
-        # block (schema probes, task retries at cluster scale) —
-        # identical content then lands on the SAME name instead of
-        # planting a stray duplicate shard; _commit_file's unique tmp
-        # keeps two concurrent writers of that same name from
-        # interleaving, the same contract as ops.sink's parquet parts
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_file(sink, batch.schema) as w:
-            w.write_table(batch)
-        buf = sink.getvalue()
-        basename = f"shard-{hashlib.md5(buf).hexdigest()}.arrow"
+        buf = encode(batch)
+        basename = f"shard-{hashlib.md5(buf).hexdigest()}.{ext}"
 
         def _write(tmp: str) -> None:
             with open(tmp, "wb") as f:
@@ -116,6 +111,22 @@ def write_ipc(ds, path: str):
     return pa.table({"path": pa.array(names, pa.string()),
                      "n_rows": pa.array([per_file[p] for p in names],
                                         pa.int64())})
+
+
+def write_ipc(ds, path: str):
+    """Arrow IPC (Feather V2, ``.arrow``) sink: one self-describing IPC
+    file per block under ``path`` (replaced), via the content-addressed
+    idempotent shard contract of :func:`_write_shards`. The file carries
+    its own schema so the read side needs no footer scan."""
+    import pyarrow as pa
+
+    def encode(batch: "pa.Table"):
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, batch.schema) as w:
+            w.write_table(batch)
+        return sink.getvalue()
+
+    return _write_shards(ds, path, "arrow", encode)
 
 
 def read_ipc(path: str):
@@ -151,51 +162,15 @@ def write_orc(ds, path: str):
     ``ops.sink._commit_file``'s unique-tmp atomic rename. Returns the
     shard manifest (path, n_rows — one row per shard, driver-scale),
     which is also what forces execution."""
-    import hashlib
-
     import pyarrow as pa
-    import ray
     from pyarrow import orc
 
-    # bound at op-construction time (driver-side) so the worker closure
-    # carries the helper by value — the repo-wide rule for the
-    # driver-inits-Ray-before-PYTHONPATH fallback (rayutil.py)
-    from ..ops.sink import _commit_file
-
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-
-    def write_block(batch: "pa.Table") -> "pa.Table":
+    def encode(batch: "pa.Table"):
         sink = pa.BufferOutputStream()
         orc.write_table(batch, sink)
-        buf = sink.getvalue()
-        basename = f"shard-{hashlib.md5(buf).hexdigest()}.orc"
+        return sink.getvalue()
 
-        def _write(tmp: str) -> None:
-            with open(tmp, "wb") as f:
-                f.write(buf)
-
-        name, _skipped = _commit_file(path, basename, _write)
-        return pa.table({"path": pa.array([name], pa.string()),
-                         "n_rows": pa.array([batch.num_rows], pa.int64())})
-
-    # materialize() first: to_arrow_refs on a lazy plan appends a limit-1
-    # schema probe that would re-run write_block on one block (harmless
-    # skip-write thanks to content addressing, but pay it once, not twice)
-    parts = [t for t in ray.get(
-        ds.map_batches(write_block, batch_format="pyarrow",
-                       batch_size=None,          # whole blocks
-                       zero_copy_batch=True).materialize().to_arrow_refs())
-        if t.num_rows]
-    # dedupe by path: identical-content blocks commit one file
-    per_file: dict = {}
-    for t in parts:
-        for p, n in zip(t["path"].to_pylist(), t["n_rows"].to_pylist()):
-            per_file[p] = int(n)
-    names = sorted(per_file)
-    return pa.table({"path": pa.array(names, pa.string()),
-                     "n_rows": pa.array([per_file[p] for p in names],
-                                        pa.int64())})
+    return _write_shards(ds, path, "orc", encode)
 
 
 def read_orc(path: str):

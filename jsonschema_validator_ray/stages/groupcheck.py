@@ -294,6 +294,25 @@ def np_column_hash(col) -> np.ndarray:
         return pl.from_arrow(col).hash(seed=42).to_numpy().astype(np.uint64)
 
 
+def run_starts(sorted_key) -> np.ndarray:
+    """Boolean mask marking the first row of each equal-key run in a
+    SORTED Arrow array — the shared run-detection primitive behind the
+    grouped fold family (grouped_top_k / grouped_mode /
+    grouped_string_agg / vocab entropy / CDC merge). One adjacent
+    ``pc.equal`` compare, type-agnostic, zero per-row Python. Callers
+    null-filter keys upstream (the documented grouped-op contract);
+    passing nulls through would make adjacent compares null-valued."""
+    if isinstance(sorted_key, pa.ChunkedArray):
+        sorted_key = sorted_key.combine_chunks()
+    n = len(sorted_key)
+    first = np.ones(n, bool)
+    if n > 1:
+        first[1:] = ~pc.equal(sorted_key.slice(1),
+                              sorted_key.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+    return first
+
+
 def make_bucket_adder(gc: GroupCheck, n_buckets: int):
     """Vectorized hash-partition key: ``_bucket = np_column_hash(key) % n``
     — no Python row materialization; import-failure-tolerant."""
