@@ -2087,6 +2087,63 @@ def q_apply_changes_orders(sf_dir: str) -> pa.Table:
     }).sort_by("o_orderstatus")
 
 
+def q_locf_events(sf_dir: str) -> pa.Table:
+    """Per-user forward-fill (ops.aggregates.grouped_locf — SQL
+    ``last_value(x IGNORE NULLS) OVER (PARTITION BY user ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING)``): value is treated as OBSERVED
+    only on purchase/click events (a deterministic mask applied
+    identically in the oracle), every other row carries the user's last
+    observation forward; rows before a user's first observation stay
+    null. One key-hash bucket shuffle, vectorized in-bucket fill."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_locf
+    from jsonschema_validator_ray.rayutil import strip_meta
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        obs = pc.if_else(
+            pc.is_in(batch["event_type"],
+                     value_set=pa.array(["purchase", "click"])),
+            batch["value"], pa.nulls(batch.num_rows, pa.float64()))
+        return strip_meta(pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"],
+            "event_id": batch["event_id"], "obs": obs}))
+
+    out = _collect(grouped_locf(
+        ds.map_batches(mask, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", ["ts", "event_id"], "obs"))
+    return out.select(["user_id", "event_id", "filled"]) \
+        .sort_by("event_id")
+
+
+def q_throttle_events(sf_dir: str) -> pa.Table:
+    """Windowed throttle / dedup-by-time-window
+    (ops.aggregates.windowed_first — SQL ``row_number() OVER (PARTITION
+    BY user_id, date_trunc('hour', ts) ORDER BY ts, event_id) = 1``):
+    keep each user's FIRST event per clock hour. The hour column is
+    ``pc.floor_temporal(ts, unit="hour")`` = DuckDB ``date_trunc``.
+    One bucket shuffle hashed on user_id only (all of a user's windows
+    co-locate); composite run detection via OR-ed run_starts masks."""
+    from jsonschema_validator_ray.ops.aggregates import windowed_first
+    from jsonschema_validator_ray.rayutil import strip_meta
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return strip_meta(pa.table({
+            "user_id": batch["user_id"],
+            "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            "ts": batch["ts"], "event_id": batch["event_id"]}))
+
+    out = _collect(windowed_first(
+        ds.map_batches(add_hour, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "hour"], ["ts", "event_id"]))
+    return out.select(["user_id", "event_id"]).sort_by("event_id")
+
+
 def q_npy_roundtrip_embeddings(sf_dir: str) -> pa.Table:
     """NumPy .npy source/sink over the embedding matrix: embeddings
     (list<float>) -> one float32 matrix shard per block (write_numpy) ->
@@ -3747,6 +3804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "npy_roundtrip_embeddings": q_npy_roundtrip_embeddings,
         "apply_changes_orders": q_apply_changes_orders,
         "user_journeys_events": q_user_journeys_events,
+        "locf_events": q_locf_events,
+        "throttle_events": q_throttle_events,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
         "schema_union_documents": q_schema_union_documents,
@@ -5181,6 +5240,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents,
                    CAST(sum(k) AS BIGINT) AS sum_keys
             FROM merged GROUP BY s ORDER BY s
+        """,
+        "locf_events": """
+            SELECT user_id, event_id,
+                   last_value(CASE WHEN event_type IN ('purchase', 'click')
+                                   THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS filled
+            FROM events WHERE user_id IS NOT NULL
+            ORDER BY event_id
+        """,
+        "throttle_events": """
+            SELECT user_id, event_id FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL) t
+            WHERE rn = 1 ORDER BY event_id
         """,
         "orc_roundtrip_documents": """
             SELECT lang,

@@ -320,6 +320,105 @@ def grouped_string_agg(ds, key: str, value: str,
         .groupby("_bucket").map_groups(bucket_agg, batch_format="pyarrow")
 
 
+def grouped_locf(ds, key: str, order_cols: "Sequence[str]", value: str,
+                 n_buckets: int = 0):
+    """Per-group forward-fill (LOCF — last observation carried forward):
+    SQL ``last_value(value IGNORE NULLS) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` — the sensor/gap-fill window
+    primitive. Emits every input row as ``(key, *order_cols, filled)``;
+    rows before a group's first observation stay null.
+
+    Scale shape: rows shrink to the needed columns at the scan, ONE
+    key-hash bucket shuffle co-locates each key, and the in-bucket fill
+    is fully vectorized — sort, :func:`run_starts` run detection, then a
+    single ``np.maximum.accumulate`` over observation positions clamped
+    at each group's start index (an observation from the PREVIOUS group
+    has a position below the clamp, so fills never leak across keys).
+    A null take-index re-nullifies pre-observation rows in one ``take``
+    kernel. Null keys are dropped (documented grouped-op contract)."""
+    from ..rayutil import default_buckets
+    n_buckets = default_buckets(n_buckets)
+    cols = [key, *order_cols, value]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select(cols)
+        if sel[key].null_count:
+            sel = sel.filter(pc.is_valid(sel[key]))
+        h = (np_column_hash(sel[key]) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return strip_meta(sel).append_column("_bucket",
+                                             pa.array(h, pa.int64()))
+
+    def bucket_fill(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        srt = body.sort_by([(key, "ascending")]
+                           + [(c, "ascending") for c in order_cols])
+        v = srt[value].combine_chunks()
+        n = len(v)
+        first = run_starts(srt[key])
+        seg = np.cumsum(first) - 1
+        group_floor = np.flatnonzero(first)[seg] if n else \
+            np.zeros(0, np.int64)
+        pos = np.arange(n)
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        last_obs = np.maximum.accumulate(np.where(valid, pos, -1))
+        src = np.where(last_obs >= group_floor, last_obs, -1)
+        idx = pa.array(np.where(src >= 0, src, 0), pa.int64(),
+                       mask=src < 0)      # null index -> null fill
+        return pa.table(
+            {c: srt[c] for c in (key, *order_cols)}
+            | {"filled": v.take(idx)})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_fill, batch_format="pyarrow")
+
+
+def windowed_first(ds, keys: "Sequence[str]", order_cols: "Sequence[str]",
+                   n_buckets: int = 0):
+    """Keep the FIRST row of each composite-key group: SQL
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_cols) = 1`` —
+    the throttle / dedup-by-time-window primitive (e.g. first event per
+    (user, hour)). Rows with a null in ANY key column are dropped
+    (documented grouped-op contract).
+
+    Scale shape: ONE bucket shuffle hashed on ``keys[0]`` only — every
+    window of one entity co-locates while windows stay bounded per
+    entity, so hot entities cost their row count in the in-bucket sort,
+    never a driver merge. In-bucket: sort by keys + order, then the
+    composite run mask is the elementwise OR of :func:`run_starts` over
+    each key column (a row opens a group iff ANY key changed)."""
+    from ..rayutil import default_buckets
+    n_buckets = default_buckets(n_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch
+        if any(sel[k].null_count for k in keys):
+            ok = None
+            for k in keys:
+                m = pc.is_valid(sel[k])
+                ok = m if ok is None else pc.and_(ok, m)
+            sel = sel.filter(ok)
+        h = (np_column_hash(sel[keys[0]]) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return strip_meta(sel).append_column("_bucket",
+                                             pa.array(h, pa.int64()))
+
+    def bucket_first(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        srt = body.sort_by([(k, "ascending") for k in keys]
+                           + [(c, "ascending") for c in order_cols])
+        first = run_starts(srt[keys[0]])
+        for k in keys[1:]:
+            first |= run_starts(srt[k])
+        return srt.filter(pa.array(first))
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_first,
+                                       batch_format="pyarrow")
+
+
 def grouped_percent_rank(ds, key: str, value: str, id_col: str,
                          n_buckets: int = 0):
     """SQL ``percent_rank() OVER (PARTITION BY key ORDER BY value)`` =
