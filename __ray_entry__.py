@@ -3682,20 +3682,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     (in dict insertion order), so the first 50 below are a cross-section
     spanning every operator family in VERDICT.md's tables: the flagship
     validate/verdict pair, each constraint kind (struct/ref/enum/mono/
-    unique), aggregation + table profiler + HLL sketch, text analysis
-    (token count / quality / lang-id), a partitioned-sink round-trip, ALL
-    dedup families (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding,
-    SemDeDup, chunk, incremental-snapshot, connected components,
-    decontamination), every join shape (as-of, range, interval, full-outer,
-    table diff, TPC-H Q5 chain, Q3), the drift family (chi-square, KS, PSI),
+    unique; mono is a tail-listed variant), aggregation + table profiler +
+    HLL sketch + skew/kurtosis moments, text analysis (token count /
+    quality / lang-id / unigram-LM scoring), BM25 ranked retrieval, a
+    partitioned-sink round-trip, ALL dedup families (exact, MinHash-LSH,
+    SimHash, n-gram Jaccard, embedding, SemDeDup, chunk,
+    incremental-snapshot, connected components; decontamination is a
+    tail-listed variant), every join shape (as-of, range, full-outer,
+    fuzzy-Levenshtein, table diff, TPC-H Q5 chain, Q3) plus CDC
+    MERGE/upsert, the drift family (chi-square, KS; PSI tail-listed),
     Spearman, global quantiles, PageRank, k-means, similarity search
-    (brute + IVF), top-k, hash split, sessionization, the SFT-prep family
-    (turn pairs, context truncation, rendering, packing; alternation is a
-    tail-listed variant of the same family), the cross-table
-    referential-integrity report, and multimodal image + audio. Entries
-    51+ are additional variants within already-represented families,
-    verified by scripts/driver_sim.py (the full-surface mirror) and
-    tests/.
+    (brute; IVF tail-listed), top-k, hash split, sessionization,
+    forward-fill (LOCF), the SFT-prep family (turn pairs, rendering,
+    packing; context truncation and alternation are tail-listed variants),
+    the cross-table referential-integrity report, and multimodal image +
+    audio. Entries 51+ are additional variants within already-represented
+    families, verified by scripts/driver_sim.py (the full-surface mirror)
+    and tests/.
     """
     return {
         "transcript_validate": q_transcript_validate,
@@ -3703,7 +3706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "struct_check_events": q_struct_check_events,
         "ref_check_lineitem": q_ref_check_lineitem,
         "enum_check_events": q_enum_check_events,
-        "mono_check_events": q_mono_check_events,
+        "lm_score_documents": q_lm_score_documents,
         "unique_check_events": q_unique_check_events,
         "pricing_summary_lineitem": q_pricing_summary_lineitem,
         "profile_table_events": q_profile_table_events,
@@ -3721,28 +3724,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "neardup_components_documents": q_neardup_components_documents,
-        "decontaminate_documents": q_decontaminate_documents,
+        "apply_changes_orders": q_apply_changes_orders,
         "asof_join_events_orders": q_asof_join_events_orders,
         "order_window_events": q_order_window_events,
-        "order_window_overlaps": q_order_window_overlaps,
+        "fuzzy_match_part_names": q_fuzzy_match_part_names,
         "user_activity_full_outer": q_user_activity_full_outer,
         "table_diff_orders": q_table_diff_orders,
         "local_supplier_volume": q_local_supplier_volume,
         "shipping_priority": q_shipping_priority,
         "drift_events_type": q_drift_events_type,
         "ks_drift_events": q_ks_drift_events,
-        "psi_drift_events": q_psi_drift_events,
+        "skewkurt_events": q_skewkurt_events,
         "spearman_lineitem": q_spearman_lineitem,
         "global_quantiles_lineitem": q_global_quantiles_lineitem,
         "pagerank_purchases": q_pagerank_purchases,
         "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
         "simsearch_top5": q_simsearch_top5,
-        "ivf_search_embeddings": q_ivf_search_embeddings,
+        "bm25_search_documents": q_bm25_search_documents,
         "topk_orders": q_topk_orders,
         "split_assign_documents": q_split_assign_documents,
         "sessionize_events": q_sessionize_events,
         "turn_pairs_transcripts": q_turn_pairs_transcripts,
-        "truncate_context_transcripts": q_truncate_context_transcripts,
+        "locf_events": q_locf_events,
         "integrity_check_tables": q_integrity_check_tables,
         "render_sft_transcripts": q_render_sft_transcripts,
         "pack_documents": q_pack_documents,
@@ -3802,9 +3805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip_documents": q_ipc_roundtrip_documents,
         "orc_roundtrip_documents": q_orc_roundtrip_documents,
         "npy_roundtrip_embeddings": q_npy_roundtrip_embeddings,
-        "apply_changes_orders": q_apply_changes_orders,
         "user_journeys_events": q_user_journeys_events,
-        "locf_events": q_locf_events,
         "throttle_events": q_throttle_events,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
@@ -3824,10 +3825,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_frames": q_multimodal_video_frames,
         "multimodal_resize_images": q_multimodal_resize_images,
         "alternation_transcripts": q_alternation_transcripts,
-        "fuzzy_match_part_names": q_fuzzy_match_part_names,
-        "lm_score_documents": q_lm_score_documents,
-        "bm25_search_documents": q_bm25_search_documents,
-        "skewkurt_events": q_skewkurt_events,
+        "mono_check_events": q_mono_check_events,
+        "decontaminate_documents": q_decontaminate_documents,
+        "order_window_overlaps": q_order_window_overlaps,
+        "psi_drift_events": q_psi_drift_events,
+        "ivf_search_embeddings": q_ivf_search_embeddings,
+        "truncate_context_transcripts": q_truncate_context_transcripts,
     }
 
 
