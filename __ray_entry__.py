@@ -2144,6 +2144,87 @@ def q_throttle_events(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "event_id"]).sort_by("event_id")
 
 
+def q_event_transitions(sf_dir: str) -> pa.Table:
+    """Markov next-event transition matrix
+    (ops.aggregates.transition_counts — SQL ``lead(event_type) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)`` + GROUP BY): counts
+    and conditional probabilities P(to | from) over adjacent event pairs
+    per user. Partial counts per bucket (|types|² rows), folded
+    driver-side; p = n/total is one IEEE division of exact ints on both
+    sides, so the float matches the oracle bitwise."""
+    from jsonschema_validator_ray.ops.aggregates import transition_counts
+
+    parts = _collect(transition_counts(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]),
+        "user_id", ["ts", "event_id"], "event_type"))
+    g = parts.group_by(["from_tag", "to_tag"]).aggregate([("n", "sum")])
+    ft = g["from_tag"].to_pylist()
+    n = np.asarray(g["n_sum"].to_pylist(), np.int64)
+    totals: dict = {}
+    for f, c in zip(ft, n):
+        totals[f] = totals.get(f, 0) + int(c)
+    p = n.astype(np.float64) / np.array([totals[f] for f in ft],
+                                        np.float64)
+    return pa.table({
+        "from_type": g["from_tag"], "to_type": g["to_tag"],
+        "n": g["n_sum"].cast(pa.int64()),
+        "p": pa.array(p, pa.float64()),
+    }).sort_by([("from_type", "ascending"), ("to_type", "ascending")])
+
+
+def q_compact_documents(sf_dir: str) -> pa.Table:
+    """Small-file compaction round-trip (ops.sink.compact_parquet): the
+    documents table is first written as MANY content-addressed parts
+    (repartition(32) -> ~32 small files), then compacted shuffle-free to
+    a handful of target-sized files; the per-lang aggregate is recomputed
+    from the COMPACTED directory — equal to the oracle over the original
+    table iff compaction preserved every row and string. The query
+    asserts the file count actually dropped (the op's whole point)."""
+    import shutil
+
+    import ray.data
+
+    from jsonschema_validator_ray.ops.sink import (compact_parquet,
+                                                   write_partitioned_parquet)
+    from jsonschema_validator_ray.rayutil import strip_meta
+
+    src = "/tmp/graft_files/compact_src"
+    dst = "/tmp/graft_files/compact_dst"
+    # content-addressed sinks union stale generations across sf switches
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    write_partitioned_parquet(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .repartition(32), src)
+    stats = compact_parquet(src, dst, target_rows_per_file=1_000_000_000)
+    if not (stats["n_files_out"] < stats["n_files_in"]):
+        raise AssertionError(f"compaction did not reduce files: {stats}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"],
+                      "chars": pc.utf8_length(batch["text"]),
+                      "doc_id": batch["doc_id"]})
+        g = t.group_by("lang").aggregate(
+            [("doc_id", "count"), ("doc_id", "sum"), ("chars", "sum")])
+        return strip_meta(pa.table({
+            "lang": g["lang"],
+            "n_docs": g["doc_id_count"].cast(pa.int64()),
+            "sum_ids": g["doc_id_sum"].cast(pa.int64()),
+            "sum_chars": g["chars_sum"].cast(pa.int64())}))
+
+    parts = _collect(ray.data.read_parquet(dst).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    g = parts.group_by("lang").aggregate(
+        [("n_docs", "sum"), ("sum_ids", "sum"), ("sum_chars", "sum")])
+    return pa.table({
+        "lang": g["lang"],
+        "n_docs": g["n_docs_sum"].cast(pa.int64()),
+        "sum_ids": g["sum_ids_sum"].cast(pa.int64()),
+        "sum_chars": g["sum_chars_sum"].cast(pa.int64()),
+    }).sort_by("lang")
+
+
 def q_npy_roundtrip_embeddings(sf_dir: str) -> pa.Table:
     """NumPy .npy source/sink over the embedding matrix: embeddings
     (list<float>) -> one float32 matrix shard per block (write_numpy) ->
@@ -3688,9 +3769,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     partitioned-sink round-trip, ALL dedup families (exact, MinHash-LSH,
     SimHash, n-gram Jaccard, embedding, SemDeDup, chunk,
     incremental-snapshot, connected components; decontamination is a
-    tail-listed variant), every join shape (as-of, range, full-outer,
-    fuzzy-Levenshtein, table diff, TPC-H Q5 chain, Q3) plus CDC
-    MERGE/upsert, the drift family (chi-square, KS; PSI tail-listed),
+    tail-listed variant), every join shape (as-of, full-outer,
+    fuzzy-Levenshtein, table diff, TPC-H Q5 chain, Q3; the range/interval
+    window joins are tail-listed variants) plus CDC MERGE/upsert, the
+    sequence-mining family (Markov event transitions; journeys/throttle
+    tail-listed), the drift family (chi-square, KS; PSI tail-listed),
     Spearman, global quantiles, PageRank, k-means, similarity search
     (brute; IVF tail-listed), top-k, hash split, sessionization,
     forward-fill (LOCF), the SFT-prep family (turn pairs, rendering,
@@ -3726,7 +3809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components_documents": q_neardup_components_documents,
         "apply_changes_orders": q_apply_changes_orders,
         "asof_join_events_orders": q_asof_join_events_orders,
-        "order_window_events": q_order_window_events,
+        "event_transitions": q_event_transitions,
         "fuzzy_match_part_names": q_fuzzy_match_part_names,
         "user_activity_full_outer": q_user_activity_full_outer,
         "table_diff_orders": q_table_diff_orders,
@@ -3807,6 +3890,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "npy_roundtrip_embeddings": q_npy_roundtrip_embeddings,
         "user_journeys_events": q_user_journeys_events,
         "throttle_events": q_throttle_events,
+        "compact_documents": q_compact_documents,
+        "order_window_events": q_order_window_events,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
         "schema_union_documents": q_schema_union_documents,
@@ -5243,6 +5328,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents,
                    CAST(sum(k) AS BIGINT) AS sum_keys
             FROM merged GROUP BY s ORDER BY s
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT from_type, to_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   count(*) / sum(count(*))
+                       OVER (PARTITION BY from_type) AS p
+            FROM pairs
+            WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+            GROUP BY from_type, to_type
+            ORDER BY from_type, to_type
+        """,
+        "compact_documents": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "locf_events": """
             SELECT user_id, event_id,

@@ -904,8 +904,7 @@ def adjacent_pairs(ds, group_col: str, order_col: str, tag_col: str,
             .to_numpy(zero_copy_only=False)
         is_to = pc.equal(tag, to_tag).fill_null(False) \
             .to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(same & is_from[:-1] & is_to[1:]) \
-            if n > 1 else np.array([], np.int64)
+        idx = _adjacent_pair_idx(same, is_from, is_to)
         lhs = srt.take(pa.array(idx, pa.int64()))
         rhs = srt.take(pa.array(idx + 1, pa.int64()))
         return pa.table({
@@ -919,6 +918,75 @@ def adjacent_pairs(ds, group_col: str, order_col: str, tag_col: str,
     return ds.map_batches(add_bucket, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("_bucket").map_groups(pairs_bucket, batch_format="pyarrow")
+
+
+def transition_counts(ds, group_col: str, order_cols: "Sequence[str]",
+                      tag_col: str, n_buckets: int = 0):
+    """Markov transition counts — the sequence-mining primitive behind
+    next-event prediction and journey analysis: within each group, with
+    rows ordered by ``order_cols``, count every ADJACENT tag pair
+    (SQL ``lead(tag) OVER (PARTITION BY group ORDER BY order)`` +
+    ``GROUP BY from, to``). Emits PARTIAL counts ``(from_tag, to_tag,
+    n)`` per bucket — output cardinality is |tag domain|², driver-scale;
+    callers fold with one tiny final group_by and derive probabilities.
+
+    Scale shape: rows shrink to the needed columns at the scan, ONE
+    group-hash bucket shuffle co-locates each group (no pair can
+    straddle buckets), and the in-bucket pass is one sort + shifted
+    masks + two ``take`` calls + an Arrow group_by — no per-row Python.
+    Null-group rows are dropped; pairs where EITHER side's tag is null
+    are excluded (mirrors the SQL ``WHERE from IS NOT NULL AND to IS
+    NOT NULL`` contract). Rows tying on ``order_cols`` are tie-broken
+    by the tag (the adjacent_pairs determinism rule) — give unique
+    order columns when the counts must match a specific SQL ``lead``
+    order."""
+    from ..rayutil import default_buckets, ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = default_buckets(n_buckets)
+    cols = [group_col, *order_cols, tag_col]
+    add_bucket = _add_bucket_fn(group_col, n_buckets)
+
+    def project(batch: pa.Table) -> pa.Table:
+        sel = batch.select(cols)
+        if sel[group_col].null_count:
+            sel = sel.filter(pc.is_valid(sel[group_col]))
+        return add_bucket(sel)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        srt = body.sort_by([(group_col, "ascending")]
+                           + [(c, "ascending") for c in order_cols]
+                           + [(tag_col, "ascending")])
+        n = srt.num_rows
+        g = srt[group_col].combine_chunks()
+        tag = srt[tag_col].combine_chunks()
+        same = _same_group_mask(g, n)
+        valid = pc.is_valid(tag).to_numpy(zero_copy_only=False)
+        idx = _adjacent_pair_idx(same, valid, valid)
+        t = pa.table({"from_tag": tag.take(pa.array(idx, pa.int64())),
+                      "to_tag": tag.take(pa.array(idx + 1, pa.int64()))})
+        gb = t.group_by(["from_tag", "to_tag"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"from_tag": gb["from_tag"],
+                         "to_tag": gb["to_tag"],
+                         "n": gb["count_all"].cast(pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_pairs,
+                                       batch_format="pyarrow")
+
+
+def _adjacent_pair_idx(same: np.ndarray, lhs_ok: np.ndarray,
+                       rhs_ok: np.ndarray) -> np.ndarray:
+    """Indices ``i`` of a SORTED table where rows ``(i, i+1)`` form a
+    same-group adjacent pair and both per-side masks hold — the shared
+    core of adjacent_pairs / transition_counts (``same`` has length
+    n-1, the side masks length n)."""
+    n = len(lhs_ok)
+    if n < 2:
+        return np.array([], np.int64)
+    return np.flatnonzero(same & lhs_ok[:-1] & rhs_ok[1:])
 
 
 def _same_group_mask(g: pa.Array, n: int) -> np.ndarray:

@@ -141,6 +141,39 @@ def write_partitioned_parquet(ds, out_dir: str) -> dict:
     return manifest
 
 
+def compact_parquet(src_dir: str, dst_dir: str,
+                    target_rows_per_file: int) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-running ingest needs (content-addressed sinks write one part
+    per block; thousands of tiny parts tank read parallelism planning
+    and metadata cost at 100 TB). Reads the part directory, coalesces
+    blocks to ``ceil(n_rows / target_rows_per_file)`` output files
+    WITHOUT a shuffle (``repartition(n, shuffle=False)`` splits/merges
+    block refs — no all-to-all, rows never leave their relative order),
+    and rewrites through the same content-addressed resumable sink, so
+    a killed compaction resumes like any other write. Returns
+    ``{n_files_in, n_files_out, n_rows}``.
+
+    Row counts come from parquet FOOTERS only (one metadata read per
+    input file, driver-scale) — the data itself streams straight from
+    read to write."""
+    import math
+
+    import ray
+
+    in_files = sorted(f for f in os.listdir(src_dir)
+                      if f.endswith(".parquet"))
+    n_rows = sum(pq.read_metadata(os.path.join(src_dir, f)).num_rows
+                 for f in in_files)
+    n_out = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    ds = ray.data.read_parquet(
+        [os.path.join(src_dir, f) for f in in_files])
+    manifest = write_partitioned_parquet(ds.repartition(n_out), dst_dir)
+    return {"n_files_in": len(in_files),
+            "n_files_out": len(manifest["files"]),
+            "n_rows": int(manifest["n_rows"])}
+
+
 def write_hive_partitioned(ds, out_dir: str, partition_col: str) -> dict:
     """Key-partitioned (hive-style) resumable sink: one
     ``<col>=<value>/`` directory per distinct partition value, with
