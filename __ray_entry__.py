@@ -3756,6 +3756,72 @@ def q_integrity_check_tables(sf_dir: str) -> pa.Table:
         ])
 
 
+def q_histogram_events(sf_dir: str) -> pa.Table:
+    """Fixed-width 20-bin histogram of events.value
+    (ops.stats.histogram — two fold passes, min/max then bincount
+    partials, NO shuffle; O(n_bins) fold state per block). The bin
+    expression and edges are IEEE-identical to the SQL
+    ``least(floor((x-mn)*20/(mx-mn)), 19)`` formulation, so counts and
+    lo_edge values match the oracle bitwise."""
+    from jsonschema_validator_ray.ops.stats import histogram
+
+    return histogram(
+        lambda: _read(sf_dir, "events", ["value"]), "value", n_bins=20)
+
+
+def q_minmax_scale_events(sf_dir: str) -> pa.Table:
+    """Per-event-type min-max normalization of events.value
+    (ops.stats.grouped_minmax_scale — per-key (min,max) fold pass +
+    broadcast rescale, NO shuffle): the feature-scaling primitive.
+    ``scaled`` is one subtract + one divide in float64, bitwise equal to
+    the SQL window formulation; zero-range groups yield NULL. Output is
+    capped to the 1000 smallest event_ids (the full rescaled table is
+    row-scale; the cap keeps the gate artifact driver-sized while still
+    crossing every event_type)."""
+    from jsonschema_validator_ray.ops.stats import grouped_minmax_scale
+    from jsonschema_validator_ray.rayutil import strip_meta
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        # per-block top-1000 combiner: the driver folds ~1000 rows per
+        # block, never the full row-scale rescaled table (review r5)
+        return strip_meta(batch.sort_by("event_id").slice(0, 1000))
+
+    out = _collect(grouped_minmax_scale(
+        lambda: _read(sf_dir, "events",
+                      ["event_id", "event_type", "value"]),
+        "event_type", "value")
+        .map_batches(block_top, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    return out.sort_by("event_id").slice(0, 1000) \
+        .select(["event_id", "event_type", "scaled"])
+
+
+def q_cohort_retention_events(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix over events
+    (ops.aggregates.cohort_retention — per-batch distinct (user, day)
+    combiner, ONE user-hash shuffle, calendar²-sized partials folded
+    driver-side): for each first-active-day cohort, how many of its
+    users were active age_days later."""
+    from jsonschema_validator_ray.ops.aggregates import cohort_retention
+
+    return cohort_retention(
+        _read(sf_dir, "events", ["user_id", "ts"]), "user_id", "ts")
+
+
+def q_interevent_gaps_events(sf_dir: str) -> pa.Table:
+    """Per-user inter-event gap stats (ops.aggregates.interevent_gaps —
+    ONE user-hash shuffle, in-bucket sort + np.diff + Arrow groupby;
+    groups complete in-bucket so no second pass): count / mean / max of
+    microsecond gaps between consecutive events ordered by
+    (ts, event_id). avg_gap_us is one IEEE division of exact int64 sums
+    — bitwise vs the SQL lag() oracle."""
+    from jsonschema_validator_ray.ops.aggregates import interevent_gaps
+
+    return _collect(interevent_gaps(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        "user_id", "ts", "event_id")).sort_by("user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """All gate queries, ORDER-CURATED for the driver's 50-row artifact cap.
 
@@ -3892,6 +3958,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events": q_throttle_events,
         "compact_documents": q_compact_documents,
         "order_window_events": q_order_window_events,
+        "histogram_events": q_histogram_events,
+        "minmax_scale_events": q_minmax_scale_events,
+        "cohort_retention_events": q_cohort_retention_events,
+        "interevent_gaps_events": q_interevent_gaps_events,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
         "schema_union_documents": q_schema_union_documents,
@@ -5352,6 +5422,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "histogram_events": """
+            WITH mm AS (
+                SELECT min("value") AS mn, max("value") AS mx
+                FROM events WHERE "value" IS NOT NULL
+            ),
+            b AS (
+                SELECT least(CAST(floor(("value" - mm.mn) * 20
+                                        / (mm.mx - mm.mn)) AS BIGINT),
+                             19) AS bin
+                FROM events, mm WHERE "value" IS NOT NULL
+            )
+            SELECT b.bin,
+                   mm.mn + b.bin * ((mm.mx - mm.mn) / 20) AS lo_edge,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b, mm GROUP BY b.bin, mm.mn, mm.mx ORDER BY b.bin
+        """,
+        "minmax_scale_events": """
+            WITH mm AS (
+                SELECT event_type, min("value") AS mn, max("value") AS mx
+                FROM events
+                WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN mm.mx > mm.mn
+                        THEN (e."value" - mm.mn) / (mm.mx - mm.mn)
+                   END AS scaled
+            FROM events e JOIN mm USING (event_type)
+            WHERE e."value" IS NOT NULL
+            ORDER BY e.event_id LIMIT 1000
+        """,
+        "cohort_retention_events": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            f AS (
+                SELECT user_id, min(d) AS cohort_day
+                FROM ud GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, ud.d) AS BIGINT)
+                       AS age_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud JOIN f USING (user_id)
+            GROUP BY f.cohort_day, age_days
+            ORDER BY f.cohort_day, age_days
+        """,
+        "interevent_gaps_events": """
+            WITH g AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) AS gap
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS DOUBLE) / count(*) AS avg_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "locf_events": """
             SELECT user_id, event_id,

@@ -2009,3 +2009,152 @@ def grouped_zscore_flags(ds_factory, key: str, value: str,
     return pa.table({key: g[key], "n": g["n_sum"].cast(pa.int64()),
                      "n_out": g["n_out_sum"].cast(pa.int64())}) \
         .sort_by(key)
+
+
+def cohort_retention(ds, user_col: str, ts_col: str,
+                     n_buckets: int = 0) -> pa.Table:
+    """Cohort retention matrix — the activation/retention report every
+    product and training-corpus freshness analysis runs: each user's
+    cohort is their FIRST active day; the output counts, for every
+    ``(cohort_day, age_days)`` cell, how many of that cohort's users were
+    active ``age_days`` after joining (SQL: distinct (user, day) pairs
+    joined to per-user ``min(day)``, grouped by cohort and day
+    difference).
+
+    Scale shape: rows shrink to distinct ``(user, day)`` pairs INSIDE
+    each batch first (per-batch Arrow groupby — the combiner), ONE hash
+    shuffle on the user co-locates each user's pair set, and the
+    in-bucket pass is a sort + run-boundary scan + one groupby emitting
+    ``(cohort, age, n)`` PARTIALS whose cardinality is calendar², folded
+    by a tiny driver groupby. Null users/timestamps drop. Days are
+    day-truncated timestamps; ``age_days`` is an exact integer (both
+    sides are midnight-aligned)."""
+    import ray
+
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(user_col, n_buckets)
+    day_us = 86_400_000_000
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([user_col, ts_col])
+        both = pc.and_kleene(pc.is_valid(sel[user_col]),
+                             pc.is_valid(sel[ts_col])).fill_null(False)
+        sel = sel.filter(both)
+        t = pa.table({user_col: sel[user_col],
+                      "d": pc.floor_temporal(sel[ts_col], unit="day")})
+        g = pa.TableGroupBy(t, [user_col, "d"]).aggregate([])
+        return add_bucket(g)
+
+    def bucket_cells(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        srt = body.sort_by([(user_col, "ascending"), ("d", "ascending")])
+        n = srt.num_rows
+        if n == 0:
+            return pa.table({
+                "cohort_day": pa.array([], pa.timestamp("us")),
+                "age_days": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64())})
+        user = srt[user_col].combine_chunks()
+        d = srt["d"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(run_starts(user))
+        # distinct (user, day) across batches: drop same-user same-day dups
+        seg = np.zeros(n, np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1          # run index per row
+        keep = np.ones(n, bool)
+        keep[1:] = (seg[1:] != seg[:-1]) | (d[1:] != d[:-1])
+        d = d[keep]
+        seg = seg[keep]
+        cohort = d[np.searchsorted(seg, np.arange(seg.max() + 1
+                                                  if seg.size else 0))]
+        t = pa.table({
+            "cohort_day": pa.array(cohort[seg], pa.int64())
+            .cast(pa.timestamp("us")),
+            "age_days": pa.array((d - cohort[seg]) // day_us, pa.int64())})
+        g = pa.TableGroupBy(t, ["cohort_day", "age_days"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"cohort_day": g["cohort_day"],
+                         "age_days": g["age_days"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    out = ds.map_batches(pairs_partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_cells, batch_format="pyarrow")
+    plist = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not plist:
+        return pa.table({"cohort_day": pa.array([], pa.timestamp("us")),
+                         "age_days": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    parts = pa.concat_tables(plist, promote_options="default")
+    g = pa.TableGroupBy(parts, ["cohort_day", "age_days"]) \
+        .aggregate([("cnt", "sum")])
+    return pa.table({
+        "cohort_day": g["cohort_day"], "age_days": g["age_days"],
+        "n_users": g["cnt_sum"].cast(pa.int64())}) \
+        .sort_by([("cohort_day", "ascending"), ("age_days", "ascending")])
+
+
+def interevent_gaps(ds, key: str, ts_col: str, order_col: str,
+                    n_buckets: int = 0) -> "ray.data.Dataset":  # noqa: F821
+    """Per-group inter-event gap statistics — the burstiness/recency
+    profile behind session design and rate-limit tuning: for each group,
+    the count, mean and max of the microsecond gaps between CONSECUTIVE
+    events ordered by ``(ts, order_col)`` (SQL ``ts - lag(ts) OVER
+    (PARTITION BY key ORDER BY ts, order_col)``).
+
+    Scale shape: the scan shrinks to three columns, ONE hash-bucket
+    shuffle co-locates whole groups (no gap can straddle buckets), and
+    the in-bucket pass is a sort + shifted same-group mask + ``np.diff``
+    + one Arrow groupby — each group's final row is complete in its
+    bucket, so there is no second pass. ``avg_gap_us`` is one IEEE
+    division of exact int64 sums, matching SQL bitwise. Null keys or
+    timestamps drop; single-event groups (no gap) emit nothing."""
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(key, n_buckets)
+    cols = [key, ts_col, order_col]
+
+    def project(batch: pa.Table) -> pa.Table:
+        sel = batch.select(cols)
+        both = pc.and_kleene(pc.is_valid(sel[key]),
+                             pc.is_valid(sel[ts_col])).fill_null(False)
+        return add_bucket(sel.filter(both))
+
+    def bucket_stats(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        srt = body.sort_by([(key, "ascending"), (ts_col, "ascending"),
+                            (order_col, "ascending")])
+        n = srt.num_rows
+        empty = pa.table({key: pa.array([], body.schema.field(key).type),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "avg_gap_us": pa.array([], pa.float64()),
+                          "max_gap_us": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        g = srt[key].combine_chunks()
+        ts = srt[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same = _same_group_mask(g, n)
+        idx = np.flatnonzero(same)
+        if idx.size == 0:
+            return empty
+        gaps = ts[idx + 1] - ts[idx]
+        t = pa.table({key: g.take(pa.array(idx, pa.int64())),
+                      "gap": pa.array(gaps, pa.int64())})
+        gb = pa.TableGroupBy(t, key).aggregate(
+            [("gap", "count"), ("gap", "sum"), ("gap", "max")])
+        cnt = gb["gap_count"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = gb["gap_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({key: gb[key],
+                         "n_gaps": gb["gap_count"].cast(pa.int64()),
+                         "avg_gap_us": pa.array(s / cnt, pa.float64()),
+                         "max_gap_us": gb["gap_max"].cast(pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_stats,
+                                       batch_format="pyarrow")

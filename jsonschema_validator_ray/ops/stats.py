@@ -600,3 +600,145 @@ def embedding_covariance(ds, list_col: str, dims: int) -> pa.Table:
         "n": pa.array(np.full(iu.size, n_tot, np.int64), pa.int64()),
         "cov": pa.array(cov[iu, ju], pa.float64()),
     })
+
+
+def histogram(ds_factory, col: str, n_bins: int = 20) -> pa.Table:
+    """Fixed-width histogram of a numeric column — the distribution
+    profile every data-quality report starts with. Two streaming passes
+    by necessity (the bin edges are a global order statistic): pass 1
+    folds per-batch ``(min, max)`` one-row partials driver-side; pass 2
+    folds per-batch ``np.bincount`` partials over
+    ``bin = floor((x - lo) * n_bins / (hi - lo))`` with the top edge
+    clamped into the last bin. NO shuffle at any size — fold state is
+    O(n_bins) per block regardless of row count.
+
+    The bin expression is one subtract, one multiply, one divide in
+    float64 — IEEE-identical to the SQL
+    ``least(floor((x - mn) * n_bins / (mx - mn)), n_bins - 1)``
+    formulation, so counts match an oracle bitwise. Nulls drop; a
+    degenerate column (lo == hi) lands every row in bin 0. Only
+    NON-EMPTY bins are returned as ``(bin, lo_edge, n)`` rows, with
+    ``lo_edge = lo + bin * ((hi - lo) / n_bins)``. Non-finite values
+    (NaN/±inf) drop like nulls — they have no bin and would poison the
+    width arithmetic on BOTH the engine and the SQL side (DuckDB's
+    ``CAST(floor(NaN) AS BIGINT)`` errors outright)."""
+    import ray
+
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return strip_meta(pa.table({
+                "mn": pa.array([], pa.float64()),
+                "mx": pa.array([], pa.float64())}))
+        return strip_meta(pa.table({
+            "mn": pa.array([v.min()], pa.float64()),
+            "mx": pa.array([v.max()], pa.float64())}))
+
+    mm_parts = [t for t in ray.get(ds_factory().map_batches(
+        minmax, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"bin": pa.array([], pa.int64()),
+                      "lo_edge": pa.array([], pa.float64()),
+                      "n": pa.array([], pa.int64())})
+    if not mm_parts:
+        return empty
+    parts = pa.concat_tables(mm_parts, promote_options="default")
+    lo = pc.min(parts["mn"]).as_py()
+    hi = pc.max(parts["mx"]).as_py()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        v = v[np.isfinite(v)]
+        if hi > lo:
+            b = np.floor((v - lo) * n_bins / (hi - lo))
+            b = np.minimum(b, n_bins - 1).astype(np.int64)
+        else:
+            b = np.zeros(v.size, np.int64)
+        cnt = np.bincount(b, minlength=n_bins)
+        return strip_meta(pa.table({
+            "bin": pa.array(np.arange(n_bins, dtype=np.int64), pa.int64()),
+            "cnt": pa.array(cnt, pa.int64())}))
+
+    clist = [t for t in ray.get(ds_factory().map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not clist:
+        return empty
+    cparts = pa.concat_tables(clist, promote_options="default")
+    g = pa.TableGroupBy(cparts, "bin").aggregate([("cnt", "sum")])
+    g = g.filter(pc.greater(g["cnt_sum"], 0)).sort_by("bin")
+    bins = g["bin"].to_numpy(zero_copy_only=False)
+    width = (hi - lo) / n_bins
+    return pa.table({
+        "bin": g["bin"].cast(pa.int64()),
+        "lo_edge": pa.array(lo + bins * width, pa.float64()),
+        "n": g["cnt_sum"].cast(pa.int64())})
+
+
+def grouped_minmax_scale(ds_factory, key: str, value: str):
+    """Per-group min-max normalization ``(x - min) / (max - min)`` — the
+    feature-scaling pass of a training-data pipeline, kept exact: pass 1
+    folds per-batch per-key ``(min, max)`` partials driver-side (fold
+    state is key-domain × blocks, NO shuffle); pass 2 broadcasts the tiny
+    (key, lo, hi) table via closure capture and rescales every row in one
+    vectorized ``map_batches``. The scale expression is one subtract and
+    one divide in float64, IEEE-identical to the SQL window formulation
+    ``(x - min(x) OVER (PARTITION BY key)) / (max(...) - min(...))``.
+
+    Rows with a null key or value drop; a zero-range group (min == max)
+    yields NULL scaled values (the SQL ``CASE WHEN mx > mn`` contract).
+    Streams the input schema plus a ``scaled`` float64 column."""
+    import ray
+
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key, value])
+        both = pc.and_kleene(pc.is_valid(sel[key]), pc.is_valid(sel[value]))
+        sel = sel.filter(both.fill_null(False))
+        t = pa.table({key: sel[key], "v": sel[value].cast(pa.float64())})
+        g = pa.TableGroupBy(t, key).aggregate([("v", "min"), ("v", "max")])
+        return strip_meta(pa.table({key: g[key], "mn": g["v_min"],
+                                    "mx": g["v_max"]}))
+
+    # keep 0-row partials: their schemas carry the key/value types, so an
+    # all-null input folds to an EMPTY typed (key, lo, hi) table and the
+    # scale pass below streams out 0 rows with the right schema
+    mlist = ray.get(ds_factory().map_batches(
+        minmax, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs())
+    parts = pa.concat_tables(mlist, promote_options="default")
+    folded = pa.TableGroupBy(parts, key).aggregate([("mn", "min"),
+                                                    ("mx", "max")])
+    mm_keys = folded[key].combine_chunks()
+    mm_lo = folded["mn_min"].to_numpy(zero_copy_only=False)
+    mm_hi = folded["mx_max"].to_numpy(zero_copy_only=False)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch[key], value_set=mm_keys)
+        valid = pc.and_(pc.is_valid(pos), pc.is_valid(batch[value])) \
+            .to_numpy(zero_copy_only=False)
+        vi = np.flatnonzero(valid)
+        kept = strip_meta(batch).take(pa.array(vi, pa.int64()))
+        p = pos.to_numpy(zero_copy_only=False)[vi].astype(np.int64)
+        vals = kept[value].cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        lo, hi = mm_lo[p], mm_hi[p]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = (vals - lo) / (hi - lo)
+        arr = pa.array(scaled, pa.float64())
+        arr = pc.if_else(pa.array(hi > lo),
+                         arr, pa.nulls(vi.size, pa.float64()))
+        return kept.append_column("scaled", arr)
+
+    return ds_factory().map_batches(scale, batch_format="pyarrow",
+                                    zero_copy_batch=True)
