@@ -3822,6 +3822,41 @@ def q_interevent_gaps_events(sf_dir: str) -> pa.Table:
         "user_id", "ts", "event_id")).sort_by("user_id")
 
 
+def q_json_schema_infer_events(sf_dir: str) -> pa.Table:
+    """JSON schema inference over events.props
+    (ops.jsoninfer.infer_json_schema — per-batch DISTINCT-payload
+    combiner so the stdlib parse runs at payload-cardinality scale, not
+    row scale; keys×types partials folded driver-side, NO shuffle): one
+    (jkey, jtype, n) row per top-level key × observed JSON type, with
+    DuckDB json_type names (UBIGINT/BIGINT split on sign)."""
+    from jsonschema_validator_ray.ops.jsoninfer import infer_json_schema
+
+    return infer_json_schema(_read(sf_dir, "events", ["props"]), "props")
+
+
+def q_winsorize_events(sf_dir: str) -> pa.Table:
+    """Per-event-type winsorization of events.value at [p05, p95]
+    (ops.stats.grouped_winsorize — discrete quantile_disc thresholds via
+    ONE bucket shuffle, then a broadcast comparison-only clip, so the
+    output matches SQL least(greatest(...)) bitwise). Output capped to
+    the 1000 smallest event_ids via a per-block top-k combiner (the
+    full clipped table is row-scale)."""
+    from jsonschema_validator_ray.ops.stats import grouped_winsorize
+    from jsonschema_validator_ray.rayutil import strip_meta
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        return strip_meta(batch.sort_by("event_id").slice(0, 1000))
+
+    out = _collect(grouped_winsorize(
+        lambda: _read(sf_dir, "events",
+                      ["event_id", "event_type", "value"]),
+        "event_type", "value", 0.05, 0.95)
+        .map_batches(block_top, batch_format="pyarrow",
+                     zero_copy_batch=True))
+    return out.sort_by("event_id").slice(0, 1000) \
+        .select(["event_id", "event_type", "clipped"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """All gate queries, ORDER-CURATED for the driver's 50-row artifact cap.
 
@@ -3962,6 +3997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_scale_events": q_minmax_scale_events,
         "cohort_retention_events": q_cohort_retention_events,
         "interevent_gaps_events": q_interevent_gaps_events,
+        "json_schema_infer_events": q_json_schema_infer_events,
+        "winsorize_events": q_winsorize_events,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
         "schema_union_documents": q_schema_union_documents,
@@ -5471,6 +5508,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ud JOIN f USING (user_id)
             GROUP BY f.cohort_day, age_days
             ORDER BY f.cohort_day, age_days
+        """,
+        "json_schema_infer_events": """
+            SELECT u.jkey,
+                   json_type(u.props, '$.' || u.jkey) AS jtype,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT props, unnest(json_keys(props)) AS jkey
+                  FROM events
+                  WHERE props IS NOT NULL AND json_valid(props)) u
+            GROUP BY u.jkey, jtype ORDER BY u.jkey, jtype
+        """,
+        "winsorize_events": """
+            WITH thr AS (
+                SELECT event_type,
+                       quantile_disc("value", 0.05) AS lo,
+                       quantile_disc("value", 0.95) AS hi
+                FROM events WHERE "value" IS NOT NULL
+                GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   least(greatest(e."value", thr.lo), thr.hi) AS clipped
+            FROM events e JOIN thr USING (event_type)
+            WHERE e."value" IS NOT NULL
+            ORDER BY e.event_id LIMIT 1000
         """,
         "interevent_gaps_events": """
             WITH g AS (

@@ -742,3 +742,83 @@ def grouped_minmax_scale(ds_factory, key: str, value: str):
 
     return ds_factory().map_batches(scale, batch_format="pyarrow",
                                     zero_copy_batch=True)
+
+
+def grouped_winsorize(ds_factory, key: str, value: str,
+                      lo_q: float = 0.05, hi_q: float = 0.95,
+                      n_buckets: int = 0):
+    """Per-group winsorization — clip ``value`` into its group's
+    ``[quantile(lo_q), quantile(hi_q)]`` band, the robust outlier-taming
+    pass run before scaling or model fitting. Thresholds are DISCRETE
+    order statistics (SQL ``quantile_disc``: ``sorted[max(0,
+    ceil(q*n)-1)]`` over non-null values) — exact data values, never
+    interpolated, so the clip is comparison-only and matches the SQL
+    ``least(greatest(x, lo), hi)`` formulation bitwise.
+
+    Two passes: (1) per-group thresholds via ONE hash-bucket shuffle
+    (exact order statistics need each group's full value set in one
+    place — same enum-sized-key-domain contract as grouped_quantiles;
+    unbounded key domains should prefer the t-digest sketch); (2) the
+    key-domain-sized (key, lo, hi) table broadcasts via closure capture
+    into one vectorized clip over the stream. Null keys/values drop.
+    Streams the input schema plus a ``clipped`` float64 column."""
+    import math
+
+    import ray
+
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    from .aggregates import _add_bucket_fn, _hash_buckets, run_starts
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(key, n_buckets)
+
+    def project(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key, value])
+        both = pc.and_kleene(pc.is_valid(sel[key]),
+                             pc.is_valid(sel[value])).fill_null(False)
+        return add_bucket(sel.filter(both))
+
+    def bucket_thresholds(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        if body.num_rows == 0:
+            return pa.table({key: pa.array([], body.schema.field(key).type),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        srt = body.sort_by([(key, "ascending"), (value, "ascending")])
+        k_arr = srt[key].combine_chunks()
+        v = srt[value].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(run_starts(k_arr))
+        ends = np.append(starts[1:], srt.num_rows)
+        ns = ends - starts
+        lo_i = starts + np.maximum(0, np.ceil(lo_q * ns).astype(np.int64) - 1)
+        hi_i = starts + np.maximum(0, np.ceil(hi_q * ns).astype(np.int64) - 1)
+        return pa.table({key: k_arr.take(pa.array(starts, pa.int64())),
+                         "lo": pa.array(v[lo_i], pa.float64()),
+                         "hi": pa.array(v[hi_i], pa.float64())})
+
+    thr = pa.concat_tables(ray.get(
+        ds_factory().map_batches(project, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(bucket_thresholds, batch_format="pyarrow")
+        .to_arrow_refs()), promote_options="default")
+    thr_keys = thr[key].combine_chunks()
+    thr_lo = thr["lo"].to_numpy(zero_copy_only=False)
+    thr_hi = thr["hi"].to_numpy(zero_copy_only=False)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch[key], value_set=thr_keys)
+        valid = pc.and_(pc.is_valid(pos), pc.is_valid(batch[value])) \
+            .to_numpy(zero_copy_only=False)
+        vi = np.flatnonzero(valid)
+        kept = strip_meta(batch).take(pa.array(vi, pa.int64()))
+        p = pos.to_numpy(zero_copy_only=False)[vi].astype(np.int64)
+        vals = kept[value].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        clipped = np.minimum(np.maximum(vals, thr_lo[p]), thr_hi[p])
+        return kept.append_column("clipped",
+                                  pa.array(clipped, pa.float64()))
+
+    return ds_factory().map_batches(clip, batch_format="pyarrow",
+                                    zero_copy_batch=True)
