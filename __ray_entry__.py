@@ -3867,10 +3867,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     unique; mono is a tail-listed variant), aggregation + table profiler +
     HLL sketch + skew/kurtosis moments, text analysis (token count /
     quality / lang-id / unigram-LM scoring), BM25 ranked retrieval, a
-    partitioned-sink round-trip, ALL dedup families (exact, MinHash-LSH,
-    SimHash, n-gram Jaccard, embedding, SemDeDup, chunk,
-    incremental-snapshot, connected components; decontamination is a
-    tail-listed variant), every join shape (as-of, full-outer,
+    partitioned-sink round-trip, JSON schema inference (the discovery half
+    of constraint compilation), ALL dedup families (exact, MinHash-LSH,
+    SimHash, n-gram Jaccard, embedding, chunk,
+    incremental-snapshot, connected components; SemDeDup and
+    decontamination are tail-listed variants), every join shape (as-of, full-outer,
     fuzzy-Levenshtein, table diff, TPC-H Q5 chain, Q3; the range/interval
     window joins are tail-listed variants) plus CDC MERGE/upsert, the
     sequence-mining family (Markov event transitions; journeys/throttle
@@ -3904,7 +3905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_documents": q_simhash_neardup_documents,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "embedding_neardup": q_embedding_neardup,
-        "semdedup_embeddings": q_semdedup_embeddings,
+        "json_schema_infer_events": q_json_schema_infer_events,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "neardup_components_documents": q_neardup_components_documents,
@@ -3997,7 +3998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_scale_events": q_minmax_scale_events,
         "cohort_retention_events": q_cohort_retention_events,
         "interevent_gaps_events": q_interevent_gaps_events,
-        "json_schema_infer_events": q_json_schema_infer_events,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "winsorize_events": q_winsorize_events,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
