@@ -3857,6 +3857,34 @@ def q_winsorize_events(sf_dir: str) -> pa.Table:
         .select(["event_id", "event_type", "clipped"])
 
 
+def q_pattern_census_events(sf_dir: str) -> pa.Table:
+    """Multi-pattern regex census over events.props
+    (ops.text.pattern_census — the PII/compliance-scan shape: per
+    event_type, total match count + rows-with-a-match for each named
+    RE2 pattern; per-batch |keys|x|patterns| partials folded
+    driver-side, NO shuffle). Gate patterns hit the synthetic corpus
+    (digit runs, multi-digit runs, the literal \"k\" JSON key); a real
+    pipeline points the same op at email/phone/SSN patterns."""
+    from jsonschema_validator_ray.ops.text import pattern_census
+
+    return pattern_census(
+        _read(sf_dir, "events", ["event_type", "props"]),
+        "event_type", "props",
+        {"digits": "[0-9]+", "multi_digit": "[0-9]{2,}",
+         "key_k": '"k"'})
+
+
+def q_bigram_counts_documents(sf_dir: str) -> pa.Table:
+    """Corpus-wide adjacent-token-pair counts over documents.text
+    (ops.text.bigram_counts — the BPE tokenizer-training merge
+    statistic: per-batch offset-arithmetic pair emission + Arrow
+    group-by partials, driver fold at bigram-vocabulary cardinality,
+    NO shuffle)."""
+    from jsonschema_validator_ray.ops.text import bigram_counts
+
+    return bigram_counts(_read(sf_dir, "documents", ["text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """All gate queries, ORDER-CURATED for the driver's 50-row artifact cap.
 
@@ -4000,6 +4028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interevent_gaps_events": q_interevent_gaps_events,
         "semdedup_embeddings": q_semdedup_embeddings,
         "winsorize_events": q_winsorize_events,
+        "pattern_census_events": q_pattern_census_events,
+        "bigram_counts_documents": q_bigram_counts_documents,
         "regression_events": q_regression_events,
         "covariance_embeddings": q_covariance_embeddings,
         "schema_union_documents": q_schema_union_documents,
@@ -5532,6 +5562,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN thr USING (event_type)
             WHERE e."value" IS NOT NULL
             ORDER BY e.event_id LIMIT 1000
+        """,
+        "pattern_census_events": """
+            WITH base AS (SELECT event_type, props FROM events
+                          WHERE event_type IS NOT NULL
+                                AND props IS NOT NULL),
+            c AS (
+                SELECT event_type, 'digits' AS pattern,
+                       len(regexp_extract_all(props, '[0-9]+')) AS c
+                FROM base
+                UNION ALL
+                SELECT event_type, 'key_k',
+                       len(regexp_extract_all(props, '"k"')) FROM base
+                UNION ALL
+                SELECT event_type, 'multi_digit',
+                       len(regexp_extract_all(props, '[0-9]{2,}'))
+                FROM base)
+            SELECT event_type, pattern,
+                   CAST(sum(c) AS BIGINT) AS n_matches,
+                   CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_rows
+            FROM c GROUP BY event_type, pattern
+            ORDER BY pattern, event_type
+        """,
+        "bigram_counts_documents": """
+            WITH t AS (SELECT string_split(text, ' ') AS l FROM documents
+                       WHERE text IS NOT NULL),
+            p AS (SELECT l[i] AS a, l[i+1] AS b
+                  FROM t, unnest(generate_series(1, len(l) - 1)) AS g(i))
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY a, b ORDER BY a, b
         """,
         "interevent_gaps_events": """
             WITH g AS (

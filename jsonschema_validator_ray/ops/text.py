@@ -11,6 +11,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..rayutil import strip_meta
 from ..stages.groupcheck import np_column_hash, run_starts
 
 # minimal public stopword lists (top function words per language)
@@ -526,3 +527,139 @@ def vocab_entropy(ds, key: str, column: str = "text", n_buckets: int = 0):
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("_bucket").map_groups(final, batch_format="pyarrow")
+
+
+def pattern_census(ds, key: str, column: str,
+                   patterns: "dict[str, str]") -> pa.Table:
+    """Multi-pattern regex census — the PII / compliance-scan shape: for
+    each named RE2 pattern, report per-``key`` totals of (a) matches and
+    (b) rows with at least one match. A real pipeline points this at
+    email/phone/SSN patterns before release gating; the op is the same
+    regardless of pattern set.
+
+    Scale shape: one streaming pass, NO shuffle at any size — each batch
+    runs every pattern through the vectorized Arrow RE2 kernel
+    (``count_substring_regex``, the same regex family as DuckDB's
+    ``regexp_extract_all``, so oracle SQL matches exactly for
+    RE2-compatible patterns) and pre-aggregates to ``(key, pattern,
+    n_matches, n_rows)`` partials whose cardinality is |key domain| ×
+    |patterns|; the driver folds the tiny partials with one final
+    group-by. Rows where ``key`` or ``column`` is null are dropped (the
+    SQL ``WHERE both IS NOT NULL`` contract). Patterns compile once per
+    kernel invocation inside Arrow — no per-row Python anywhere.
+
+    Returns ``(key, pattern, n_matches, n_rows)`` sorted by
+    (pattern, key)."""
+    import ray
+
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    names = sorted(patterns)
+    pats = dict(patterns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key, column])
+        mask = pc.and_kleene(pc.is_valid(sel[key]),
+                             pc.is_valid(sel[column])).fill_null(False)
+        sel = sel.filter(mask)
+        parts = []
+        for name in names:
+            cnt = pc.count_substring_regex(
+                sel[column], pattern=pats[name]).cast(pa.int64())
+            t = pa.table({key: sel[key], "c": cnt,
+                          "hit": pc.greater(cnt, 0).cast(pa.int64())})
+            g = pa.TableGroupBy(t, key).aggregate(
+                [("c", "sum"), ("hit", "sum")])
+            parts.append(pa.table({
+                key: g[key],
+                "pattern": pa.array([name] * g.num_rows, pa.string()),
+                "n_matches": g["c_sum"].cast(pa.int64()),
+                "n_rows": g["hit_sum"].cast(pa.int64())}))
+        out = pa.concat_tables(parts) if parts else None
+        if out is None or out.num_rows == 0:
+            return pa.table({key: pa.array([], batch.schema.field(key).type),
+                             "pattern": pa.array([], pa.string()),
+                             "n_matches": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        return strip_meta(out)
+
+    plist = [t for t in ray.get(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not plist:
+        return pa.table({key: pa.array([], pa.string()),
+                         "pattern": pa.array([], pa.string()),
+                         "n_matches": pa.array([], pa.int64()),
+                         "n_rows": pa.array([], pa.int64())})
+    parts = pa.concat_tables(plist, promote_options="default")
+    g = pa.TableGroupBy(parts, [key, "pattern"]).aggregate(
+        [("n_matches", "sum"), ("n_rows", "sum")])
+    return pa.table({key: g[key], "pattern": g["pattern"],
+                     "n_matches": g["n_matches_sum"].cast(pa.int64()),
+                     "n_rows": g["n_rows_sum"].cast(pa.int64())}) \
+        .sort_by([("pattern", "ascending"), (key, "ascending")])
+
+
+def bigram_counts(ds, column: str = "text") -> pa.Table:
+    """Corpus-wide adjacent-token-pair counts — the inner statistic of a
+    BPE tokenizer-training merge step (count every adjacent symbol pair,
+    merge the argmax) and of bigram language models. Tokenization is the
+    repo-wide convention: ``split_pattern(col, " ")`` ↔ DuckDB
+    ``string_split(col, ' ')``, empties kept; pairs never cross document
+    boundaries.
+
+    Scale shape: one streaming pass, NO shuffle — per batch, tokens
+    flatten to one values buffer + offsets, pair indices come from a
+    single boolean mask that knocks out each document's final token
+    (pure offset arithmetic, no per-doc Python), and an Arrow group-by
+    collapses the batch to distinct ``(a, b, n)`` partials. The driver
+    folds partials with one final group-by: partial cardinality is
+    bounded by the bigram vocabulary, not row count. Null texts drop.
+
+    Returns ``(a, b, n)`` sorted by (a, b)."""
+    import ray
+
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(col) == 0:
+            return empty
+        words = pc.split_pattern(col, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.values
+        if len(flat) < 2:
+            return empty
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.ones(len(flat), bool)
+        # each list's last token starts no pair (lists here are never
+        # empty: split of a non-null string yields >= 1 token)
+        mask[offs[1:] - 1] = False
+        idx = np.flatnonzero(mask)
+        t = pa.table({"a": flat.take(pa.array(idx, pa.int64())),
+                      "b": flat.take(pa.array(idx + 1, pa.int64()))})
+        g = pa.TableGroupBy(t, ["a", "b"]).aggregate([([], "count_all")])
+        return strip_meta(pa.table({
+            "a": g["a"], "b": g["b"],
+            "n": g["count_all"].cast(pa.int64())}))
+
+    plist = [t for t in ray.get(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not plist:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    parts = pa.concat_tables(plist, promote_options="default")
+    g = pa.TableGroupBy(parts, ["a", "b"]).aggregate([("n", "sum")])
+    return pa.table({"a": g["a"], "b": g["b"],
+                     "n": g["n_sum"].cast(pa.int64())}) \
+        .sort_by([("a", "ascending"), ("b", "ascending")])
