@@ -486,24 +486,8 @@ def finalize(out_dir: str, n_partitions: int, ir: ConstraintIR) -> dict:
         else:
             cross_viol = merge_run_boundaries(bounds, gc)
 
-    if overlap_convs:
-        # drop per-partition group-check rows for recHecked convs (superseded)
-        cleaned = []
-        for pid in range(n_partitions):
-            vpath, _ = _partition_paths(out_dir, pid)
-            t = pq.read_table(vpath)
-            is_group = pc.or_(
-                pc.starts_with(t["constraint_id"], "mono:"),
-                pc.starts_with(t["constraint_id"], "unique:"))
-            drop = pc.and_(is_group, pc.is_in(
-                t["conv_id"], value_set=pa.array(overlap_convs)))
-            cleaned.append(t.filter(pc.invert(drop)))
-        part_viol = pa.concat_tables(cleaned)
-    else:
-        part_viol = pa.concat_tables([
-            pq.read_table(_partition_paths(out_dir, pid)[0])
-            for pid in range(n_partitions)])
-
+    part_viol = _cleaned_partition_violations(out_dir, n_partitions,
+                                              overlap_convs)
     all_viol = pa.concat_tables([part_viol, cross_viol])
     if cross_viol.num_rows:
         pq.write_table(cross_viol,
@@ -554,3 +538,51 @@ def _recheck_convs(manifests: list, convs: list, gc) -> pa.Table:
             parts.append(pa.table({n: v[n] for n in VIOLATION_SCHEMA.names},
                                   schema=VIOLATION_SCHEMA))
     return pa.concat_tables(parts) if parts else VIOLATION_SCHEMA.empty_table()
+
+
+def _cleaned_partition_violations(out_dir: str, n_partitions: int,
+                                  overlap_convs: list) -> pa.Table:
+    """Per-partition violation rows with group-check rows for
+    overlap-rechecked conversations dropped (the recheck's exact rows,
+    carried in the cross-partition file, supersede them)."""
+    cleaned = []
+    for pid in range(n_partitions):
+        vpath, _ = _partition_paths(out_dir, pid)
+        t = pq.read_table(vpath)
+        if overlap_convs:
+            is_group = pc.or_(
+                pc.starts_with(t["constraint_id"], "mono:"),
+                pc.starts_with(t["constraint_id"], "unique:"))
+            drop = pc.and_(is_group, pc.is_in(
+                t["conv_id"], value_set=pa.array(overlap_convs)))
+            t = t.filter(pc.invert(drop))
+        cleaned.append(t)
+    return pa.concat_tables(cleaned)
+
+
+def read_violations(out_dir: str) -> pa.Table:
+    """Definitive violation table of a FINALIZED partitioned run — exactly
+    the set ``finalize()`` counted in ``summary.json``: per-partition rows
+    (minus group-check rows superseded by the overlap recheck) plus the
+    cross-partition boundary/recheck rows. The single-shot equivalence
+    contract (resume produces the same violations as one unpartitioned
+    ``validate()`` run) is oracle-checked by the
+    ``resume_validate_transcripts`` gate query."""
+    spath = os.path.join(out_dir, "summary.json")
+    if not os.path.exists(spath):
+        raise ValueError(
+            "read_violations needs a finalized run (no summary.json in "
+            f"{out_dir!r}) — resume it with run_partitioned first")
+    with open(spath) as f:
+        s = json.load(f)
+    if not s.get("complete"):
+        raise ValueError(
+            "read_violations needs a finalized run (summary.json reports "
+            "complete=false) — resume it with run_partitioned first")
+    part = _cleaned_partition_violations(
+        out_dir, int(s["n_partitions"]),
+        list(s.get("overlap_rechecked_convs") or []))
+    cross = os.path.join(out_dir, "violations", "part-cross.parquet")
+    if os.path.exists(cross):
+        part = pa.concat_tables([part, pq.read_table(cross)])
+    return part

@@ -300,3 +300,27 @@ def test_strategies_agree_on_random_corpora(ray_session, tmp_path):
         base = results["sort"]
         for strategy, got in results.items():
             assert got == base, (case, strategy)
+
+
+def test_read_violations_matches_single_shot(ray_session, corpus, tmp_path):
+    """pipelines.read_violations reconstructs exactly the set finalize()
+    counted — and a killed-then-resumed partitioned run yields the same
+    violation rows as one unpartitioned validate()."""
+    from jsonschema_validator_ray.pipelines import read_violations
+
+    gen, spec = corpus
+    ir = compile_constraints(spec)
+    out = str(tmp_path / "rv")
+
+    # un-finalized runs refuse (no summary.json yet)
+    run_partitioned(gen.files, out, ir=ir, files_per_partition=1,
+                    max_partitions=1)
+    with pytest.raises(ValueError):
+        read_violations(out)
+
+    r = run_partitioned(gen.files, out, ir=ir, files_per_partition=1)
+    assert r["complete"] is True
+    viol = read_violations(out)
+    assert viol.num_rows == r["n_violations"]
+    single = validate(gen.out_dir, ir=ir, strategy="sort")
+    assert rows(viol) == rows(single.violations)
