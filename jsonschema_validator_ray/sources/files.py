@@ -255,3 +255,47 @@ def union_by_name(datasets, schemas):
     for d in padded[1:]:
         out = out.union(d)
     return out
+
+
+def write_text(ds, path: str, column: str):
+    """Plain-text lines sink (``.txt``): one shard per block under
+    ``path`` (replaced), one line per value of ``column``, via the
+    content-addressed idempotent shard contract of :func:`_write_shards`.
+    The format is the lowest common denominator for text-corpus interop
+    (tokenizer trainers, grep-ability); it can encode neither NULL nor
+    the empty string (the reader's line framing cannot tell a trailing
+    empty line from the final newline), so null AND empty-string values
+    are DROPPED (documented, mirrored by the oracle's ``WHERE col IS NOT
+    NULL AND col <> ''``), and a value containing a newline raises
+    rather than silently splitting into two rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def encode(batch: "pa.Table"):
+        col = batch[column].combine_chunks() \
+            if isinstance(batch[column], pa.ChunkedArray) else batch[column]
+        col = col.drop_null()
+        col = col.filter(pc.not_equal(col, ""))
+        if pc.any(pc.match_substring(col, "\n")).as_py():
+            raise ValueError(
+                f"write_text: column {column!r} contains an embedded "
+                "newline — the lines format cannot represent it; clean or "
+                "escape the column first")
+        if len(col) == 0:
+            return b""
+        # one zero-copy list wrap around the whole column, then a single
+        # vectorized join — no per-row Python
+        wrap = pa.ListArray.from_arrays(
+            pa.array([0, len(col)], pa.int32()), col)
+        return (pc.binary_join(wrap, "\n")[0].as_py() + "\n").encode()
+
+    return _write_shards(ds, path, "txt", encode)
+
+
+def read_text(path: str):
+    """Parallel text-lines read: ``ray.data.read_text`` fans out one task
+    per ``.txt`` shard and yields one row per line in a single ``text``
+    column — the inverse of :func:`write_text`."""
+    import ray
+
+    return ray.data.read_text(path, file_extensions=["txt"])

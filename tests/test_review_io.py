@@ -237,3 +237,31 @@ def test_union_by_name_pads_and_rejects_conflicts(ray_session):
     with pytest.raises(TypeError):
         union_by_name([ray.data.from_arrow(a), ray.data.from_arrow(c)],
                       [a.schema, c.schema])
+
+
+def test_text_roundtrip_lossless(ray_session, tmp_path):
+    """write_text -> read_text preserves every non-null non-empty line
+    (multibyte included) across shards; nulls and empty strings are
+    dropped by contract; embedded newlines refuse."""
+    import ray.data
+
+    from jsonschema_validator_ray.sources.files import read_text, write_text
+
+    lines = [None if i % 9 == 0 else f"zeile-{i}-über ☃" for i in range(80)]
+    lines[5] = ""                       # empty string: dropped by contract
+    tab = pa.table({"text": pa.array(lines, pa.string())})
+    path = str(tmp_path / "txt")
+    write_text(ray.data.from_arrow(tab).repartition(4), path, "text")
+    back = sorted(r["text"] for r in read_text(path).take_all())
+    assert back == sorted(l for l in lines if l)
+
+
+def test_text_write_rejects_embedded_newline(ray_session, tmp_path):
+    import pytest
+    import ray.data
+
+    from jsonschema_validator_ray.sources.files import write_text
+
+    tab = pa.table({"text": pa.array(["ok", "bad\nline"], pa.string())})
+    with pytest.raises(Exception, match="newline"):
+        write_text(ray.data.from_arrow(tab), str(tmp_path / "t2"), "text")
