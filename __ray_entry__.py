@@ -3944,7 +3944,7 @@ def q_text_roundtrip_documents(sf_dir: str) -> pa.Table:
         import hashlib
 
         col = batch["text"]
-        # order-independent content checksum: sum of 48-bit md5 prefixes
+        # order-independent content checksum: sum of 40-bit md5 prefixes
         # (the per-line hashlib loop is the roundtrip-CHECK's cost, not an
         # engine op's — same convention as the chunk/pack md5 compares)
         # 40-bit prefixes keep the int64 sum overflow-free to ~10^6 lines
@@ -4319,7 +4319,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(('0x' || substr(md5(text), 1, 10))
                                  AS BIGINT)) AS BIGINT) AS md5sum,
                    min(text) AS min_line, max(text) AS max_line
-            FROM documents WHERE text IS NOT NULL AND text <> ''
+            FROM documents WHERE text IS NOT NULL
         """,
         "transcript_verdict": f"""
             WITH tx AS (SELECT * FROM read_parquet('{_TX_GLOB}')),

@@ -7,8 +7,9 @@ report: one ``(jkey, jtype, n)`` row per top-level key × observed type.
 
 Type names follow DuckDB's ``json_type`` so the report is SQL-oracle
 comparable: OBJECT / ARRAY / VARCHAR / BOOLEAN / DOUBLE, integers split
-into UBIGINT (>= 0) and BIGINT (< 0), and JSON ``null`` reported as a
-NULL type (DuckDB returns SQL NULL for it).
+into UBIGINT (>= 0) and BIGINT (< 0) with out-of-uint64/int64-range
+integers reported as DOUBLE (DuckDB parses them so), and JSON ``null``
+reported as a NULL type (DuckDB returns SQL NULL for it).
 
 Scale shape: the per-batch combiner first collapses the batch to DISTINCT
 payload strings with counts (one Arrow groupby — at 100 TB the parse cost
@@ -32,6 +33,13 @@ import pyarrow.compute as pc
 from ..rayutil import strip_meta
 
 
+class _Pairs(list):
+    """A JSON object decoded as its ordered (key, value) pairs —
+    ``object_pairs_hook`` marker so duplicate keys survive decoding
+    (``json.loads``'s default dict is last-wins, but DuckDB's
+    ``json_keys`` reports every occurrence; review r5)."""
+
+
 def _jtype(v) -> str | None:
     # bool before int: Python bools are ints
     if v is None:
@@ -39,11 +47,17 @@ def _jtype(v) -> str | None:
     if isinstance(v, bool):
         return "BOOLEAN"
     if isinstance(v, int):
+        # DuckDB json_type parses integers beyond uint64/int64 range as
+        # DOUBLE (verified: 2^64 -> DOUBLE, -(2^63)-1 -> DOUBLE); match it
+        if v >= (1 << 64) or v < -(1 << 63):
+            return "DOUBLE"
         return "UBIGINT" if v >= 0 else "BIGINT"
     if isinstance(v, float):
         return "DOUBLE"
     if isinstance(v, str):
         return "VARCHAR"
+    if isinstance(v, _Pairs):
+        return "OBJECT"
     if isinstance(v, list):
         return "ARRAY"
     return "OBJECT"
@@ -55,8 +69,6 @@ def infer_json_schema(ds, col: str) -> pa.Table:
     rows whose payload has ``jkey`` with a value of ``jtype``. See the
     module docstring for the scale shape and the DuckDB type-name
     contract."""
-    import ray
-
     from ..rayutil import ensure_worker_importable
     ensure_worker_importable()
 
@@ -70,14 +82,22 @@ def infer_json_schema(ds, col: str) -> pa.Table:
         for p, n in zip(g["p"].to_pylist(),
                         g["count_all"].to_pylist()):
             try:
-                obj = json.loads(p)
+                obj = json.loads(p, object_pairs_hook=_Pairs)
             except ValueError:
                 continue
-            if not isinstance(obj, dict):
+            if not isinstance(obj, _Pairs):
                 continue
-            for k, v in obj.items():
+            # duplicate keys: DuckDB's json_keys unnests EVERY occurrence
+            # while json_type('$.key') resolves to the FIRST occurrence's
+            # value — emit one row per occurrence, all typed first-wins
+            # (review r5)
+            first: dict = {}
+            for k, v in obj:
+                if k not in first:
+                    first[k] = _jtype(v)
+            for k, _v in obj:
                 keys.append(k)
-                types.append(_jtype(v))
+                types.append(first[k])
                 counts.append(n)
         t = pa.table({"jkey": pa.array(keys, pa.string()),
                       "jtype": pa.array(types, pa.string()),
@@ -87,15 +107,12 @@ def infer_json_schema(ds, col: str) -> pa.Table:
             "jkey": gb["jkey"], "jtype": gb["jtype"],
             "n": gb["n_sum"].cast(pa.int64())}))
 
-    plist = [t for t in ray.get(ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize().to_arrow_refs()) if t.num_rows]
-    if not plist:
+    from ..rayutil import fold_partials
+    folded = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["jkey", "jtype"], ["n"])
+    if folded is None:
         return pa.table({"jkey": pa.array([], pa.string()),
                          "jtype": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    parts = pa.concat_tables(plist, promote_options="default")
-    g = pa.TableGroupBy(parts, ["jkey", "jtype"]).aggregate([("n", "sum")])
-    return pa.table({"jkey": g["jkey"], "jtype": g["jtype"],
-                     "n": g["n_sum"].cast(pa.int64())}) \
-        .sort_by([("jkey", "ascending"), ("jtype", "ascending")])
+    return folded.sort_by([("jkey", "ascending"), ("jtype", "ascending")])

@@ -859,19 +859,14 @@ def jsd_drift(ds, cat_col: str, ts_col: str, split_ts_us: int) -> dict:
             "n_ref": g["nr_sum"].cast(pa.int64()),
             "n_cur": g["nc_sum"].cast(pa.int64())}))
 
-    import ray
-
-    parts = [t for t in ray.get(
+    from ..rayutil import fold_partials
+    folded = fold_partials(
         ds.map_batches(partial, batch_format="pyarrow",
-                       zero_copy_batch=True).materialize().to_arrow_refs())
-        if t.num_rows]
-    if not parts:
+                       zero_copy_batch=True), [cat_col], ["n_ref", "n_cur"])
+    if folded is None:
         raise ValueError("jsd_drift: no non-null rows")
-    folded = pa.TableGroupBy(
-        pa.concat_tables(parts, promote_options="default"), cat_col) \
-        .aggregate([("n_ref", "sum"), ("n_cur", "sum")])
-    nr = folded["n_ref_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
-    nc = folded["n_cur_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nr = folded["n_ref"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nc = folded["n_cur"].to_numpy(zero_copy_only=False).astype(np.float64)
     tr, tc = nr.sum(), nc.sum()
     if not tr or not tc:
         raise ValueError("jsd_drift: one side has no rows")

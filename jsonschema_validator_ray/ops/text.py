@@ -550,9 +550,7 @@ def pattern_census(ds, key: str, column: str,
 
     Returns ``(key, pattern, n_matches, n_rows)`` sorted by
     (pattern, key)."""
-    import ray
-
-    from ..rayutil import ensure_worker_importable
+    from ..rayutil import ensure_worker_importable, fold_partials
     ensure_worker_importable()
     names = sorted(patterns)
     pats = dict(patterns)
@@ -583,21 +581,16 @@ def pattern_census(ds, key: str, column: str,
                              "n_rows": pa.array([], pa.int64())})
         return strip_meta(out)
 
-    plist = [t for t in ray.get(ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize().to_arrow_refs()) if t.num_rows]
-    if not plist:
+    folded = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key, "pattern"], ["n_matches", "n_rows"])
+    if folded is None:
         return pa.table({key: pa.array([], pa.string()),
                          "pattern": pa.array([], pa.string()),
                          "n_matches": pa.array([], pa.int64()),
                          "n_rows": pa.array([], pa.int64())})
-    parts = pa.concat_tables(plist, promote_options="default")
-    g = pa.TableGroupBy(parts, [key, "pattern"]).aggregate(
-        [("n_matches", "sum"), ("n_rows", "sum")])
-    return pa.table({key: g[key], "pattern": g["pattern"],
-                     "n_matches": g["n_matches_sum"].cast(pa.int64()),
-                     "n_rows": g["n_rows_sum"].cast(pa.int64())}) \
-        .sort_by([("pattern", "ascending"), (key, "ascending")])
+    return folded.sort_by([("pattern", "ascending"), (key, "ascending")])
 
 
 def bigram_counts(ds, column: str = "text") -> pa.Table:
@@ -617,9 +610,7 @@ def bigram_counts(ds, column: str = "text") -> pa.Table:
     bounded by the bigram vocabulary, not row count. Null texts drop.
 
     Returns ``(a, b, n)`` sorted by (a, b)."""
-    import ray
-
-    from ..rayutil import ensure_worker_importable
+    from ..rayutil import ensure_worker_importable, fold_partials
     ensure_worker_importable()
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -651,15 +642,11 @@ def bigram_counts(ds, column: str = "text") -> pa.Table:
             "a": g["a"], "b": g["b"],
             "n": g["count_all"].cast(pa.int64())}))
 
-    plist = [t for t in ray.get(ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize().to_arrow_refs()) if t.num_rows]
-    if not plist:
+    folded = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["a", "b"], ["n"])
+    if folded is None:
         return pa.table({"a": pa.array([], pa.string()),
                          "b": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
-    parts = pa.concat_tables(plist, promote_options="default")
-    g = pa.TableGroupBy(parts, ["a", "b"]).aggregate([("n", "sum")])
-    return pa.table({"a": g["a"], "b": g["b"],
-                     "n": g["n_sum"].cast(pa.int64())}) \
-        .sort_by([("a", "ascending"), ("b", "ascending")])
+    return folded.sort_by([("a", "ascending"), ("b", "ascending")])

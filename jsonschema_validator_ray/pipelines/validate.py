@@ -489,9 +489,14 @@ def finalize(out_dir: str, n_partitions: int, ir: ConstraintIR) -> dict:
     part_viol = _cleaned_partition_violations(out_dir, n_partitions,
                                               overlap_convs)
     all_viol = pa.concat_tables([part_viol, cross_viol])
+    cross_path = os.path.join(out_dir, "violations", "part-cross.parquet")
+    # remove any PRIOR finalize's cross file first: a re-run under a new IR
+    # that produces zero cross rows would otherwise leave the stale file
+    # for read_violations to pick up as phantom violations (review r5)
+    if os.path.exists(cross_path):
+        os.unlink(cross_path)
     if cross_viol.num_rows:
-        pq.write_table(cross_viol,
-                       os.path.join(out_dir, "violations", "part-cross.parquet"))
+        pq.write_table(cross_viol, cross_path)
 
     drift = state.evaluate_drift(ir.drift_checks)
     passed = all_viol.num_rows == 0 and all(d["passed"] for d in drift)

@@ -136,3 +136,37 @@ def default_buckets(n_buckets: int = 0) -> int:
     if n_buckets > 0:
         return n_buckets
     return 4 * avail_cpus()
+
+
+def collect_partials(ds):
+    """Run a partial-emitting ``map_batches`` plan and hand back its
+    non-empty Arrow blocks driver-side. ``materialize()`` first:
+    ``to_arrow_refs()`` on a lazy plan appends a limit-1 schema probe
+    that would re-run the final stage on one block. The single
+    definition of the run-collect idiom every driver-fold aggregate
+    uses (review r5 — four copies landed in one diff before this)."""
+    import ray
+
+    return [t for t in ray.get(ds.materialize().to_arrow_refs())
+            if t.num_rows]
+
+
+def fold_partials(ds, keys, sums):
+    """Driver fold for partial-aggregate ops: collect the plan's blocks
+    (:func:`collect_partials`), concat, one final Arrow group-by on
+    ``keys`` summing each column in ``sums`` (result columns keep the
+    input names, cast to int64). Returns None when no partial produced
+    rows — callers supply their own typed empty table. The partial
+    cardinality contract (keys-domain-sized, never row-sized) is the
+    caller's to uphold; this helper only removes the boilerplate."""
+    import pyarrow as pa
+
+    parts = collect_partials(ds)
+    if not parts:
+        return None
+    cat = pa.concat_tables(parts, promote_options="default")
+    g = pa.TableGroupBy(cat, list(keys)).aggregate(
+        [(c, "sum") for c in sums])
+    cols = {k: g[k] for k in keys}
+    cols.update({c: g[f"{c}_sum"].cast(pa.int64()) for c in sums})
+    return pa.table(cols)

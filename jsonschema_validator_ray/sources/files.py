@@ -257,17 +257,29 @@ def union_by_name(datasets, schemas):
     return out
 
 
+# every character Python's str.splitlines() (Ray's read_text line framing)
+# treats as a line break — NOT just "\n"; a value containing any of these
+# would silently shatter into multiple rows on reread (review r5)
+_LINE_BREAK_RE = "[\\n\\r\\x0b\\x0c\\x1c\\x1d\\x1e\\x{85}\\x{2028}\\x{2029}]"
+
+
 def write_text(ds, path: str, column: str):
     """Plain-text lines sink (``.txt``): one shard per block under
     ``path`` (replaced), one line per value of ``column``, via the
     content-addressed idempotent shard contract of :func:`_write_shards`.
     The format is the lowest common denominator for text-corpus interop
-    (tokenizer trainers, grep-ability); it can encode neither NULL nor
-    the empty string (the reader's line framing cannot tell a trailing
-    empty line from the final newline), so null AND empty-string values
-    are DROPPED (documented, mirrored by the oracle's ``WHERE col IS NOT
-    NULL AND col <> ''``), and a value containing a newline raises
-    rather than silently splitting into two rows."""
+    (tokenizer trainers, grep-ability); it cannot encode NULL, so null
+    values are DROPPED (documented, mirrored by the oracle's ``WHERE col
+    IS NOT NULL``), and a value containing ANY line-break character the
+    reader's ``str.splitlines()`` framing recognizes (``\\n \\r \\v \\f
+    \\x1c-\\x1e \\x85 U+2028 U+2029``) raises rather than silently
+    splitting into several rows. Empty strings roundtrip (``splitlines``
+    never fabricates a line from the final newline, so an interior empty
+    line is unambiguous). Content-addressing caveat shared with every
+    shard sink in this module: two DISTINCT blocks with byte-identical
+    encoded content collapse to one shard (the price of idempotent
+    retries); real corpora never form two identical multi-MB blocks, but
+    adversarially duplicated inputs should repartition first."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -275,12 +287,12 @@ def write_text(ds, path: str, column: str):
         col = batch[column].combine_chunks() \
             if isinstance(batch[column], pa.ChunkedArray) else batch[column]
         col = col.drop_null()
-        col = col.filter(pc.not_equal(col, ""))
-        if pc.any(pc.match_substring(col, "\n")).as_py():
+        if pc.any(pc.match_substring_regex(col, _LINE_BREAK_RE)).as_py():
             raise ValueError(
                 f"write_text: column {column!r} contains an embedded "
-                "newline — the lines format cannot represent it; clean or "
-                "escape the column first")
+                "line-break character (one of \\n \\r \\v \\f \\x1c-\\x1e "
+                "\\x85 U+2028 U+2029) — the lines format cannot represent "
+                "it; clean or escape the column first")
         if len(col) == 0:
             return b""
         # one zero-copy list wrap around the whole column, then a single
@@ -295,7 +307,11 @@ def write_text(ds, path: str, column: str):
 def read_text(path: str):
     """Parallel text-lines read: ``ray.data.read_text`` fans out one task
     per ``.txt`` shard and yields one row per line in a single ``text``
-    column — the inverse of :func:`write_text`."""
+    column — the inverse of :func:`write_text`.
+    ``drop_empty_lines=False`` is load-bearing: Ray's default (True) also
+    drops WHITESPACE-ONLY lines (``line.strip() == ''``), which would
+    silently lose ``" "`` rows and break the roundtrip contract."""
     import ray
 
-    return ray.data.read_text(path, file_extensions=["txt"])
+    return ray.data.read_text(path, file_extensions=["txt"],
+                              drop_empty_lines=False)

@@ -324,3 +324,30 @@ def test_read_violations_matches_single_shot(ray_session, corpus, tmp_path):
     assert viol.num_rows == r["n_violations"]
     single = validate(gen.out_dir, ir=ir, strategy="sort")
     assert rows(viol) == rows(single.violations)
+
+
+def test_finalize_removes_stale_cross_file(ray_session, corpus, tmp_path):
+    """A part-cross.parquet left by an earlier finalize (e.g. under a
+    previous IR) is removed/overwritten by the next finalize, so
+    read_violations can never report phantom rows (review r5)."""
+    from jsonschema_validator_ray.pipelines import read_violations
+
+    gen, spec = corpus
+    ir = compile_constraints(spec)
+    out = str(tmp_path / "stale_cross")
+    r1 = run_partitioned(gen.files, out, ir=ir, files_per_partition=1)
+    assert r1["complete"] is True
+
+    # plant a stale cross file (schema-compatible rows from a partition)
+    cross = os.path.join(out, "violations", "part-cross.parquet")
+    donor = pq.read_table(os.path.join(out, "violations",
+                                       "part-00000.parquet"))
+    planted = donor if donor.num_rows else pq.read_table(
+        os.path.join(out, "violations", "part-00001.parquet"))
+    pq.write_table(pa.concat_tables([planted] * 3), cross)
+
+    # re-run: partitions all skip (manifests match), finalize recomputes
+    r2 = run_partitioned(gen.files, out, ir=ir, files_per_partition=1)
+    assert r2["complete"] is True
+    viol = read_violations(out)
+    assert viol.num_rows == r2["n_violations"] == r1["n_violations"]

@@ -240,20 +240,22 @@ def test_union_by_name_pads_and_rejects_conflicts(ray_session):
 
 
 def test_text_roundtrip_lossless(ray_session, tmp_path):
-    """write_text -> read_text preserves every non-null non-empty line
-    (multibyte included) across shards; nulls and empty strings are
-    dropped by contract; embedded newlines refuse."""
+    """write_text -> read_text preserves every non-null line (multibyte,
+    empty, and whitespace-only included) across shards; nulls are
+    dropped by contract; embedded line breaks refuse."""
     import ray.data
 
     from jsonschema_validator_ray.sources.files import read_text, write_text
 
     lines = [None if i % 9 == 0 else f"zeile-{i}-über ☃" for i in range(80)]
-    lines[5] = ""                       # empty string: dropped by contract
+    lines[5] = ""     # empty string: must roundtrip (review r5)
+    lines[7] = "  "   # whitespace-only: Ray's default framing drops it —
+    #                   drop_empty_lines=False is load-bearing (review r5)
     tab = pa.table({"text": pa.array(lines, pa.string())})
     path = str(tmp_path / "txt")
     write_text(ray.data.from_arrow(tab).repartition(4), path, "text")
     back = sorted(r["text"] for r in read_text(path).take_all())
-    assert back == sorted(l for l in lines if l)
+    assert back == sorted(l for l in lines if l is not None)
 
 
 def test_text_write_rejects_embedded_newline(ray_session, tmp_path):
@@ -263,5 +265,12 @@ def test_text_write_rejects_embedded_newline(ray_session, tmp_path):
     from jsonschema_validator_ray.sources.files import write_text
 
     tab = pa.table({"text": pa.array(["ok", "bad\nline"], pa.string())})
-    with pytest.raises(Exception, match="newline"):
+    with pytest.raises(Exception, match="line-break"):
         write_text(ray.data.from_arrow(tab), str(tmp_path / "t2"), "text")
+    # every other str.splitlines() break char refuses too (review r5:
+    # Ray's reader frames with splitlines, not just \n)
+    for bad in ["a\rb", "a\x0bb", "a\x85b",
+                "a\u2028b", "a\u2029b"]:
+        t = pa.table({"text": pa.array([bad], pa.string())})
+        with pytest.raises(Exception, match="line-break"):
+            write_text(ray.data.from_arrow(t), str(tmp_path / "t3"), "text")
