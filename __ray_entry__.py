@@ -3973,6 +3973,25 @@ def q_text_roundtrip_documents(sf_dir: str) -> pa.Table:
     })
 
 
+def q_quantize_embeddings(sf_dir: str) -> pa.Table:
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (ops.embed.quantize_embeddings — max-abs scaling, round-half-away
+    codes in [-127,127], one segmented reduce per batch, NO shuffle).
+    Gate projects the first four codes per vector so the oracle can
+    replay the exact SQL round() arithmetic."""
+    from jsonschema_validator_ray.ops.embed import quantize_embeddings
+
+    out = _collect(quantize_embeddings(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id"))
+    codes = out["codes"].combine_chunks()
+    first4 = {f"c{i}": pc.list_element(codes, i).cast(pa.int64())
+              for i in range(4)}
+    return pa.table({
+        "vec_id": out["vec_id"], "n_dims": out["n_dims"],
+        "max_abs": out["max_abs"], **first4}).sort_by("vec_id")
+
+
 def q_pattern_census_events(sf_dir: str) -> pa.Table:
     """Multi-pattern regex census over events.props
     (ops.text.pattern_census — the PII/compliance-scan shape: per
@@ -4148,6 +4167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": q_semdedup_embeddings,
         "winsorize_events": q_winsorize_events,
         "pattern_census_events": q_pattern_census_events,
+        "quantize_embeddings": q_quantize_embeddings,
         "text_roundtrip_documents": q_text_roundtrip_documents,
         "bigram_counts_documents": q_bigram_counts_documents,
         "regression_events": q_regression_events,
@@ -5743,6 +5763,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_rows
             FROM c GROUP BY event_type, pattern
             ORDER BY pattern, event_type
+        """,
+        "quantize_embeddings": """
+            WITH q AS (
+                SELECT vec_id,
+                       CAST(len(embedding) AS BIGINT) AS n_dims,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE))))
+                           AS max_abs,
+                       embedding
+                FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                      AND len(embedding) > 0)
+            SELECT vec_id, n_dims, max_abs,
+                   CAST(CASE WHEN max_abs = 0 THEN 0 ELSE
+                        round(CAST(embedding[1] AS DOUBLE) * 127.0
+                              / max_abs) END AS BIGINT) AS c0,
+                   CAST(CASE WHEN max_abs = 0 THEN 0 ELSE
+                        round(CAST(embedding[2] AS DOUBLE) * 127.0
+                              / max_abs) END AS BIGINT) AS c1,
+                   CAST(CASE WHEN max_abs = 0 THEN 0 ELSE
+                        round(CAST(embedding[3] AS DOUBLE) * 127.0
+                              / max_abs) END AS BIGINT) AS c2,
+                   CAST(CASE WHEN max_abs = 0 THEN 0 ELSE
+                        round(CAST(embedding[4] AS DOUBLE) * 127.0
+                              / max_abs) END AS BIGINT) AS c3
+            FROM q ORDER BY vec_id
         """,
         "bigram_counts_documents": """
             WITH t AS (SELECT string_split(text, ' ') AS l FROM documents
