@@ -3973,6 +3973,17 @@ def q_text_roundtrip_documents(sf_dir: str) -> pa.Table:
     })
 
 
+def q_vocab_coverage_documents(sf_dir: str) -> pa.Table:
+    """Tokenizer vocab-coverage point (ops.text.vocab_coverage): share
+    of token occurrences covered by the 20 most frequent tokens —
+    vocabulary-sized partials, one driver fold, NO shuffle. top_k=20 on
+    the ~30-word synthetic vocab keeps the value non-trivial."""
+    from jsonschema_validator_ray.ops.text import vocab_coverage
+
+    return vocab_coverage(_read(sf_dir, "documents", ["text"]),
+                          "text", top_k=20)
+
+
 def q_quantize_embeddings(sf_dir: str) -> pa.Table:
     """Symmetric per-vector int8 quantization of the embeddings table
     (ops.embed.quantize_embeddings — max-abs scaling, round-half-away
@@ -4168,6 +4179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": q_winsorize_events,
         "pattern_census_events": q_pattern_census_events,
         "quantize_embeddings": q_quantize_embeddings,
+        "vocab_coverage_documents": q_vocab_coverage_documents,
         "text_roundtrip_documents": q_text_roundtrip_documents,
         "bigram_counts_documents": q_bigram_counts_documents,
         "regression_events": q_regression_events,
@@ -5789,6 +5801,20 @@ def oracle_sql() -> dict[str, str]:
                         round(CAST(embedding[4] AS DOUBLE) * 127.0
                               / max_abs) END AS BIGINT) AS c3
             FROM q ORDER BY vec_id
+        """,
+        "vocab_coverage_documents": """
+            WITH c AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                       FROM (SELECT unnest(string_split(text, ' ')) AS w
+                             FROM documents WHERE text IS NOT NULL)
+                       GROUP BY w),
+            top AS (SELECT n FROM c ORDER BY n DESC LIMIT 20)
+            SELECT (SELECT CAST(sum(n) AS BIGINT) FROM c) AS n_tokens,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_vocab,
+                   CAST(20 AS BIGINT) AS top_k,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM top) AS covered,
+                   (SELECT CAST(sum(n) AS DOUBLE) FROM top)
+                       / (SELECT CAST(sum(n) AS DOUBLE) FROM c)
+                       AS coverage
         """,
         "bigram_counts_documents": """
             WITH t AS (SELECT string_split(text, ' ') AS l FROM documents

@@ -650,3 +650,52 @@ def bigram_counts(ds, column: str = "text") -> pa.Table:
                          "b": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
     return folded.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def vocab_coverage(ds, column: str = "text", top_k: int = 1000) -> pa.Table:
+    """Tokenizer vocabulary-coverage curve point: the fraction of all
+    token OCCURRENCES covered by the ``top_k`` most frequent tokens —
+    the statistic that decides a tokenizer's vocab size (coverage
+    ≥ 99.9% at k means a k-entry vocab leaves ≤0.1% of the stream as
+    OOV/bytes). Tokenization is the repo-wide space-split convention.
+
+    Scale shape: per-batch Arrow group-by collapses tokens to distinct
+    ``(word, n)`` partials (vocabulary-sized, never token-stream-sized),
+    one driver fold, one ``np.sort`` at vocabulary scale. Top-k ties
+    break by total count only (coverage is a SUM over the k largest
+    counts, so which same-count word enters the cutoff cannot change
+    the result — SQL-stable without a tiebreaker). Null texts drop.
+
+    Returns one row: ``(n_tokens, n_vocab, top_k, covered, coverage)``
+    with ``coverage`` the IEEE double ``covered / n_tokens``."""
+    from ..rayutil import ensure_worker_importable, fold_partials
+    ensure_worker_importable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column].drop_null()
+        words = pc.list_flatten(pc.split_pattern(col, " "))
+        g = pa.TableGroupBy(pa.table({"w": words}), "w") \
+            .aggregate([([], "count_all")])
+        return strip_meta(pa.table({
+            "w": g["w"], "n": g["count_all"].cast(pa.int64())}))
+
+    folded = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["w"], ["n"])
+    if folded is None:
+        return pa.table({"n_tokens": pa.array([0], pa.int64()),
+                         "n_vocab": pa.array([0], pa.int64()),
+                         "top_k": pa.array([top_k], pa.int64()),
+                         "covered": pa.array([0], pa.int64()),
+                         "coverage": pa.array([float("nan")],
+                                              pa.float64())})
+    n = folded["n"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    srt = np.sort(n)[::-1]
+    covered = int(srt[:top_k].sum())
+    return pa.table({
+        "n_tokens": pa.array([total], pa.int64()),
+        "n_vocab": pa.array([int(n.size)], pa.int64()),
+        "top_k": pa.array([top_k], pa.int64()),
+        "covered": pa.array([covered], pa.int64()),
+        "coverage": pa.array([covered / total], pa.float64())})

@@ -74,3 +74,23 @@ def test_bigram_counts_empty_convention(ray_session):
     out = bigram_counts(ray.data.from_arrow(t), "txt")
     got = {(r["a"], r["b"]): r["n"] for r in out.to_pylist()}
     assert got == {("", ""): 1}
+
+
+def test_vocab_coverage_planted(ray_session):
+    """coverage = share of token occurrences in the top_k most frequent
+    tokens; ties at the cutoff cannot change the sum; null texts drop."""
+    import ray.data
+
+    from jsonschema_validator_ray.ops.text import vocab_coverage
+
+    # counts: a=4, b=3, c=2, d=1  (10 tokens, 4 vocab)
+    t = pa.table({"txt": pa.array(
+        ["a a b", "a b c", "a b c d", None], pa.string())})
+    out = vocab_coverage(ray.data.from_arrow(t).repartition(2),
+                         "txt", top_k=2).to_pylist()[0]
+    assert out["n_tokens"] == 10 and out["n_vocab"] == 4
+    assert out["covered"] == 7 and out["coverage"] == 7 / 10
+    # top_k beyond vocab covers everything
+    full = vocab_coverage(ray.data.from_arrow(t), "txt",
+                          top_k=100).to_pylist()[0]
+    assert full["covered"] == 10 and full["coverage"] == 1.0
