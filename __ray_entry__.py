@@ -1383,6 +1383,135 @@ def q_render_sft_transcripts(sf_dir: str) -> pa.Table:
     }).sort_by([("conv_id", "ascending")])
 
 
+def q_conv_dedup_transcripts(sf_dir: str) -> pa.Table:
+    """Conversation-LEVEL exact dedup over the transcript corpus: render
+    each conversation to its canonical string
+    (``ops.aggregates.render_conversations`` — ordered ``role: text`` lines)
+    then exact-dedup whole conversations by 128-bit content hash
+    (``ops.dedup.exact_dedup_keepers``) — the transcript analog of document
+    dedup, two bucket shuffles (conv_id, then content hash), hash rows only
+    in the second. The corpus has no natural duplicate conversations, so the
+    query plants deterministic ones: every conversation whose id ends in
+    ``'0'`` (10%) is re-ingested under ``'dup-' || conv_id``; the SQL oracle
+    plants the identical rows, and the dedup must pair each copy with its
+    original ('c…' < 'dup-…', so the original is always the keeper)."""
+    from jsonschema_validator_ray.ops.aggregates import render_conversations
+    from jsonschema_validator_ray.ops.dedup import exact_dedup_keepers
+
+    ds = _tx_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+
+    def dup_tail(batch: pa.Table) -> pa.Table:
+        cid = batch["conv_id"].combine_chunks() \
+            if isinstance(batch["conv_id"], pa.ChunkedArray) \
+            else batch["conv_id"]
+        sel = batch.filter(pc.ends_with(cid, "0"))
+        remapped = pc.binary_join_element_wise(
+            pa.scalar("dup-"), sel["conv_id"].combine_chunks()
+            if isinstance(sel["conv_id"], pa.ChunkedArray)
+            else sel["conv_id"], pa.scalar(""))
+        return sel.set_column(sel.schema.get_field_index("conv_id"),
+                              "conv_id", remapped)
+
+    aug = ds.union(ds.map_batches(dup_tail, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    rendered = render_conversations(aug, "conv_id", "turn_idx", "role",
+                                    "text")
+    out = _collect(exact_dedup_keepers(rendered, "conv_id", "rendered"))
+    return pa.table({
+        "keeper_conv": out["keeper_id"],
+        "n_copies": out["n_copies"].cast(pa.int64()),
+    }).sort_by([("keeper_conv", "ascending")])
+
+
+def q_grouped_heavy_hitters_events(sf_dir: str) -> pa.Table:
+    """Per-group heavy hitters (``ops.aggregates.grouped_heavy_hitters``):
+    top-3 busiest calendar days per event type via keyed Misra-Gries
+    partials. ``capacity=64 >= 30 observed days`` so nothing is dropped —
+    counts exact, ``err_bound = 0`` — and the oracle is the exact SQL
+    ``row_number()`` top-k with the same ``(count DESC, day ASC)``
+    tie-break."""
+    from jsonschema_validator_ray.ops.aggregates import grouped_heavy_hitters
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "day": pc.cast(pc.cast(batch["ts"], pa.date32()), pa.string()),
+        })
+
+    out = grouped_heavy_hitters(
+        ds.map_batches(add_day, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "day", k=3, capacity=64)
+    return pa.table({
+        "event_type": out["event_type"],
+        "item": out["item"],
+        "est_count": out["est_count"],
+        "err_bound": out["err_bound"],
+    })
+
+
+def q_overlap_users_hll(sf_dir: str) -> pa.Table:
+    """Sketch-based corpus overlap, SELF-ORACLED (the `hll_distinct_events`
+    pattern): |users(view) ∩ users(purchase)| estimated by HLL
+    inclusion–exclusion — |A| + |B| − |A∪B| where the union sketch is the
+    register-wise merge of the two side sketches (the defining HLL merge
+    property; no third pass over the data). The gate row emits
+    ``(n_exact, within_bound)``: ``n_exact`` from an exact distributed
+    distinct pass matches SQL ``INTERSECT`` count exactly, and
+    ``within_bound`` asserts the sketch estimate lands within
+    ``max(16, 5% · |A∪B|)`` of it (three σ≈1.6% terms; at gate
+    cardinalities the p=12 sketches sit in their near-exact
+    linear-counting regime). 100-TB shape: per-side registers are fixed
+    4 KB regardless of user cardinality; only the exact-side verification
+    state is cardinality-scale, and it exists only to feed the gate."""
+    from jsonschema_validator_ray.state.hll import HyperLogLog, hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        sides, regs, uniqs = [], [], []
+        for side in ("view", "purchase"):
+            u = batch["user_id"].filter(
+                pc.fill_null(pc.equal(et, side), False)).drop_null()
+            h = HyperLogLog(12)
+            if len(u):
+                h.update_hashes(hash64(u.combine_chunks()
+                                       if isinstance(u, pa.ChunkedArray)
+                                       else u))
+            sides.append(side)
+            regs.append(h.to_bytes())
+            uniqs.append(np.unique(
+                u.to_numpy(zero_copy_only=False).astype(np.int64)).tobytes())
+        return pa.table({"side": pa.array(sides, pa.string()),
+                         "registers": pa.array(regs, pa.binary()),
+                         "uniq": pa.array(uniqs, pa.binary())})
+
+    parts = _collect(_read(sf_dir, "events", ["user_id", "event_type"])
+                     .map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    merged = {"view": HyperLogLog(12), "purchase": HyperLogLog(12)}
+    exact = {"view": [], "purchase": []}
+    for side, reg, uq in zip(parts["side"].to_pylist(),
+                             parts["registers"].to_pylist(),
+                             parts["uniq"].to_pylist()):
+        merged[side].merge(HyperLogLog.from_bytes(reg))
+        exact[side].append(np.frombuffer(uq, np.int64))
+    a = np.unique(np.concatenate(exact["view"] or [np.array([], np.int64)]))
+    b = np.unique(np.concatenate(exact["purchase"]
+                                 or [np.array([], np.int64)]))
+    n_exact = int(np.intersect1d(a, b).size)
+    union_sk = HyperLogLog(12)
+    union_sk.merge(merged["view"])
+    union_sk.merge(merged["purchase"])
+    est = (merged["view"].cardinality() + merged["purchase"].cardinality()
+           - union_sk.cardinality())
+    n_union_exact = int(np.union1d(a, b).size)
+    within = bool(abs(est - n_exact) <= max(16.0, 0.05 * n_union_exact))
+    return pa.table({"n_exact": pa.array([n_exact], pa.int64()),
+                     "within_bound": pa.array([within], pa.bool_())})
+
+
 def q_incremental_dedup_documents(sf_dir: str) -> pa.Table:
     """Incremental (cross-run) dedup (``ops.dedup.dedup_against_snapshot``):
     re-ingesting the full corpus against a snapshot of every third doc keeps
@@ -4042,23 +4171,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     proving resume == single-shot and salted == sort bitwise), each
     constraint kind (struct/ref/enum/
     mono/unique; mono and TPC-H Q1 are tail-listed variants), aggregation + table profiler +
-    HLL sketch + skew/kurtosis moments, text analysis (token count /
-    quality / lang-id / unigram-LM scoring), BM25 ranked retrieval, a
+    HLL sketch (global distinct + the inclusion–exclusion corpus-overlap
+    estimate) + per-group heavy hitters + skew/kurtosis moments, text
+    analysis (token count / lang-id / unigram-LM scoring; quality scoring
+    is a tail-listed variant), BM25 ranked retrieval, a
     partitioned-sink round-trip, JSON schema inference (the discovery half
     of constraint compilation), ALL dedup families (exact, MinHash-LSH,
     SimHash, n-gram Jaccard, embedding, chunk,
-    incremental-snapshot, connected components; SemDeDup and
+    incremental-snapshot, connected components, conversation-level
+    transcript dedup; SemDeDup and
     decontamination are tail-listed variants), every join shape (as-of, full-outer,
     fuzzy-Levenshtein, table diff, TPC-H Q5 chain, Q3; the range/interval
     window joins are tail-listed variants) plus CDC MERGE/upsert, the
     sequence-mining family (Markov event transitions; journeys/throttle
     tail-listed), the drift family (chi-square; KS and PSI tail-listed),
-    Spearman, global quantiles, PageRank, k-means, similarity search
+    Spearman (global quantiles tail-listed), PageRank, k-means,
+    similarity search
     (brute; IVF tail-listed), top-k, hash split, sessionization,
     forward-fill (LOCF), the SFT-prep family (turn pairs, rendering,
     packing; context truncation and alternation are tail-listed variants),
-    the cross-table referential-integrity report, and multimodal image +
-    audio. Entries 51+ are additional variants within already-represented
+    the cross-table referential-integrity report, and multimodal image
+    features (audio/video/resize tail-listed).
+    Entries 51+ are additional variants within already-represented
     families, verified by scripts/driver_sim.py (the full-surface mirror)
     and tests/.
     """
@@ -4075,8 +4209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table_events": q_profile_table_events,
         "hll_distinct_events": q_hll_distinct_events,
         "token_count_documents": q_token_count_documents,
-        "quality_documents": q_quality_documents,
         "langid_documents": q_langid_documents,
+        "conv_dedup_transcripts": q_conv_dedup_transcripts,
+        "grouped_heavy_hitters_events": q_grouped_heavy_hitters_events,
+        "overlap_users_hll": q_overlap_users_hll,
         "hive_partition_roundtrip_documents": q_hive_partition_roundtrip_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_neardup_documents": q_minhash_neardup_documents,
@@ -4098,7 +4234,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_type": q_drift_events_type,
         "skewkurt_events": q_skewkurt_events,
         "spearman_lineitem": q_spearman_lineitem,
-        "global_quantiles_lineitem": q_global_quantiles_lineitem,
         "pagerank_purchases": q_pagerank_purchases,
         "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
         "simsearch_top5": q_simsearch_top5,
@@ -4112,6 +4247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_sft_transcripts": q_render_sft_transcripts,
         "pack_documents": q_pack_documents,
         "multimodal_image_features": q_multimodal_image_features,
+        "quality_documents": q_quality_documents,
+        "global_quantiles_lineitem": q_global_quantiles_lineitem,
         "multimodal_audio_frames": q_multimodal_audio_frames,
         "conv_stats": q_conv_stats,
         "profile_events": q_profile_events,
@@ -4585,6 +4722,64 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY turn_idx, role, text)) AS digest
             FROM read_parquet('{_TX_GLOB}')
             GROUP BY conv_id ORDER BY conv_id
+        """,
+        # conversation-level dedup: the oracle plants the SAME deterministic
+        # duplicates as the query ('dup-'||conv_id for ids ending in '0'),
+        # renders each conversation with the render_sft expression, and
+        # groups whole conversations by rendered body (NULL bodies form one
+        # SQL group, matching the engine's deterministic null-hash group)
+        "conv_dedup_transcripts": f"""
+            WITH tx AS (SELECT conv_id, turn_idx, role, text
+                        FROM read_parquet('{_TX_GLOB}')),
+            aug AS (
+                SELECT * FROM tx
+                UNION ALL
+                SELECT 'dup-' || conv_id, turn_idx, role, text
+                FROM tx WHERE conv_id LIKE '%0'
+            ),
+            body AS (
+                SELECT conv_id,
+                       string_agg(role || ': ' || text, chr(10)
+                                  ORDER BY turn_idx, role, text) AS rendered
+                FROM aug GROUP BY conv_id
+            )
+            SELECT min(conv_id) AS keeper_conv,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM body GROUP BY rendered ORDER BY keeper_conv
+        """,
+        "grouped_heavy_hitters_events": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(CAST(ts AS DATE) AS VARCHAR) AS item,
+                       count(*) AS cnt
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT event_type, item, cnt,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cnt DESC, item ASC) AS rn
+                FROM c
+            )
+            SELECT event_type, item,
+                   CAST(cnt AS BIGINT) AS est_count,
+                   CAST(0 AS BIGINT) AS err_bound
+            FROM r WHERE rn <= 3 ORDER BY event_type, item
+        """,
+        # SELF-ORACLE (hll_distinct_events pattern): exact INTERSECT count +
+        # the Ray side's own within-bound assertion on the sketch estimate
+        "overlap_users_hll": """
+            SELECT CAST((
+                SELECT count(*) FROM (
+                    SELECT user_id FROM events
+                    WHERE event_type = 'view' AND user_id IS NOT NULL
+                    INTERSECT
+                    SELECT user_id FROM events
+                    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                )
+            ) AS BIGINT) AS n_exact,
+            TRUE AS within_bound
         """,
         "psi_drift_events": f"""
             WITH b AS (

@@ -1501,6 +1501,112 @@ def heavy_hitters(ds, column: str, k: int = 10,
     })
 
 
+def grouped_heavy_hitters(ds, group_col: str, item_col: str, k: int = 3,
+                          capacity: int = 256) -> pa.Table:
+    """Per-GROUP mergeable heavy hitters (keyed Misra-Gries): for every
+    group, the top-``k`` most frequent items with per-group lower-bound
+    counts and error certificates. The unkeyed :func:`heavy_hitters`
+    generalized to "hot items per domain" — top days per event type, hot
+    URLs per site, most-used tools per role.
+
+    Per batch ONE exact vectorized ``group_by(group, item).count``; any
+    group holding more than ``capacity`` distinct items in that batch keeps
+    only its top ``capacity`` and carries the largest dropped count as a
+    per-(partial, group) marker row (``item = NULL``) — the same dedicated
+    marker-row design as :func:`heavy_hitters`, so the accounting survives
+    block bundling. The driver folds the capacity-bounded partials, sums
+    each group's markers into its ``err_bound``, and takes the per-group
+    top-``k`` with a deterministic ``(count DESC, item ASC)`` tie-break via
+    one lexsort + segment ranks (no Python loop over groups).
+
+    Guarantees per group (standard MG frequent-items): ``est_count <=
+    true_count <= est_count + err_bound``; any item with true in-batch
+    count > batch_group_rows/capacity survives its partial. With
+    ``capacity >= per-group distinct(item)`` (the oracle-gate case:
+    calendar days per event type) nothing is dropped — counts exact,
+    ``err_bound = 0``. Null groups/items are dropped (SQL ``WHERE both
+    IS NOT NULL`` parity; a null item has no identity to count).
+
+    100-TB shape: each partial is bounded by ``groups x capacity`` rows
+    per block regardless of item cardinality, and the driver fold is
+    (group-domain x capacity)-scale — the bounded-memory alternative to an
+    exact two-key groupby when the item domain is unbounded."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, item_col]).drop_null()
+        vc = t.group_by([group_col, item_col]).aggregate(
+            [([], "count_all")]).rename_columns(
+            [group_col, item_col, "cnt"])
+        vc = vc.sort_by([(group_col, "ascending"), ("cnt", "descending"),
+                         (item_col, "ascending")])
+        n = vc.num_rows
+        grp = vc[group_col].combine_chunks()
+        items = vc[item_col].cast(pa.string()).combine_chunks()
+        cnts = vc["cnt"].cast(pa.int64()).combine_chunks()
+        if not n:
+            return pa.table({group_col: grp, "item": items, "cnt": cnts,
+                             "dmax": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.flatnonzero(
+            ~_same_group_mask(grp, n)) + 1])
+        counts = np.diff(np.concatenate([starts, [n]]))
+        rank = np.arange(n) - np.repeat(starts, counts)
+        keep = rank < capacity
+        kept = pa.table({group_col: grp.filter(pa.array(keep)),
+                         "item": items.filter(pa.array(keep)),
+                         "cnt": cnts.filter(pa.array(keep))})
+        kept = kept.append_column(
+            "dmax", pa.array(np.zeros(kept.num_rows, np.int64)))
+        over = rank == capacity          # first dropped row per fat group
+        if not over.any():
+            return kept
+        markers = pa.table({
+            group_col: grp.filter(pa.array(over)),
+            "item": pa.nulls(int(over.sum()), pa.string()),
+            "cnt": pa.array(np.zeros(int(over.sum()), np.int64)),
+            "dmax": cnts.filter(pa.array(over)),
+        })
+        return pa.concat_tables([kept, markers])
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "item": pa.array([], pa.string()),
+                         "est_count": pa.array([], pa.int64()),
+                         "err_bound": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts, promote_options="default")
+    markers = merged.filter(pc.is_null(merged["item"]))
+    errs = pa.TableGroupBy(markers.select([group_col, "dmax"]), group_col) \
+        .aggregate([("dmax", "sum")])
+    folded = pa.TableGroupBy(
+        merged.filter(pc.is_valid(merged["item"]))
+        .select([group_col, "item", "cnt"]),
+        [group_col, "item"]).aggregate([("cnt", "sum")])
+    folded = folded.sort_by([(group_col, "ascending"),
+                             ("cnt_sum", "descending"),
+                             ("item", "ascending")])
+    n = folded.num_rows
+    grp = folded[group_col].combine_chunks()
+    starts = np.concatenate([[0], np.flatnonzero(
+        ~_same_group_mask(grp, n)) + 1]) if n else np.array([0], np.int64)
+    counts = np.diff(np.concatenate([starts, [n]]))
+    rank = np.arange(n) - np.repeat(starts, counts)
+    top = folded.filter(pa.array(rank < k))
+    # per-group error certificate (0 for groups that never overflowed)
+    err_map = dict(zip(errs[group_col].to_pylist(),
+                       errs["dmax_sum"].to_pylist())) if errs.num_rows else {}
+    err_col = pa.array([int(err_map.get(v, 0))
+                        for v in top[group_col].to_pylist()], pa.int64())
+    return pa.table({
+        group_col: top[group_col],
+        "item": top["item"],
+        "est_count": top["cnt_sum"].cast(pa.int64()),
+        "err_bound": err_col,
+    }).sort_by([(group_col, "ascending"), ("item", "ascending")])
+
+
 def quantile_threshold_filter(ds_factory, key: str, value: str,
                               q: float = 0.99, n_buckets: int = 0):
     """Per-group quantile outlier filter: rows where ``value`` exceeds the

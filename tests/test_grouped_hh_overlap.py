@@ -1,0 +1,88 @@
+"""Per-group heavy hitters (keyed Misra-Gries) and HLL inclusion–exclusion
+overlap: exact-when-capacity-suffices, MG lower-bound + error certificate
+when batches overflow, and sketch-overlap accuracy at realistic skew."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jsonschema_validator_ray.ops.aggregates import grouped_heavy_hitters
+from jsonschema_validator_ray.state.hll import HyperLogLog
+
+
+def _exact_counts(groups, items):
+    from collections import Counter
+    return Counter(zip(groups, items))
+
+
+def _make_ds(ray_session, groups, items, n_blocks=4):
+    import ray.data
+
+    t = pa.table({"g": pa.array(groups, pa.string()),
+                  "it": pa.array(items, pa.string())})
+    return ray.data.from_arrow(t).repartition(n_blocks)
+
+
+def test_grouped_hh_exact_when_capacity_suffices(ray_session):
+    rng = np.random.default_rng(3)
+    groups = rng.choice(["a", "b", "c"], size=5000).tolist()
+    items = rng.choice([f"i{j}" for j in range(20)], size=5000).tolist()
+    ds = _make_ds(ray_session, groups, items)
+    out = grouped_heavy_hitters(ds, "g", "it", k=4, capacity=64)
+    exact = _exact_counts(groups, items)
+    assert (np.asarray(out["err_bound"]) == 0).all()
+    # engine top-4 per group == exact top-4 with (cnt desc, item asc) ties
+    for g in ("a", "b", "c"):
+        want = sorted(((c, i) for (gg, i), c in exact.items() if gg == g),
+                      key=lambda t: (-t[0], t[1]))[:4]
+        got = out.filter(pa.compute.equal(out["g"], g))
+        got_pairs = sorted(zip(got["est_count"].to_pylist(),
+                               got["item"].to_pylist()),
+                           key=lambda t: (-t[0], t[1]))
+        assert got_pairs == want
+
+
+def test_grouped_hh_mg_bound_under_overflow(ray_session):
+    # one group with 500 distinct items but a dominant head; capacity 16
+    # forces per-batch drops — the MG contract must still hold:
+    #   est <= true <= est + err_bound, and the heavy head must survive
+    rng = np.random.default_rng(11)
+    head = ["hot1"] * 1500 + ["hot2"] * 900
+    tail = [f"t{j}" for j in rng.integers(0, 500, size=3000)]
+    items = head + tail
+    rng.shuffle(items)
+    groups = ["g"] * len(items)
+    ds = _make_ds(ray_session, groups, items, n_blocks=6)
+    out = grouped_heavy_hitters(ds, "g", "it", k=5, capacity=16)
+    exact = _exact_counts(groups, items)
+    got = dict(zip(out["item"].to_pylist(), out["est_count"].to_pylist()))
+    errs = set(out["err_bound"].to_pylist())
+    assert len(errs) == 1            # one certificate per group
+    err = errs.pop()
+    assert err > 0                   # capacity 16 << 502 distinct: drops real
+    for item, est in got.items():
+        true = exact[("g", item)]
+        assert est <= true <= est + err, (item, est, true, err)
+    assert "hot1" in got and "hot2" in got   # heavy head survives
+
+
+def test_grouped_hh_null_and_empty(ray_session):
+    ds = _make_ds(ray_session,
+                  ["a", "a", None, "b"], ["x", None, "y", "x"], n_blocks=2)
+    out = grouped_heavy_hitters(ds, "g", "it", k=2, capacity=8)
+    rows = sorted(zip(out["g"].to_pylist(), out["it" if "it" in
+                                                out.column_names else "item"]
+                      .to_pylist(), out["est_count"].to_pylist()))
+    assert rows == [("a", "x", 1), ("b", "x", 1)]
+
+
+def test_hll_inclusion_exclusion_overlap_accuracy():
+    # pure-sketch check (no Ray needed): |A∩B| via est(A)+est(B)-est(A∪B)
+    a_ids = [f"u{i}" for i in range(30000)]
+    b_ids = [f"u{i}" for i in range(20000, 50000)]   # true overlap = 10000
+    ha, hb = HyperLogLog(12), HyperLogLog(12)
+    ha.update(a_ids)
+    hb.update(b_ids)
+    hu = HyperLogLog.from_bytes(ha.to_bytes()).merge(hb)
+    est = ha.cardinality() + hb.cardinality() - hu.cardinality()
+    assert abs(est - 10000) <= 0.05 * 50000   # 5% of |A∪B|
