@@ -1512,6 +1512,19 @@ def q_overlap_users_hll(sf_dir: str) -> pa.Table:
                      "within_bound": pa.array([within], pa.bool_())})
 
 
+def q_rolling_distinct_users(sf_dir: str) -> pa.Table:
+    """Trailing 7-day distinct active users per observed day
+    (``ops.aggregates.rolling_distinct``): a windowed COUNT(DISTINCT) — NOT
+    a rolling sum (re-active users count once per window). One key-hash
+    shuffle; the per-window distinct count happens in-bucket because window
+    expansion never changes the key, so per-bucket counts add. Oracle is
+    the exact SQL range self-join against the observed-day list."""
+    from jsonschema_validator_ray.ops.aggregates import rolling_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_distinct(ds, "user_id", "ts", window_days=7)
+
+
 def q_incremental_dedup_documents(sf_dir: str) -> pa.Table:
     """Incremental (cross-run) dedup (``ops.dedup.dedup_against_snapshot``):
     re-ingesting the full corpus against a snapshot of every third doc keeps
@@ -4287,6 +4300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_documents": q_clean_corpus_documents,
         "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "rolling_window_events": q_rolling_window_events,
+        "rolling_distinct_users": q_rolling_distinct_users,
         "bloom_semi_join_events": q_bloom_semi_join_events,
         "repetition_documents": q_repetition_documents,
         "tfidf_documents": q_tfidf_documents,
@@ -4746,6 +4760,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(conv_id) AS keeper_conv,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM body GROUP BY rendered ORDER BY keeper_conv
+        """,
+        "rolling_distinct_users": """
+            WITH du AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            days AS (SELECT DISTINCT d FROM du)
+            SELECT CAST(w.d AS VARCHAR) AS day,
+                   CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_keys
+            FROM days w
+            JOIN du ON du.d BETWEEN w.d - INTERVAL 6 DAY AND w.d
+            GROUP BY w.d ORDER BY day
         """,
         "grouped_heavy_hitters_events": """
             WITH c AS (

@@ -1607,6 +1607,98 @@ def grouped_heavy_hitters(ds, group_col: str, item_col: str, k: int = 3,
     }).sort_by([(group_col, "ascending"), ("item", "ascending")])
 
 
+def rolling_distinct(ds, key_col: str, ts_col: str, window_days: int = 7,
+                     n_buckets: int = 0) -> pa.Table:
+    """Trailing-window distinct count: for every OBSERVED calendar day,
+    how many distinct keys were active in the ``window_days``-day window
+    ending that day — the "7-day active users" / corpus-freshness metric.
+    A windowed COUNT(DISTINCT) is not a plain rolling sum (the same key
+    active on 3 days of one window still counts once), which is why this
+    is its own operator rather than a rolling-window variant.
+
+    Scale shape: rows shrink to distinct ``(key, day)`` pairs inside each
+    batch (Arrow group-by combiner), then ONE hash shuffle on the key.
+    Because expansion of a pair to its ``window_days`` trailing window-end
+    days never changes the key, the distinct-per-window count is computed
+    entirely IN-BUCKET (``count_distinct`` per window day) — key buckets
+    partition the key domain, so per-bucket distinct counts ADD, and the
+    driver folds calendar-scale partials only. Observed-day markers ride
+    along (kind=1 rows) so window days past the last observed day — or
+    inside gaps — are dropped exactly like the SQL join against the
+    observed-day list. Null keys/timestamps drop.
+    """
+    from ..rayutil import collect_partials, ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(key_col, n_buckets)
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key_col, ts_col])
+        both = pc.and_kleene(pc.is_valid(sel[key_col]),
+                             pc.is_valid(sel[ts_col])).fill_null(False)
+        sel = sel.filter(both)
+        t = pa.table({key_col: sel[key_col],
+                      "d": pc.cast(pc.floor_temporal(sel[ts_col],
+                                                     unit="day"),
+                                   pa.date32())})
+        return add_bucket(pa.TableGroupBy(t, [key_col, "d"]).aggregate([]))
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        g = pa.TableGroupBy(body, [key_col, "d"]).aggregate([])
+        d32 = g["d"].combine_chunks().cast(pa.int32()) \
+            .to_numpy(zero_copy_only=False)
+        n = d32.size
+        if not n:
+            return pa.table({"wd": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8())})
+        win = np.arange(window_days, dtype=np.int32)
+        wdays = (d32[:, None] + win[None, :]).ravel()
+        widx = np.repeat(np.arange(n), window_days)
+        keys = g[key_col].combine_chunks() \
+            if isinstance(g[key_col], pa.ChunkedArray) else g[key_col]
+        exp = pa.table({"wd": pa.array(wdays, pa.int32()),
+                        key_col: keys.take(pa.array(widx))})
+        cnt = pa.TableGroupBy(exp, "wd").aggregate(
+            [(key_col, "count_distinct")])
+        obs = np.unique(d32)
+        return pa.table({
+            "wd": pa.concat_arrays([cnt["wd"].combine_chunks(),
+                                    pa.array(obs, pa.int32())]),
+            "n": pa.concat_arrays(
+                [cnt[f"{key_col}_count_distinct"].cast(pa.int64())
+                 .combine_chunks(),
+                 pa.array(np.zeros(obs.size, np.int64))]),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(cnt.num_rows, np.int8),
+                 np.ones(obs.size, np.int8)])),
+        })
+
+    parts = collect_partials(
+        ds.map_batches(pairs_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("_bucket").map_groups(bucket_counts,
+                                       batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"day": pa.array([], pa.string()),
+                         "n_keys": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts, promote_options="default")
+    counts = merged.filter(pc.equal(merged["kind"], 0))
+    observed = np.unique(
+        merged.filter(pc.equal(merged["kind"], 1))["wd"].combine_chunks()
+        .to_numpy(zero_copy_only=False))
+    folded = pa.TableGroupBy(counts.select(["wd", "n"]), "wd") \
+        .aggregate([("n", "sum")])
+    keep = np.isin(folded["wd"].combine_chunks()
+                   .to_numpy(zero_copy_only=False), observed)
+    folded = folded.filter(pa.array(keep)).sort_by([("wd", "ascending")])
+    return pa.table({
+        "day": folded["wd"].cast(pa.date32()).cast(pa.string()),
+        "n_keys": folded["n_sum"].cast(pa.int64()),
+    })
+
+
 def quantile_threshold_filter(ds_factory, key: str, value: str,
                               q: float = 0.99, n_buckets: int = 0):
     """Per-group quantile outlier filter: rows where ``value`` exceeds the

@@ -76,6 +76,29 @@ def test_grouped_hh_null_and_empty(ray_session):
     assert rows == [("a", "x", 1), ("b", "x", 1)]
 
 
+def test_rolling_distinct_gap_and_reactivation(ray_session):
+    # user 1 active on days 0 and 3 (one window: still ONE user), user 2 on
+    # day 0 only, day 10 isolated after a gap — windows anchored on
+    # observed days only, trailing 3 days
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import rolling_distinct
+
+    base = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+    ts = [base, base, base + 3 * day, base + 10 * day, None]
+    users = [1, 2, 1, 3, 4]
+    t = pa.table({"u": pa.array(users, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = rolling_distinct(ray.data.from_arrow(t).repartition(2),
+                           "u", "ts", window_days=3)
+    rows = dict(zip(out["day"].to_pylist(), out["n_keys"].to_pylist()))
+    # observed days: 01-01 (u1,u2), 01-04 (u1 again), 01-11 (u3)
+    assert rows == {"2024-01-01": 2,   # u1, u2
+                    "2024-01-04": 1,   # only u1's day-3 activity in window
+                    "2024-01-11": 1}   # gap: window holds only u3
+
+
 def test_hll_inclusion_exclusion_overlap_accuracy():
     # pure-sketch check (no Ray needed): |A∩B| via est(A)+est(B)-est(A∪B)
     a_ids = [f"u{i}" for i in range(30000)]
