@@ -1699,6 +1699,86 @@ def rolling_distinct(ds, key_col: str, ts_col: str, window_days: int = 7,
     })
 
 
+def interval_coverage(ds, key: str, start_col: str, end_col: str,
+                      n_buckets: int = 0) -> "ray.data.Dataset":  # noqa: F821
+    """Per-group interval UNION ("islands and gaps"): merge each group's
+    overlapping/touching ``[start, end)`` intervals into maximal islands
+    and report the island count and total covered microseconds — active
+    uptime from heartbeats, covered wall-clock from session spans, audio
+    coverage from utterance segments. Not a plain aggregate: overlap
+    credit must not double-count, which takes an ordered merge.
+
+    Scale shape: three-column scan, ONE hash-bucket shuffle co-locating
+    whole groups, then a fully vectorized in-bucket pass: sort by
+    ``(key, start, end)``; the within-group running max of ``end`` uses
+    the per-segment OFFSET trick (add ``seg_id * K`` with ``K`` = the
+    bucket's end-range so segment blocks dominate earlier ones — one
+    ``np.maximum.accumulate``, no Python loop; requires ``n_groups x
+    range < 2^63``, i.e. ~10^5 groups per bucket x ~10^13 us (4 months)
+    — raise ``n_buckets`` for wider corpora). A new island starts where
+    ``start > running_max(end)`` of all earlier rows in the group; island
+    extents then fall out of ``np.maximum.reduceat`` over island starts.
+    Degenerate/null rows drop: SQL-matching ``WHERE key IS NOT NULL AND
+    start IS NOT NULL AND end IS NOT NULL AND end > start``."""
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+    n_buckets = _hash_buckets(n_buckets)
+    add_bucket = _add_bucket_fn(key, n_buckets)
+    cols = [key, start_col, end_col]
+
+    def project(batch: pa.Table) -> pa.Table:
+        sel = batch.select(cols)
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(sel[key]),
+                          pc.is_valid(sel[start_col])),
+            pc.greater(sel[end_col], sel[start_col])).fill_null(False)
+        return add_bucket(sel.filter(ok))
+
+    def bucket_islands(group: pa.Table) -> pa.Table:
+        body = group.drop_columns(["_bucket"])
+        srt = body.sort_by([(key, "ascending"), (start_col, "ascending"),
+                            (end_col, "ascending")])
+        n = srt.num_rows
+        if not n:
+            return pa.table({
+                key: pa.array([], body.schema.field(key).type),
+                "n_islands": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64())})
+        g = srt[key].combine_chunks()
+        s = srt[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = srt[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        seg_start = np.concatenate([[True], ~_same_group_mask(g, n)])
+        seg_id = np.cumsum(seg_start) - 1
+        base = e.min()
+        k = int(e.max() - base) + 1
+        shifted = (e - base) + seg_id * k           # segment blocks dominate
+        run_end = np.maximum.accumulate(shifted) - seg_id * k + base
+        prev_run_end = np.empty_like(run_end)
+        prev_run_end[1:] = run_end[:-1]
+        new_island = seg_start | (s > prev_run_end)
+        new_island[0] = True
+        isl_starts = np.flatnonzero(new_island)
+        isl_s0 = s[isl_starts]
+        isl_e1 = np.maximum.reduceat(run_end, isl_starts)
+        isl_seg = seg_id[isl_starts]
+        seg_first = np.concatenate([[True], isl_seg[1:] != isl_seg[:-1]]) \
+            if isl_starts.size else np.array([], bool)
+        grp_starts = np.flatnonzero(seg_first)
+        n_islands = np.diff(np.concatenate(
+            [grp_starts, [isl_starts.size]]))
+        covered = np.add.reduceat(isl_e1 - isl_s0, grp_starts)
+        return pa.table({
+            key: g.take(pa.array(isl_starts[grp_starts], pa.int64())),
+            "n_islands": pa.array(n_islands, pa.int64()),
+            "covered_us": pa.array(covered, pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(bucket_islands,
+                                       batch_format="pyarrow")
+
+
 def quantile_threshold_filter(ds_factory, key: str, value: str,
                               q: float = 0.99, n_buckets: int = 0):
     """Per-group quantile outlier filter: rows where ``value`` exceeds the
