@@ -1525,6 +1525,35 @@ def q_rolling_distinct_users(sf_dir: str) -> pa.Table:
     return rolling_distinct(ds, "user_id", "ts", window_days=7)
 
 
+def q_interval_coverage_events(sf_dir: str) -> pa.Table:
+    """Per-user interval-UNION coverage ("islands and gaps",
+    ``ops.aggregates.interval_coverage``): each event opens a
+    ``[ts, ts + floor(value)·1s)`` activity interval; overlapping intervals
+    merge into islands, and the query reports each user's island count and
+    total covered microseconds WITHOUT double-counting overlap — the
+    active-uptime / audio-coverage shape. Oracle replays the identical
+    merge with the SQL running-max window + island-id cumsum."""
+    from jsonschema_validator_ray.ops.aggregates import interval_coverage
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["ts"], pa.int64())
+        dur = pc.cast(pc.floor(pc.multiply(batch["value"],
+                                           pa.scalar(1e6))), pa.int64())
+        return pa.table({"user_id": batch["user_id"], "s": s,
+                         "e": pc.add(s, dur)})
+
+    out = _collect(interval_coverage(
+        ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", "s", "e"))
+    return pa.table({
+        "user_id": out["user_id"].cast(pa.int64()),
+        "n_islands": out["n_islands"],
+        "covered_us": out["covered_us"],
+    }).sort_by([("user_id", "ascending")])
+
+
 def q_incremental_dedup_documents(sf_dir: str) -> pa.Table:
     """Incremental (cross-run) dedup (``ops.dedup.dedup_against_snapshot``):
     re-ingesting the full corpus against a snapshot of every third doc keeps
@@ -4301,6 +4330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "rolling_window_events": q_rolling_window_events,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "interval_coverage_events": q_interval_coverage_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
         "repetition_documents": q_repetition_documents,
         "tfidf_documents": q_tfidf_documents,
@@ -4760,6 +4790,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(conv_id) AS keeper_conv,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM body GROUP BY rendered ORDER BY keeper_conv
+        """,
+        "interval_coverage_events": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(floor(value * 1000000) AS BIGINT) AS e
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL
+            ),
+            iv2 AS (SELECT * FROM iv WHERE e > s),
+            m AS (
+                SELECT user_id, s, e,
+                       max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+                FROM iv2
+            ),
+            isl AS (
+                SELECT user_id, s, e,
+                       CASE WHEN pmax IS NULL OR s > pmax
+                            THEN 1 ELSE 0 END AS ni
+                FROM m
+            ),
+            gg AS (
+                SELECT user_id, s, e,
+                       sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS isl_id
+                FROM isl
+            ),
+            per AS (SELECT user_id, isl_id, min(s) AS s0, max(e) AS e1
+                    FROM gg GROUP BY 1, 2)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+            FROM per GROUP BY user_id ORDER BY user_id
         """,
         "rolling_distinct_users": """
             WITH du AS (

@@ -99,6 +99,33 @@ def test_rolling_distinct_gap_and_reactivation(ray_session):
                     "2024-01-11": 1}   # gap: window holds only u3
 
 
+def test_interval_coverage_islands(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.aggregates import interval_coverage
+
+    # user 1: [0,10) + [5,20) overlap -> one island [0,20); [20,30) touches
+    # (s == prev end -> same island, half-open union); [50,60) is separate.
+    # user 2: nested [0,100) + [10,20) -> one island; later [90,95) nested
+    # inside the running end even though a "gap" follows a shorter e.
+    rows = [
+        (1, 0, 10), (1, 5, 20), (1, 20, 30), (1, 50, 60),
+        (2, 0, 100), (2, 10, 20), (2, 90, 95),
+        (3, 7, 7),            # degenerate e == s: dropped
+        (None, 0, 5), (4, None, 5), (4, 3, None),   # null rows: dropped
+    ]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.int64()),
+        "e": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = interval_coverage(ray.data.from_arrow(t).repartition(3),
+                            "k", "s", "e")
+    got = {r["k"]: (r["n_islands"], r["covered_us"])
+           for r in out.take_all()}
+    assert got == {1: (2, 40), 2: (1, 100)}
+
+
 def test_hll_inclusion_exclusion_overlap_accuracy():
     # pure-sketch check (no Ray needed): |A∩B| via est(A)+est(B)-est(A∪B)
     a_ids = [f"u{i}" for i in range(30000)]
