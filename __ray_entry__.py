@@ -4082,6 +4082,51 @@ def q_resume_validate_transcripts(sf_dir: str) -> pa.Table:
         ("constraint_id", "ascending")])
 
 
+def q_lineage_manifest_transcripts(sf_dir: str) -> pa.Table:
+    """Per-partition LINEAGE surface (north-rule: "resumable from
+    checkpoint with per-partition lineage + metrics"): run the partitioned
+    pipeline to completion (one partition per input file), then read back
+    the checkpoint manifests and assert the lineage contract the resume
+    path depends on — one manifest per input file, every manifest carrying
+    the run's constraint-IR hash (stale-IR refusal key), its exact input
+    file list, and non-degenerate metrics + serialized sketch/boundary
+    state. ``n_partitions`` is oracled independently via DuckDB
+    ``read_parquet(..., filename=true)`` — the SQL side counts the corpus
+    files without seeing the manifests."""
+    import json
+    import shutil
+
+    from jsonschema_validator_ray.constraints.ir import compile_constraints
+    from jsonschema_validator_ray.pipelines import run_partitioned
+
+    gen, spec = _ensure_current_corpus(sf_dir)
+    out = os.path.join("/tmp/graft_lineage",
+                       os.path.basename(os.path.normpath(gen.out_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    res = run_partitioned(gen.files, out, spec=spec, files_per_partition=1)
+    if not res.get("complete"):
+        raise AssertionError("partitioned run did not finalize")
+    ir = compile_constraints(spec)
+    mdir = os.path.join(out, "manifests")
+    manifests = []
+    for pid, f in enumerate(gen.files):
+        with open(os.path.join(mdir, f"part-{pid:05d}.json")) as fh:
+            manifests.append((f, json.load(fh)))
+    lineage_complete = all(
+        m["ir_hash"] == ir.ir_hash and m["input_files"] == [f]
+        for f, m in manifests)
+    metrics_present = all(
+        m["metrics"].get("n_violations", -1) >= 0
+        and m["metrics"].get("wall_s", 0) > 0
+        and bool(m.get("sketch_b64"))
+        for _, m in manifests)
+    return pa.table({
+        "n_partitions": pa.array([len(manifests)], pa.int64()),
+        "lineage_complete": pa.array([lineage_complete], pa.bool_()),
+        "metrics_present": pa.array([metrics_present], pa.bool_()),
+    })
+
+
 def q_salted_validate_transcripts(sf_dir: str) -> pa.Table:
     """The flagship validation run through the SALTED-GROUPBY wide
     strategy (north-rule skew handling: hot conversations split across
@@ -4208,9 +4253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     The driver's CORRECTNESS_r{N}.json records at most the FIRST 50 entries
     (in dict insertion order), so the first 50 below are a cross-section
     spanning every operator family in VERDICT.md's tables: the flagship
-    validate/verdict pair plus the checkpoint-resume run and the
-    salted-groupby skew-splitting run (both reuse the flagship oracle —
-    proving resume == single-shot and salted == sort bitwise), each
+    validate/verdict pair plus the checkpoint-resume run, the per-partition
+    lineage-manifest surface, and the
+    salted-groupby skew-splitting run (resume and salted reuse the flagship
+    oracle — proving resume == single-shot and salted == sort bitwise), each
     constraint kind (struct/ref/enum/
     mono/unique; mono and TPC-H Q1 are tail-listed variants), aggregation + table profiler +
     HLL sketch (global distinct + the inclusion–exclusion corpus-overlap
@@ -4230,8 +4276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     Spearman (global quantiles tail-listed), PageRank, k-means,
     similarity search
     (brute; IVF tail-listed), top-k, hash split, sessionization,
-    forward-fill (LOCF), the SFT-prep family (turn pairs, rendering,
-    packing; context truncation and alternation are tail-listed variants),
+    forward-fill (LOCF), the SFT-prep family (rendering,
+    packing; turn pairs, context truncation and alternation are tail-listed
+    variants),
     the cross-table referential-integrity report, and multimodal image
     features (audio/video/resize tail-listed).
     Entries 51+ are additional variants within already-represented
@@ -4242,6 +4289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_validate": q_transcript_validate,
         "transcript_verdict": q_transcript_verdict,
         "resume_validate_transcripts": q_resume_validate_transcripts,
+        "lineage_manifest_transcripts": q_lineage_manifest_transcripts,
         "salted_validate_transcripts": q_salted_validate_transcripts,
         "struct_check_events": q_struct_check_events,
         "ref_check_lineitem": q_ref_check_lineitem,
@@ -4283,7 +4331,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "split_assign_documents": q_split_assign_documents,
         "sessionize_events": q_sessionize_events,
-        "turn_pairs_transcripts": q_turn_pairs_transcripts,
         "locf_events": q_locf_events,
         "integrity_check_tables": q_integrity_check_tables,
         "render_sft_transcripts": q_render_sft_transcripts,
@@ -4292,6 +4339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": q_quality_documents,
         "global_quantiles_lineitem": q_global_quantiles_lineitem,
         "multimodal_audio_frames": q_multimodal_audio_frames,
+        "turn_pairs_transcripts": q_turn_pairs_transcripts,
         "conv_stats": q_conv_stats,
         "profile_events": q_profile_events,
         "revenue_forecast": q_revenue_forecast,
@@ -4772,6 +4820,15 @@ def oracle_sql() -> dict[str, str]:
         # renders each conversation with the render_sft expression, and
         # groups whole conversations by rendered body (NULL bodies form one
         # SQL group, matching the engine's deterministic null-hash group)
+        # lineage surface: SQL counts the corpus files independently
+        # (filename=true); the booleans are the Ray side's own manifest
+        # contract assertions (oracle emits TRUE)
+        "lineage_manifest_transcripts": f"""
+            SELECT CAST(count(DISTINCT filename) AS BIGINT) AS n_partitions,
+                   TRUE AS lineage_complete,
+                   TRUE AS metrics_present
+            FROM read_parquet('{_TX_GLOB}', filename=true)
+        """,
         "conv_dedup_transcripts": f"""
             WITH tx AS (SELECT conv_id, turn_idx, role, text
                         FROM read_parquet('{_TX_GLOB}')),
