@@ -1512,6 +1512,59 @@ def q_overlap_users_hll(sf_dir: str) -> pa.Table:
                      "within_bound": pa.array([within], pa.bool_())})
 
 
+def q_cms_counts_events(sf_dir: str) -> pa.Table:
+    """Count-Min point-frequency estimates, SELF-ORACLED (the
+    `hll_distinct_events` pattern): per-block CMS partials
+    (``state.cms.CountMinSketch``, 4x2048 int64 counters regardless of key
+    cardinality) merge by element-wise add; the gate row emits each event
+    type's exact count (matches SQL ``GROUP BY`` exactly) plus
+    ``within_bound`` — the Ray-side assertion that the merged sketch's
+    estimate is an UPPER bound within the (e/width)·N CM certificate of
+    the exact count. The bounded-memory frequency sketch for unbounded
+    domains (hot URLs, vocab terms) — the frequency complement of HLL
+    (distinct) and Misra-Gries (top-k)."""
+    from jsonschema_validator_ray.state.cms import CountMinSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].drop_null()
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        sk = CountMinSketch()
+        if len(et):
+            sk.update(et)
+        vc = pa.table({"event_type": et}).group_by("event_type") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "cnt"])
+        types = pa.concat_arrays([vc["event_type"].combine_chunks(),
+                                  pa.array([None], pa.string())])
+        cnts = pa.concat_arrays([vc["cnt"].cast(pa.int64()).combine_chunks(),
+                                 pa.array([0], pa.int64())])
+        sks = pa.concat_arrays([pa.nulls(vc.num_rows, pa.binary()),
+                                pa.array([sk.to_bytes()], pa.binary())])
+        return pa.table({"event_type": types, "cnt": cnts, "sketch": sks})
+
+    parts = _collect(_read(sf_dir, "events", ["event_type"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    merged = CountMinSketch()
+    for b in parts.filter(pc.is_valid(parts["sketch"]))["sketch"] \
+            .to_pylist():
+        merged.merge(CountMinSketch.from_bytes(b))
+    exact = pa.TableGroupBy(
+        parts.filter(pc.is_valid(parts["event_type"]))
+        .select(["event_type", "cnt"]), "event_type") \
+        .aggregate([("cnt", "sum")]).sort_by("event_type")
+    types = exact["event_type"].combine_chunks()
+    true_cnt = exact["cnt_sum"].cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    est = merged.estimate(types)
+    over = est - true_cnt
+    within = (over >= 0) & (over <= merged.error_bound())
+    return pa.table({
+        "event_type": types,
+        "n_exact": pa.array(true_cnt, pa.int64()),
+        "within_bound": pa.array(within.astype(bool)),
+    })
+
+
 def q_rolling_distinct_users(sf_dir: str) -> pa.Table:
     """Trailing 7-day distinct active users per observed day
     (``ops.aggregates.rolling_distinct``): a windowed COUNT(DISTINCT) — NOT
@@ -4378,6 +4431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_best_documents": q_neardup_keep_best_documents,
         "rolling_window_events": q_rolling_window_events,
         "rolling_distinct_users": q_rolling_distinct_users,
+        "cms_counts_events": q_cms_counts_events,
         "interval_coverage_events": q_interval_coverage_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
         "repetition_documents": q_repetition_documents,
@@ -4882,6 +4936,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
                    CAST(sum(e1 - s0) AS BIGINT) AS covered_us
             FROM per GROUP BY user_id ORDER BY user_id
+        """,
+        # SELF-ORACLE (hll pattern): exact GROUP BY counts + the Ray side's
+        # own CM upper-bound certificate assertion
+        "cms_counts_events": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+                   TRUE AS within_bound
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         "rolling_distinct_users": """
             WITH du AS (

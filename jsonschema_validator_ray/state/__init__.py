@@ -11,6 +11,7 @@ from .hll import HyperLogLog
 from .tdigest import TDigest
 from .drift import chi_square_test, ks_statistic_from_cdf
 from .sketches import SketchState
+from .cms import CountMinSketch
 
 __all__ = [
     "HyperLogLog",
@@ -18,4 +19,5 @@ __all__ = [
     "chi_square_test",
     "ks_statistic_from_cdf",
     "SketchState",
+    "CountMinSketch",
 ]

@@ -126,6 +126,32 @@ def test_interval_coverage_islands(ray_session):
     assert got == {1: (2, 40), 2: (1, 100)}
 
 
+def test_cms_upper_bound_and_merge_under_collisions():
+    # narrow sketch (width 64) + 500 distinct keys: collisions guaranteed,
+    # the CM contract must still hold after a partial merge:
+    #   true <= est <= true + ceil(e/width * N)  (checked for EVERY key —
+    #   stricter than the probabilistic statement, but reliable at d=4)
+    from collections import Counter
+
+    from jsonschema_validator_ray.state.cms import CountMinSketch
+
+    rng = np.random.default_rng(5)
+    stream = [f"k{int(v)}" for v in rng.zipf(1.5, size=8000) % 500]
+    parts = [CountMinSketch(width=64, d=4) for _ in range(4)]
+    for i, chunk in enumerate(np.array_split(np.array(stream), 4)):
+        parts[i].update(chunk.tolist())
+    merged = CountMinSketch.from_bytes(parts[0].to_bytes(), width=64, d=4)
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n == len(stream)
+    true = Counter(stream)
+    keys = sorted(true)
+    est = merged.estimate(keys)
+    bound = merged.error_bound()
+    for k, e in zip(keys, est):
+        assert true[k] <= e <= true[k] + bound, (k, true[k], e, bound)
+
+
 def test_hll_inclusion_exclusion_overlap_accuracy():
     # pure-sketch check (no Ray needed): |A∩B| via est(A)+est(B)-est(A∪B)
     a_ids = [f"u{i}" for i in range(30000)]
