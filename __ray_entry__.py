@@ -1512,6 +1512,29 @@ def q_overlap_users_hll(sf_dir: str) -> pa.Table:
                      "within_bound": pa.array([within], pa.bool_())})
 
 
+def q_zonemap_transcripts(sf_dir: str) -> pa.Table:
+    """FOOTER-ONLY zone map over the transcript corpus files
+    (``sources.files.zone_map``): per-file row count, null count and
+    conv_id min/max read from Parquet column statistics — no data page is
+    touched (O(files), not O(rows); the planner-side scan-pruning
+    primitive). The oracle recomputes the identical facts the expensive
+    way — a full scan with ``filename=true`` — so the gate row proves the
+    footer metadata path agrees with the data."""
+    from jsonschema_validator_ray.sources.files import zone_map
+
+    gen, _ = _ensure_current_corpus(sf_dir)
+    out = _collect(zone_map(gen.files, "conv_id"))
+    if not bool(pc.all(out["has_stats"]).as_py()):
+        raise AssertionError("corpus footer lacks conv_id statistics")
+    return pa.table({
+        "file": out["file"],
+        "n_rows": out["n_rows"],
+        "n_nulls": out["n_nulls"],
+        "min_conv": out["min"].cast(pa.string()),
+        "max_conv": out["max"].cast(pa.string()),
+    }).sort_by([("file", "ascending")])
+
+
 def q_cms_counts_events(sf_dir: str) -> pa.Table:
     """Count-Min point-frequency estimates, SELF-ORACLED (the
     `hll_distinct_events` pattern): per-block CMS partials
@@ -4432,6 +4455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window_events": q_rolling_window_events,
         "rolling_distinct_users": q_rolling_distinct_users,
         "cms_counts_events": q_cms_counts_events,
+        "zonemap_transcripts": q_zonemap_transcripts,
         "interval_coverage_events": q_interval_coverage_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
         "repetition_documents": q_repetition_documents,
@@ -4936,6 +4960,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
                    CAST(sum(e1 - s0) AS BIGINT) AS covered_us
             FROM per GROUP BY user_id ORDER BY user_id
+        """,
+        # zone map: the oracle recomputes the footer facts by FULL SCAN with
+        # filename=true — metadata path vs data path must agree exactly
+        "zonemap_transcripts": f"""
+            SELECT regexp_extract(filename, '[^/]+$') AS file,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   min(conv_id) AS min_conv,
+                   max(conv_id) AS max_conv
+            FROM read_parquet('{_TX_GLOB}', filename=true)
+            GROUP BY 1 ORDER BY 1
         """,
         # SELF-ORACLE (hll pattern): exact GROUP BY counts + the Ray side's
         # own CM upper-bound certificate assertion

@@ -315,3 +315,60 @@ def read_text(path: str):
 
     return ray.data.read_text(path, file_extensions=["txt"],
                               drop_empty_lines=False)
+
+
+def zone_map(files, column: str):
+    """FOOTER-ONLY per-file zone map: ``(file, n_rows, n_nulls, min, max)``
+    for ``column``, folded across each file's row groups — the scan-pruning
+    metadata a predicate-pushdown planner consults before touching data
+    pages (min/max zone maps; cf. Parquet column statistics). No data page
+    is ever read: each task opens the ~KB footer, so the op costs
+    O(files), not O(rows) — at 100 TB this is the difference between a
+    catalog refresh and a full scan.
+
+    Distributed shape: the FILE LIST (not the data) is the dataset —
+    ``from_items`` over paths, ``map_batches`` fanning footer reads across
+    the cluster. Caveat (documented contract, asserted by the oracle gate
+    only for short keys): Parquet writers may truncate statistics for very
+    long binary values; min/max are then bounds, not exact extrema —
+    ``has_stats`` is False when any row group lacks statistics entirely.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..rayutil import ensure_worker_importable
+    ensure_worker_importable()
+
+    def footers(batch: pa.Table) -> pa.Table:
+        out = {"file": [], "n_rows": [], "n_nulls": [],
+               "min": [], "max": [], "has_stats": []}
+        for path in batch["item"].to_pylist():
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(column)
+            mins, maxs, nulls, ok = [], [], 0, True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                nulls += int(st.null_count or 0)
+            out["file"].append(os.path.basename(path))
+            out["n_rows"].append(int(md.num_rows))
+            out["n_nulls"].append(nulls if ok else None)
+            out["min"].append(min(mins) if ok and mins else None)
+            out["max"].append(max(maxs) if ok and maxs else None)
+            out["has_stats"].append(ok and bool(mins))
+        return pa.table({
+            "file": pa.array(out["file"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_nulls": pa.array(out["n_nulls"], pa.int64()),
+            "min": pa.array(out["min"]),
+            "max": pa.array(out["max"]),
+            "has_stats": pa.array(out["has_stats"], pa.bool_()),
+        })
+
+    return ray.data.from_items(list(files)).map_batches(
+        footers, batch_format="pyarrow")
