@@ -4176,26 +4176,33 @@ def q_lineage_manifest_transcripts(sf_dir: str) -> pa.Table:
     from jsonschema_validator_ray.pipelines import run_partitioned
 
     gen, spec = _ensure_current_corpus(sf_dir)
-    out = os.path.join("/tmp/graft_lineage",
-                       os.path.basename(os.path.normpath(gen.out_dir)))
+    # pid-unique scratch: concurrent gate runs must not rmtree each
+    # other's manifests mid-run (review r5); removed afterwards
+    out = os.path.join(
+        "/tmp/graft_lineage",
+        f"{os.path.basename(os.path.normpath(gen.out_dir))}-{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
-    res = run_partitioned(gen.files, out, spec=spec, files_per_partition=1)
-    if not res.get("complete"):
-        raise AssertionError("partitioned run did not finalize")
-    ir = compile_constraints(spec)
-    mdir = os.path.join(out, "manifests")
-    manifests = []
-    for pid, f in enumerate(gen.files):
-        with open(os.path.join(mdir, f"part-{pid:05d}.json")) as fh:
-            manifests.append((f, json.load(fh)))
-    lineage_complete = all(
-        m["ir_hash"] == ir.ir_hash and m["input_files"] == [f]
-        for f, m in manifests)
-    metrics_present = all(
-        m["metrics"].get("n_violations", -1) >= 0
-        and m["metrics"].get("wall_s", 0) > 0
-        and bool(m.get("sketch_b64"))
-        for _, m in manifests)
+    try:
+        res = run_partitioned(gen.files, out, spec=spec,
+                              files_per_partition=1)
+        if not res.get("complete"):
+            raise AssertionError("partitioned run did not finalize")
+        ir = compile_constraints(spec)
+        mdir = os.path.join(out, "manifests")
+        manifests = []
+        for pid, f in enumerate(gen.files):
+            with open(os.path.join(mdir, f"part-{pid:05d}.json")) as fh:
+                manifests.append((f, json.load(fh)))
+        lineage_complete = all(
+            m["ir_hash"] == ir.ir_hash and m["input_files"] == [f]
+            for f, m in manifests)
+        metrics_present = all(
+            m["metrics"].get("n_violations", -1) >= 0
+            and m["metrics"].get("wall_s", 0) > 0
+            and bool(m.get("sketch_b64"))
+            for _, m in manifests)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return pa.table({
         "n_partitions": pa.array([len(manifests)], pa.int64()),
         "lineage_complete": pa.array([lineage_complete], pa.bool_()),

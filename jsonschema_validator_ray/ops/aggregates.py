@@ -1531,7 +1531,8 @@ def grouped_heavy_hitters(ds, group_col: str, item_col: str, k: int = 3,
     per block regardless of item cardinality, and the driver fold is
     (group-domain x capacity)-scale — the bounded-memory alternative to an
     exact two-key groupby when the item domain is unbounded."""
-    import ray
+    from ..rayutil import collect_partials, ensure_worker_importable
+    ensure_worker_importable()
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([group_col, item_col]).drop_null()
@@ -1568,11 +1569,14 @@ def grouped_heavy_hitters(ds, group_col: str, item_col: str, k: int = 3,
         })
         return pa.concat_tables([kept, markers])
 
-    parts = [t for t in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .materialize().to_arrow_refs()) if t.num_rows]
+    blocks = collect_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), keep_empty=True)
+    parts = [t for t in blocks if t.num_rows]
     if not parts:
-        return pa.table({group_col: pa.array([], pa.string()),
+        gt = blocks[0].schema.field(group_col).type if blocks \
+            else pa.string()
+        return pa.table({group_col: pa.array([], gt),
                          "item": pa.array([], pa.string()),
                          "est_count": pa.array([], pa.int64()),
                          "err_bound": pa.array([], pa.int64())})

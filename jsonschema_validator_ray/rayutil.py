@@ -138,17 +138,19 @@ def default_buckets(n_buckets: int = 0) -> int:
     return 4 * avail_cpus()
 
 
-def collect_partials(ds):
+def collect_partials(ds, keep_empty: bool = False):
     """Run a partial-emitting ``map_batches`` plan and hand back its
     non-empty Arrow blocks driver-side. ``materialize()`` first:
     ``to_arrow_refs()`` on a lazy plan appends a limit-1 schema probe
     that would re-run the final stage on one block. The single
     definition of the run-collect idiom every driver-fold aggregate
-    uses (review r5 — four copies landed in one diff before this)."""
+    uses (review r5 — four copies landed in one diff before this).
+    ``keep_empty=True`` returns every block — callers that need the
+    partial SCHEMA even when zero rows survived (typed empty results)."""
     import ray
 
-    return [t for t in ray.get(ds.materialize().to_arrow_refs())
-            if t.num_rows]
+    blocks = ray.get(ds.materialize().to_arrow_refs())
+    return blocks if keep_empty else [t for t in blocks if t.num_rows]
 
 
 def fold_partials(ds, keys, sums):

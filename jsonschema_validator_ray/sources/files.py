@@ -345,7 +345,17 @@ def zone_map(files, column: str):
                "min": [], "max": [], "has_stats": []}
         for path in batch["item"].to_pylist():
             md = pq.ParquetFile(path).metadata
-            idx = md.schema.to_arrow_schema().get_field_index(column)
+            # Parquet LEAF-column index, not the Arrow field index — the
+            # two diverge as soon as a nested column precedes `column`,
+            # and a miss must be an error, not the last column's stats
+            leaf_paths = [md.schema.column(i).path
+                          for i in range(md.num_columns)]
+            try:
+                idx = leaf_paths.index(column)
+            except ValueError:
+                raise KeyError(
+                    f"zone_map: no leaf column {column!r} in {path} "
+                    f"(leaves: {leaf_paths})") from None
             mins, maxs, nulls, ok = [], [], 0, True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
