@@ -1535,6 +1535,27 @@ def q_zonemap_transcripts(sf_dir: str) -> pa.Table:
     }).sort_by([("file", "ascending")])
 
 
+def q_welch_ttest_events(sf_dir: str) -> pa.Table:
+    """Welch's two-sample t-test (``ops.stats.welch_ttest``): does the mean
+    ``value`` differ between 'view' and 'purchase' events — the mean-shift
+    significance test complementing the distribution-drift family. One
+    streaming pass, no shuffle (per-side central-moment partials, Chan/Pébay
+    driver fold); oracle replays the closed-form t/df from SQL
+    avg/var_samp, both sides rounded to 6 dp."""
+    from jsonschema_validator_ray.ops.stats import welch_ttest
+
+    r = welch_ttest(_read(sf_dir, "events", ["event_type", "value"]),
+                    "event_type", "value", "view", "purchase")
+    return pa.table({
+        "n_a": pa.array([r["n_a"]], pa.int64()),
+        "n_b": pa.array([r["n_b"]], pa.int64()),
+        "mean_a_r6": pa.array([round(r["mean_a"], 6)], pa.float64()),
+        "mean_b_r6": pa.array([round(r["mean_b"], 6)], pa.float64()),
+        "t_r6": pa.array([round(r["t_stat"], 6)], pa.float64()),
+        "df_r6": pa.array([round(r["df"], 6)], pa.float64()),
+    })
+
+
 def q_cms_counts_events(sf_dir: str) -> pa.Table:
     """Count-Min point-frequency estimates, SELF-ORACLED (the
     `hll_distinct_events` pattern): per-block CMS partials
@@ -4462,6 +4483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window_events": q_rolling_window_events,
         "rolling_distinct_users": q_rolling_distinct_users,
         "cms_counts_events": q_cms_counts_events,
+        "welch_ttest_events": q_welch_ttest_events,
         "zonemap_transcripts": q_zonemap_transcripts,
         "interval_coverage_events": q_interval_coverage_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
@@ -4967,6 +4989,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
                    CAST(sum(e1 - s0) AS BIGINT) AS covered_us
             FROM per GROUP BY user_id ORDER BY user_id
+        """,
+        "welch_ttest_events": """
+            WITH s AS (
+                SELECT CASE WHEN event_type = 'view' THEN 'a'
+                            ELSE 'b' END AS side, value
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+                      AND value IS NOT NULL
+            ),
+            agg AS (SELECT side, count(*) AS n, avg(value) AS m,
+                           var_samp(value) AS v
+                    FROM s GROUP BY side),
+            w AS (SELECT
+                    max(CASE WHEN side = 'a' THEN n END) AS na,
+                    max(CASE WHEN side = 'a' THEN m END) AS ma,
+                    max(CASE WHEN side = 'a' THEN v END) AS va,
+                    max(CASE WHEN side = 'b' THEN n END) AS nb,
+                    max(CASE WHEN side = 'b' THEN m END) AS mb,
+                    max(CASE WHEN side = 'b' THEN v END) AS vb
+                  FROM agg)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(ma, 6) AS mean_a_r6, round(mb, 6) AS mean_b_r6,
+                   round((ma - mb) / sqrt(va/na + vb/nb), 6) AS t_r6,
+                   round(pow(va/na + vb/nb, 2)
+                         / (pow(va/na, 2)/(na - 1)
+                            + pow(vb/nb, 2)/(nb - 1)), 6) AS df_r6
+            FROM w
         """,
         # zone map: the oracle recomputes the footer facts by FULL SCAN with
         # filename=true — metadata path vs data path must agree exactly

@@ -878,3 +878,79 @@ def jsd_drift(ds, cat_col: str, ts_col: str, split_ts_us: int) -> dict:
     return {"jsd": float(np.sum(lt) + np.sum(rt)),
             "n_categories": int(folded.num_rows),
             "n_ref": int(tr), "n_cur": int(tc)}
+
+
+def welch_ttest(ds, group_col: str, value_col: str, side_a, side_b) -> dict:
+    """Welch's unequal-variance two-sample t-test between two groups of
+    ``value_col`` — the A/B significance test behind "did the metric move
+    between cohorts / data snapshots": t statistic plus Welch–Satterthwaite
+    degrees of freedom. Complements the drift family (chi²/KS/PSI/JSD test
+    distributions; this tests MEANS with a variance-aware denominator).
+
+    Scale shape: one streaming pass, NO shuffle — each batch emits per-side
+    mergeable CENTRAL-moment partials ``(n, mean, M2)`` (the numerically
+    stable form; raw Σx² would cancel for large-mean columns), the driver
+    folds them with Chan/Pébay pairwise updates over blocks×2 rows, and the
+    finish is closed-form:
+
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)      v = M2/(n−1)
+        df = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    Null values are skipped; a side with n < 2 (or both variances zero)
+    yields NaN t/df. Returns a dict with per-side n/mean/var and t/df."""
+    from ..rayutil import collect_partials, ensure_worker_importable
+    ensure_worker_importable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"side": [], "pn": [], "pm": [], "p2": []}
+        garr = batch[group_col]
+        varr = batch[value_col]
+        for tag, side in (("a", side_a), ("b", side_b)):
+            mask = pc.and_kleene(pc.equal(garr, side),
+                                 pc.is_valid(varr)).fill_null(False)
+            x = varr.filter(mask).cast(pa.float64()) \
+                .to_numpy(zero_copy_only=False)
+            n = x.size
+            mean = float(x.mean()) if n else 0.0
+            m2 = float(((x - mean) ** 2).sum()) if n else 0.0
+            rows["side"].append(tag)
+            rows["pn"].append(n)
+            rows["pm"].append(mean)
+            rows["p2"].append(m2)
+        return pa.table({"side": pa.array(rows["side"], pa.string()),
+                         "pn": pa.array(rows["pn"], pa.int64()),
+                         "pm": pa.array(rows["pm"], pa.float64()),
+                         "p2": pa.array(rows["p2"], pa.float64())})
+
+    parts = collect_partials(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    state = {"a": [0, 0.0, 0.0], "b": [0, 0.0, 0.0]}
+    if parts:
+        merged = pa.concat_tables(parts, promote_options="default")
+        for side, nB, mB, M2B in zip(merged["side"].to_pylist(),
+                                     merged["pn"].to_pylist(),
+                                     merged["pm"].to_pylist(),
+                                     merged["p2"].to_pylist()):
+            if nB == 0:
+                continue
+            nA, mA, M2A = state[side]
+            n = nA + nB
+            delta = mB - mA
+            state[side] = [n, mA + delta * nB / n,
+                           M2A + M2B + delta * delta * nA * nB / n]
+    (na, ma, M2a), (nb, mb, M2b) = state["a"], state["b"]
+    va = M2a / (na - 1) if na > 1 else float("nan")
+    vb = M2b / (nb - 1) if nb > 1 else float("nan")
+    se2 = (va / na if na else float("nan")) + \
+          (vb / nb if nb else float("nan"))
+    if se2 and se2 > 0 and na > 1 and nb > 1:
+        t = (ma - mb) / np.sqrt(se2)
+        df = se2 ** 2 / ((va / na) ** 2 / (na - 1)
+                         + (vb / nb) ** 2 / (nb - 1))
+    else:
+        t, df = float("nan"), float("nan")
+    return {"n_a": int(na), "n_b": int(nb),
+            "mean_a": float(ma), "mean_b": float(mb),
+            "var_a": float(va), "var_b": float(vb),
+            "t_stat": float(t), "df": float(df)}

@@ -152,6 +152,44 @@ def test_cms_upper_bound_and_merge_under_collisions():
         assert true[k] <= e <= true[k] + bound, (k, true[k], e, bound)
 
 
+def test_welch_ttest_matches_direct_formula(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import welch_ttest
+
+    rng = np.random.default_rng(9)
+    xa = rng.normal(10.0, 2.0, size=400)
+    xb = rng.normal(10.6, 3.0, size=300)
+    t = pa.table({
+        "g": pa.array(["a"] * 400 + ["b"] * 300 + ["c", None]),
+        "v": pa.array(np.concatenate([xa, xb, [99.0, 5.0]])),
+    })
+    r = welch_ttest(ray.data.from_arrow(t).repartition(5), "g", "v",
+                    "a", "b")
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    se2 = va / 400 + vb / 300
+    t_direct = (xa.mean() - xb.mean()) / np.sqrt(se2)
+    df_direct = se2 ** 2 / ((va / 400) ** 2 / 399 + (vb / 300) ** 2 / 299)
+    assert r["n_a"] == 400 and r["n_b"] == 300
+    assert abs(r["t_stat"] - t_direct) < 1e-9
+    assert abs(r["df"] - df_direct) < 1e-6
+
+
+def test_welch_ttest_degenerate_sides(ray_session):
+    import math
+
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import welch_ttest
+
+    t = pa.table({"g": pa.array(["a", "b", "b"]),
+                  "v": pa.array([1.0, 2.0, 3.0])})
+    r = welch_ttest(ray.data.from_arrow(t), "g", "v", "a", "b")
+    assert r["n_a"] == 1 and math.isnan(r["t_stat"])
+    r2 = welch_ttest(ray.data.from_arrow(t), "g", "v", "x", "y")
+    assert r2["n_a"] == 0 and r2["n_b"] == 0 and math.isnan(r2["df"])
+
+
 def test_hll_inclusion_exclusion_overlap_accuracy():
     # pure-sketch check (no Ray needed): |A∩B| via est(A)+est(B)-est(A∪B)
     a_ids = [f"u{i}" for i in range(30000)]
