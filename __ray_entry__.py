@@ -1535,6 +1535,36 @@ def q_zonemap_transcripts(sf_dir: str) -> pa.Table:
     }).sort_by([("file", "ascending")])
 
 
+def q_benford_audit_events(sf_dir: str) -> pa.Table:
+    """Benford first-digit audit (``ops.stats.benford_audit``): leading
+    significant digit distribution of ``value`` vs the log10(1+1/d)
+    expectation with the fit's chi² — the fabricated-data / unit-mix-up
+    screen. Digit extraction is the same IEEE expression on both sides
+    (floor(v / 10^floor(log10 v))), restricted to ``value >= 1`` where the
+    power-of-ten divisor is exact in every libm (see the op docstring for
+    the measured sub-1 pow divergence); expected/chi² round to 6 dp."""
+    from jsonschema_validator_ray.ops.stats import benford_audit
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def ge1(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.fill_null(pc.greater_equal(batch["value"], 1.0), False))
+
+    return benford_audit(ds.map_batches(ge1, batch_format="pyarrow",
+                                        zero_copy_batch=True), "value")
+
+
+def q_sequence_audit_events(sf_dir: str) -> pa.Table:
+    """Sequence-completeness audit (``ops.stats.sequence_audit``) of the
+    monotonically-assigned ``event_id``: row/null/distinct counts, id
+    envelope, duplicate rows and ids missing from [min, max] — the ingest
+    "did we drop a shard?" screen, exact vs one SQL aggregate row."""
+    from jsonschema_validator_ray.ops.stats import sequence_audit
+
+    return sequence_audit(_read(sf_dir, "events", ["event_id"]), "event_id")
+
+
 def q_welch_ttest_events(sf_dir: str) -> pa.Table:
     """Welch's two-sample t-test (``ops.stats.welch_ttest``): does the mean
     ``value`` differ between 'view' and 'purchase' events — the mean-shift
@@ -4484,6 +4514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "cms_counts_events": q_cms_counts_events,
         "welch_ttest_events": q_welch_ttest_events,
+        "benford_audit_events": q_benford_audit_events,
+        "sequence_audit_events": q_sequence_audit_events,
         "zonemap_transcripts": q_zonemap_transcripts,
         "interval_coverage_events": q_interval_coverage_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
@@ -4989,6 +5021,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
                    CAST(sum(e1 - s0) AS BIGINT) AS covered_us
             FROM per GROUP BY user_id ORDER BY user_id
+        """,
+        "benford_audit_events": """
+            WITH v AS (SELECT value AS x FROM events
+                       WHERE value IS NOT NULL AND value >= 1
+                             AND isfinite(value)),
+            d AS (SELECT CAST(floor(x / pow(10, floor(log10(x))))
+                              AS BIGINT) AS digit FROM v),
+            c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+                  FROM d GROUP BY digit),
+            g AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10)),
+            f AS (SELECT g.digit, coalesce(c.n_obs, 0) AS n_obs
+                  FROM g LEFT JOIN c USING (digit)),
+            t AS (SELECT sum(n_obs) AS tot FROM f),
+            x AS (SELECT sum(pow(f.n_obs - log10(1 + 1.0/f.digit) * t.tot,
+                                 2)
+                             / (log10(1 + 1.0/f.digit) * t.tot)) AS chi2
+                  FROM f, t)
+            SELECT f.digit, f.n_obs,
+                   round(log10(1 + 1.0/f.digit) * t.tot, 6) AS expected_r6,
+                   round(x.chi2, 6) AS chi2_r6
+            FROM f, t, x ORDER BY f.digit
+        """,
+        "sequence_audit_events": """
+            SELECT CAST(count(event_id) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(min(event_id) AS BIGINT) AS min_id,
+                   CAST(max(event_id) AS BIGINT) AS max_id,
+                   CAST(count(event_id) - count(DISTINCT event_id)
+                        AS BIGINT) AS n_dup_rows,
+                   CAST(max(event_id) - min(event_id) + 1
+                        - count(DISTINCT event_id) AS BIGINT) AS n_missing
+            FROM events
         """,
         "welch_ttest_events": """
             WITH s AS (

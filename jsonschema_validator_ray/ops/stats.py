@@ -954,3 +954,120 @@ def welch_ttest(ds, group_col: str, value_col: str, side_a, side_b) -> dict:
             "mean_a": float(ma), "mean_b": float(mb),
             "var_a": float(va), "var_b": float(vb),
             "t_stat": float(t), "df": float(df)}
+
+
+def benford_audit(ds, value_col: str) -> pa.Table:
+    """Benford first-significant-digit audit — the classic fabricated-data
+    / unit-mix-up screen for positive numeric columns: observed counts of
+    the leading digit 1-9 vs the Benford expectation ``log10(1 + 1/d)``,
+    with the chi-square statistic of the fit. An EXPECTED-distribution
+    conformance test, complementing the drift family's two-sample tests.
+
+    Scale shape: one streaming pass, NO shuffle — the leading digit is
+    pure float arithmetic (``d = floor(v / 10^floor(log10 v))``, fully
+    vectorized), each batch emits a 9-long count partial, the driver adds
+    them. Rows with null/zero/negative values are excluded (they have no
+    leading significant digit — same WHERE on the SQL side).
+
+    Cross-engine float caveat (measured): for ``0 < v < 1`` the digit
+    depends on libm ``pow`` rounding — numpy's ``pow(10, -1)`` is 1 ulp
+    BELOW 0.1 while DuckDB's is not, so 0.3 reads digit 3 here and 2
+    there. Oracle-exact parity therefore holds only for ``v >= 1``
+    (exponents 0..308 are exact powers); the gate query filters
+    ``value >= 1`` on both sides, and callers auditing sub-1 magnitudes
+    should pre-scale to integers.
+
+    Returns one row per digit: ``(digit, n_obs, expected_r6, chi2_r6)``
+    with the global chi² repeated per row (flat gate-friendly layout)."""
+    from ..rayutil import collect_partials, ensure_worker_importable
+    ensure_worker_importable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        v = v[np.isfinite(v) & (v > 0)]
+        with np.errstate(divide="ignore"):
+            digit = np.floor(v / np.power(10.0, np.floor(np.log10(v)))) \
+                .astype(np.int64)
+        counts = np.bincount(digit, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    parts = collect_partials(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    obs = np.zeros(9, np.int64)
+    for t in parts:
+        obs[np.asarray(t["digit"]) - 1] += np.asarray(t["n"])
+    total = int(obs.sum())
+    digits = np.arange(1, 10)
+    p = np.log10(1.0 + 1.0 / digits)
+    if total:
+        exp = p * total
+        chi2 = float(((obs - exp) ** 2 / exp).sum())
+    else:
+        chi2 = float("nan")
+    return pa.table({
+        "digit": pa.array(digits.astype(np.int64)),
+        "n_obs": pa.array(obs),
+        "expected_r6": pa.array(np.round(p * total, 6) if total
+                                else np.full(9, np.nan)),
+        "chi2_r6": pa.array(np.full(9, round(chi2, 6) if total == total
+                                    else np.nan)),
+    })
+
+
+def sequence_audit(ds, id_col: str) -> pa.Table:
+    """Sequence-completeness audit of a monotonically-assigned integer id
+    column — the ingest-gap screen ("did we drop a shard?"): min, max,
+    row count, DISTINCT count, duplicate rows and missing ids implied by
+    the ``[min, max]`` envelope. Null ids are counted separately.
+
+    Scale shape: per-batch partials carry min/max/count plus the batch's
+    DISTINCT ids packed as int64 bytes (the `hll_distinct_events` exact-
+    side idiom — cardinality-scale driver state, the HLL estimate is the
+    swap-in for row-scale-cardinality ids); one streaming pass, no
+    shuffle."""
+    from ..rayutil import collect_partials, ensure_worker_importable
+    ensure_worker_importable()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        n_null = int(pc.sum(pc.is_null(col).cast(pa.int64())).as_py() or 0)
+        ids = col.drop_null().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u = np.unique(ids)
+        return pa.table({
+            "mn": pa.array([int(u[0]) if u.size else None], pa.int64()),
+            "mx": pa.array([int(u[-1]) if u.size else None], pa.int64()),
+            "n": pa.array([int(ids.size)], pa.int64()),
+            "n_null": pa.array([n_null], pa.int64()),
+            "uniq": pa.array([u.tobytes()], pa.binary()),
+        })
+
+    parts = collect_partials(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    if not parts:
+        empty = pa.array([0], pa.int64())
+        return pa.table({"n_rows": empty, "n_null": empty,
+                         "n_distinct": empty,
+                         "min_id": pa.array([None], pa.int64()),
+                         "max_id": pa.array([None], pa.int64()),
+                         "n_dup_rows": empty, "n_missing": empty})
+    merged = pa.concat_tables(parts, promote_options="default")
+    mn = pc.min(merged["mn"]).as_py()
+    mx = pc.max(merged["mx"]).as_py()
+    n = int(pc.sum(merged["n"]).as_py() or 0)
+    n_null = int(pc.sum(merged["n_null"]).as_py() or 0)
+    u = np.unique(np.frombuffer(b"".join(merged["uniq"].to_pylist()),
+                                np.int64))
+    n_distinct = int(u.size)
+    span = (mx - mn + 1) if n_distinct else 0
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_null": pa.array([n_null], pa.int64()),
+        "n_distinct": pa.array([n_distinct], pa.int64()),
+        "min_id": pa.array([mn], pa.int64()),
+        "max_id": pa.array([mx], pa.int64()),
+        "n_dup_rows": pa.array([n - n_distinct], pa.int64()),
+        "n_missing": pa.array([span - n_distinct], pa.int64()),
+    })

@@ -190,6 +190,40 @@ def test_welch_ttest_degenerate_sides(ray_session):
     assert r2["n_a"] == 0 and r2["n_b"] == 0 and math.isnan(r2["df"])
 
 
+def test_benford_audit_counts_and_chi2(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import benford_audit
+
+    # 1..9 once each (flat), plus zeros/negatives/nulls dropped; leading
+    # digit must survive magnitude (11, 215, 3000)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0,
+            11.0, 215.0, 3000.0, 0.0, -5.0, None]
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    out = benford_audit(ray.data.from_arrow(t).repartition(3), "v")
+    got = dict(zip(out["digit"].to_pylist(), out["n_obs"].to_pylist()))
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1, 9: 1}
+    n = 12
+    p = np.log10(1 + 1 / np.arange(1, 10))
+    obs = np.array([got[d] for d in range(1, 10)], float)
+    chi2 = (((obs - p * n) ** 2) / (p * n)).sum()
+    assert abs(out["chi2_r6"][0].as_py() - round(chi2, 6)) < 1e-9
+
+
+def test_sequence_audit_gaps_dups_nulls(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import sequence_audit
+
+    ids = [5, 6, 6, 9, 10, None]      # dup 6; missing 7, 8; one null
+    t = pa.table({"id": pa.array(ids, pa.int64())})
+    out = sequence_audit(ray.data.from_arrow(t).repartition(2), "id")
+    row = {c: out[c][0].as_py() for c in out.column_names}
+    assert row == {"n_rows": 5, "n_null": 1, "n_distinct": 4,
+                   "min_id": 5, "max_id": 10, "n_dup_rows": 1,
+                   "n_missing": 2}
+
+
 def test_hll_inclusion_exclusion_overlap_accuracy():
     # pure-sketch check (no Ray needed): |A∩B| via est(A)+est(B)-est(A∪B)
     a_ids = [f"u{i}" for i in range(30000)]
