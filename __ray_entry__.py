@@ -4035,6 +4035,40 @@ def q_fuzzy_match_part_names(sf_dir: str) -> pa.Table:
     return fuzzy_join(parts, parts, "p_name", "p_name", max_dist=2)
 
 
+def q_entity_resolution_parts(sf_dir: str) -> pa.Table:
+    """END-TO-END entity resolution — the canonical record-linkage
+    composition over existing operators: blocked Levenshtein similarity
+    self-join (``ops.fuzzy.fuzzy_join``) → distributed connected
+    components over the match graph (``ops.dedup.connected_components``)
+    → canonical keeper per entity cluster (lexicographic min name,
+    exactly the dedup-keeper rule). Names get dense ids by SORTED rank so
+    min-id == min-name and the int-keyed component engine applies
+    unchanged. Only names participating in ≥1 match appear (singletons
+    are already canonical). Oracle replays the closure with the
+    recursive-CTE + ``levenshtein`` transitive-reachability SQL."""
+    from jsonschema_validator_ray.ops.dedup import connected_components
+    from jsonschema_validator_ray.ops.fuzzy import fuzzy_join
+
+    parts = _read(sf_dir, "part", ["p_name"])
+    pairs = fuzzy_join(parts, parts, "p_name", "p_name", max_dist=2)
+    names = pa.array(
+        sorted(set(pairs["name_a"].to_pylist())
+               | set(pairs["name_b"].to_pylist())), pa.string())
+    comp = connected_components(pa.table({
+        "id_a": pc.index_in(pairs["name_a"], value_set=names)
+        .cast(pa.int64()),
+        "id_b": pc.index_in(pairs["name_b"], value_set=names)
+        .cast(pa.int64()),
+    }))
+    node_names = names.take(comp["node"])
+    canon_names = names.take(comp["component"])
+    return pa.table({
+        "name": node_names,
+        "canonical": canon_names,
+        "keep": pc.equal(comp["node"], comp["component"]),
+    }).sort_by([("name", "ascending")])
+
+
 def q_integrity_check_tables(sf_dir: str) -> pa.Table:
     """Cross-table referential-integrity report (ops/integrity.py): pk
     uniqueness over the four dimension keys plus five fk-orphan relations
@@ -4474,6 +4508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantiles_lineitem": q_global_quantiles_lineitem,
         "multimodal_audio_frames": q_multimodal_audio_frames,
         "turn_pairs_transcripts": q_turn_pairs_transcripts,
+        "entity_resolution_parts": q_entity_resolution_parts,
         "conv_stats": q_conv_stats,
         "profile_events": q_profile_events,
         "revenue_forecast": q_revenue_forecast,
@@ -6682,6 +6717,26 @@ def oracle_sql() -> dict[str, str]:
                         WHERE NOT EXISTS (SELECT 1 FROM supplier s
                                           WHERE s.s_suppkey = e.user_id))
             ) ORDER BY check_name
+        """,
+        "entity_resolution_parts": """
+            WITH RECURSIVE
+            n AS (SELECT DISTINCT p_name FROM part
+                  WHERE p_name IS NOT NULL),
+            p AS (SELECT a.p_name AS na, b.p_name AS nb
+                  FROM n a JOIN n b ON a.p_name < b.p_name
+                  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+            edges AS (SELECT na AS u, nb AS v FROM p
+                      UNION SELECT nb, na FROM p),
+            reach(node, m) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT reach.node, edges.v
+                FROM reach JOIN edges ON edges.u = reach.m),
+            comp AS (SELECT node, least(node, min(m)) AS component
+                     FROM reach GROUP BY node)
+            SELECT node AS name, component AS canonical,
+                   node = component AS keep
+            FROM comp ORDER BY name
         """,
         "fuzzy_match_part_names": """
             WITH n AS (SELECT DISTINCT p_name FROM part)
