@@ -4035,6 +4035,41 @@ def q_fuzzy_match_part_names(sf_dir: str) -> pa.Table:
     return fuzzy_join(parts, parts, "p_name", "p_name", max_dist=2)
 
 
+def q_global_sort_documents(sf_dir: str) -> pa.Table:
+    """GLOBAL multi-key ORDER BY — the all-to-all range-sort primitive
+    proven end-to-end: every document's exact global position under
+    ``(lang ASC, n_chars DESC, doc_id ASC)``. Multi-key order is encoded
+    into ONE monotone string key (fixed-width zero-padded fields, the
+    numeric DESC leg as ``10^9 − n_chars``) so
+    ``ops.stats.assign_global_rank`` (Ray range sort + per-block prefix
+    offsets + vectorized arange) applies unchanged; ``doc_id`` in the key
+    makes ranks unique, matching SQL ``row_number()`` bitwise. Corpus
+    columns are non-null (a null lang would need a NULLS FIRST/LAST
+    convention in the encoding)."""
+    from jsonschema_validator_ray.ops.stats import assign_global_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        inv = pc.subtract(pa.scalar(1_000_000_000, pa.int64()),
+                          batch["n_chars"].cast(pa.int64()))
+        key = pc.binary_join_element_wise(
+            batch["lang"],
+            pc.utf8_lpad(pc.cast(inv, pa.string()), 10, "0"),
+            pc.utf8_lpad(pc.cast(batch["doc_id"].cast(pa.int64()),
+                                 pa.string()), 10, "0"),
+            pa.scalar("|"))
+        return batch.append_column("_k", key)
+
+    out = _collect(assign_global_rank(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True), "_k"))
+    return pa.table({
+        "pos": out["pos"],
+        "doc_id": out["doc_id"].cast(pa.int64()),
+    }).sort_by([("pos", "ascending")])
+
+
 def q_entity_resolution_parts(sf_dir: str) -> pa.Table:
     """END-TO-END entity resolution — the canonical record-linkage
     composition over existing operators: blocked Levenshtein similarity
@@ -4509,6 +4544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_frames": q_multimodal_audio_frames,
         "turn_pairs_transcripts": q_turn_pairs_transcripts,
         "entity_resolution_parts": q_entity_resolution_parts,
+        "global_sort_documents": q_global_sort_documents,
         "conv_stats": q_conv_stats,
         "profile_events": q_profile_events,
         "revenue_forecast": q_revenue_forecast,
@@ -6717,6 +6753,12 @@ def oracle_sql() -> dict[str, str]:
                         WHERE NOT EXISTS (SELECT 1 FROM supplier s
                                           WHERE s.s_suppkey = e.user_id))
             ) ORDER BY check_name
+        """,
+        "global_sort_documents": """
+            SELECT row_number() OVER (
+                       ORDER BY lang, n_chars DESC, doc_id) AS pos,
+                   doc_id
+            FROM documents ORDER BY pos
         """,
         "entity_resolution_parts": """
             WITH RECURSIVE
