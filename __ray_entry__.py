@@ -1574,15 +1574,26 @@ def q_welch_ttest_events(sf_dir: str) -> pa.Table:
     avg/var_samp, both sides rounded to 6 dp."""
     from jsonschema_validator_ray.ops.stats import welch_ttest
 
+    import math
+
     r = welch_ttest(_read(sf_dir, "events", ["event_type", "value"]),
                     "event_type", "value", "view", "purchase")
+
+    def r6(x, defined=True):
+        # SQL parity: an absent cohort's mean and a zero-variance /
+        # absent-side t/df are NULL in the oracle (NULL aggregates,
+        # division by zero) — emit None, not 0.0/NaN (review r5)
+        return round(x, 6) if defined and math.isfinite(x) else None
+
     return pa.table({
         "n_a": pa.array([r["n_a"]], pa.int64()),
         "n_b": pa.array([r["n_b"]], pa.int64()),
-        "mean_a_r6": pa.array([round(r["mean_a"], 6)], pa.float64()),
-        "mean_b_r6": pa.array([round(r["mean_b"], 6)], pa.float64()),
-        "t_r6": pa.array([round(r["t_stat"], 6)], pa.float64()),
-        "df_r6": pa.array([round(r["df"], 6)], pa.float64()),
+        "mean_a_r6": pa.array([r6(r["mean_a"], r["n_a"] > 0)],
+                              pa.float64()),
+        "mean_b_r6": pa.array([r6(r["mean_b"], r["n_b"] > 0)],
+                              pa.float64()),
+        "t_r6": pa.array([r6(r["t_stat"])], pa.float64()),
+        "df_r6": pa.array([r6(r["df"])], pa.float64()),
     })
 
 
@@ -4043,7 +4054,9 @@ def q_global_sort_documents(sf_dir: str) -> pa.Table:
     numeric DESC leg as ``10^9 − n_chars``) so
     ``ops.stats.assign_global_rank`` (Ray range sort + per-block prefix
     offsets + vectorized arange) applies unchanged; ``doc_id`` in the key
-    makes ranks unique, matching SQL ``row_number()`` bitwise. Corpus
+    makes ranks unique, matching SQL ``row_number()`` bitwise; the field
+    separator is NUL (below every printable byte), so variable-length
+    lang values order like SQL even when one prefixes another. Corpus
     columns are non-null (a null lang would need a NULLS FIRST/LAST
     convention in the encoding)."""
     from jsonschema_validator_ray.ops.stats import assign_global_rank
@@ -4058,7 +4071,7 @@ def q_global_sort_documents(sf_dir: str) -> pa.Table:
             pc.utf8_lpad(pc.cast(inv, pa.string()), 10, "0"),
             pc.utf8_lpad(pc.cast(batch["doc_id"].cast(pa.int64()),
                                  pa.string()), 10, "0"),
-            pa.scalar("|"))
+            pa.scalar("\x00"))
         return batch.append_column("_k", key)
 
     out = _collect(assign_global_rank(
@@ -5146,7 +5159,8 @@ def oracle_sql() -> dict[str, str]:
                     max(CASE WHEN side = 'b' THEN m END) AS mb,
                     max(CASE WHEN side = 'b' THEN v END) AS vb
                   FROM agg)
-            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+            SELECT CAST(coalesce(na, 0) AS BIGINT) AS n_a,
+                   CAST(coalesce(nb, 0) AS BIGINT) AS n_b,
                    round(ma, 6) AS mean_a_r6, round(mb, 6) AS mean_b_r6,
                    round((ma - mb) / sqrt(va/na + vb/nb), 6) AS t_r6,
                    round(pow(va/na + vb/nb, 2)

@@ -928,6 +928,9 @@ def welch_ttest(ds, group_col: str, value_col: str, side_a, side_b) -> dict:
     state = {"a": [0, 0.0, 0.0], "b": [0, 0.0, 0.0]}
     if parts:
         merged = pa.concat_tables(parts, promote_options="default")
+        # (n, mean, M2) pairwise merge — the 2-moment subset of the
+        # per-key Pébay fold in ops/aggregates.grouped_skew_kurt; any
+        # fix to that merge's numerics belongs in both places
         for side, nB, mB, M2B in zip(merged["side"].to_pylist(),
                                      merged["pn"].to_pylist(),
                                      merged["pm"].to_pylist(),
@@ -972,10 +975,15 @@ def benford_audit(ds, value_col: str) -> pa.Table:
     Cross-engine float caveat (measured): for ``0 < v < 1`` the digit
     depends on libm ``pow`` rounding — numpy's ``pow(10, -1)`` is 1 ulp
     BELOW 0.1 while DuckDB's is not, so 0.3 reads digit 3 here and 2
-    there. Oracle-exact parity therefore holds only for ``v >= 1``
-    (exponents 0..308 are exact powers); the gate query filters
-    ``value >= 1`` on both sides, and callers auditing sub-1 magnitudes
-    should pre-scale to integers.
+    there. Oracle-exact parity therefore holds only for ``1 <= v < 1e23``
+    (only 10^0..10^22 are exactly representable doubles); the gate query
+    filters ``value >= 1`` on both sides, and callers auditing sub-1
+    magnitudes should pre-scale to integers. Outside that window the op
+    itself stays total and crash-free (review r5): subnormal exponents
+    are clamped before ``pow`` can underflow to an inf ratio, and a
+    bounded decade-renormalization loop folds every ratio back into
+    ``[1, 10)`` instead of silently bincount-dropping digit-0/digit-10
+    artifacts of log10 rounding.
 
     Returns one row per digit: ``(digit, n_obs, expected_r6, chi2_r6)``
     with the global chi² repeated per row (flat gate-friendly layout)."""
@@ -987,8 +995,19 @@ def benford_audit(ds, value_col: str) -> pa.Table:
             .to_numpy(zero_copy_only=False)
         v = v[np.isfinite(v) & (v > 0)]
         with np.errstate(divide="ignore"):
-            digit = np.floor(v / np.power(10.0, np.floor(np.log10(v)))) \
-                .astype(np.int64)
+            e = np.clip(np.floor(np.log10(v)), -307.0, 308.0)
+            ratio = v / np.power(10.0, e)
+        # log10 rounding leaves ratio one decade off at boundaries, and
+        # the subnormal clamp above can leave it up to 17 decades low —
+        # renormalize instead of dropping (bounded, usually 0 passes)
+        for _ in range(17):
+            lo = ratio < 1.0
+            hi = ratio >= 10.0
+            if not (lo.any() or hi.any()):
+                break
+            ratio = np.where(lo, ratio * 10.0, ratio)
+            ratio = np.where(hi, ratio / 10.0, ratio)
+        digit = np.clip(np.floor(ratio), 1, 9).astype(np.int64)
         counts = np.bincount(digit, minlength=10)[1:10]
         return pa.table({"digit": pa.array(np.arange(1, 10, dtype=np.int64)),
                          "n": pa.array(counts.astype(np.int64))})
@@ -1001,18 +1020,17 @@ def benford_audit(ds, value_col: str) -> pa.Table:
     total = int(obs.sum())
     digits = np.arange(1, 10)
     p = np.log10(1.0 + 1.0 / digits)
-    if total:
-        exp = p * total
-        chi2 = float(((obs - exp) ** 2 / exp).sum())
-    else:
-        chi2 = float("nan")
+    # empty-input parity with the SQL replay (review r5): expected is
+    # p * 0 = 0.0 (the oracle's coalesced zero rows always sum), chi²
+    # is NULL (SQL 0/0 division)
+    chi2 = float(((obs - p * total) ** 2 / (p * total)).sum()) \
+        if total else None
     return pa.table({
         "digit": pa.array(digits.astype(np.int64)),
         "n_obs": pa.array(obs),
-        "expected_r6": pa.array(np.round(p * total, 6) if total
-                                else np.full(9, np.nan)),
-        "chi2_r6": pa.array(np.full(9, round(chi2, 6) if total == total
-                                    else np.nan)),
+        "expected_r6": pa.array(np.round(p * total, 6)),
+        "chi2_r6": pa.array([round(chi2, 6) if chi2 is not None else None]
+                            * 9, pa.float64()),
     })
 
 
@@ -1048,11 +1066,13 @@ def sequence_audit(ds, id_col: str) -> pa.Table:
         partial, batch_format="pyarrow", zero_copy_batch=True))
     if not parts:
         empty = pa.array([0], pa.int64())
+        # SQL parity: with no ids, max-min+1-count is NULL, not 0
         return pa.table({"n_rows": empty, "n_null": empty,
                          "n_distinct": empty,
                          "min_id": pa.array([None], pa.int64()),
                          "max_id": pa.array([None], pa.int64()),
-                         "n_dup_rows": empty, "n_missing": empty})
+                         "n_dup_rows": empty,
+                         "n_missing": pa.array([None], pa.int64())})
     merged = pa.concat_tables(parts, promote_options="default")
     mn = pc.min(merged["mn"]).as_py()
     mx = pc.max(merged["mx"]).as_py()
@@ -1061,7 +1081,9 @@ def sequence_audit(ds, id_col: str) -> pa.Table:
     u = np.unique(np.frombuffer(b"".join(merged["uniq"].to_pylist()),
                                 np.int64))
     n_distinct = int(u.size)
-    span = (mx - mn + 1) if n_distinct else 0
+    # SQL parity (review r5): an all-null column has NULL min/max, so
+    # the envelope-derived n_missing is NULL too (n_dup stays 0 - 0 = 0)
+    n_missing = (mx - mn + 1 - n_distinct) if n_distinct else None
     return pa.table({
         "n_rows": pa.array([n], pa.int64()),
         "n_null": pa.array([n_null], pa.int64()),
@@ -1069,5 +1091,5 @@ def sequence_audit(ds, id_col: str) -> pa.Table:
         "min_id": pa.array([mn], pa.int64()),
         "max_id": pa.array([mx], pa.int64()),
         "n_dup_rows": pa.array([n - n_distinct], pa.int64()),
-        "n_missing": pa.array([span - n_distinct], pa.int64()),
+        "n_missing": pa.array([n_missing], pa.int64()),
     })

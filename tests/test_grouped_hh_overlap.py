@@ -210,6 +210,47 @@ def test_benford_audit_counts_and_chi2(ray_session):
     assert abs(out["chi2_r6"][0].as_py() - round(chi2, 6)) < 1e-9
 
 
+def test_benford_audit_subnormal_and_boundary_no_crash(ray_session):
+    # review r5: 5e-324 used to underflow pow -> inf ratio -> bincount
+    # crash; nextafter(1e20, 0) used to produce digit 0 and be silently
+    # dropped. Both must now land on a 1-9 digit with nothing lost.
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import benford_audit
+
+    vals = [5e-324, float(np.nextafter(1e20, 0)), 1e23, 2.0]
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    out = benford_audit(ray.data.from_arrow(t), "v")
+    assert int(pa.compute.sum(out["n_obs"]).as_py()) == len(vals)
+    got = dict(zip(out["digit"].to_pylist(), out["n_obs"].to_pylist()))
+    assert got[9] >= 1      # nextafter(1e20, 0) = 9.999...e19 -> digit 9
+    assert got[2] >= 1
+
+
+def test_benford_audit_empty_input(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import benford_audit
+
+    t = pa.table({"v": pa.array([None, -1.0, 0.0], pa.float64())})
+    out = benford_audit(ray.data.from_arrow(t), "v")
+    assert out["n_obs"].to_pylist() == [0] * 9
+    assert out["expected_r6"].to_pylist() == [0.0] * 9   # SQL-parity zeros
+    assert out["chi2_r6"].to_pylist() == [None] * 9      # SQL 0/0 -> NULL
+
+
+def test_sequence_audit_all_null_envelope(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.stats import sequence_audit
+
+    t = pa.table({"id": pa.array([None, None], pa.int64())})
+    out = sequence_audit(ray.data.from_arrow(t), "id")
+    row = {c: out[c][0].as_py() for c in out.column_names}
+    assert row["n_missing"] is None     # SQL NULL envelope
+    assert row["n_dup_rows"] == 0 and row["n_null"] == 2
+
+
 def test_sequence_audit_gaps_dups_nulls(ray_session):
     import ray.data
 
