@@ -212,6 +212,24 @@ def q_transcript_verdict(sf_dir: str) -> pa.Table:
     })
 
 
+def q_violations_by_constraint_transcripts(sf_dir: str) -> pa.Table:
+    """The run REPORT surface: per-constraint violation counts as emitted
+    in the pipeline's own ``metrics["violations_by_constraint"]`` (the
+    summary every manifest carries) — oracled by GROUP BY over the same
+    UNION-of-SELECTs violation SQL as the flagship, so the gate proves the
+    metrics rollup agrees with the row-level truth."""
+    from jsonschema_validator_ray.pipelines import validate
+
+    gen, spec = _ensure_current_corpus(sf_dir)
+    res = validate(gen.out_dir, spec=spec, strategy="sort")
+    d = res.metrics["violations_by_constraint"]
+    ks = sorted(d)
+    return pa.table({
+        "constraint_id": pa.array(ks, pa.string()),
+        "n": pa.array([int(d[k]) for k in ks], pa.int64()),
+    })
+
+
 def q_conv_stats(sf_dir: str) -> pa.Table:
     """Per-conversation analytics over the transcript corpus (the same table
     the flagship validates): turn count, tool-call count, total text chars —
@@ -4557,6 +4575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_frames": q_multimodal_audio_frames,
         "turn_pairs_transcripts": q_turn_pairs_transcripts,
         "entity_resolution_parts": q_entity_resolution_parts,
+        "violations_by_constraint_transcripts": q_violations_by_constraint_transcripts,
         "global_sort_documents": q_global_sort_documents,
         "conv_stats": q_conv_stats,
         "profile_events": q_profile_events,
@@ -4795,6 +4814,10 @@ def oracle_sql() -> dict[str, str]:
     tx_v = _transcript_violation_sql()
     return {
         "transcript_validate": tx_v,
+        "violations_by_constraint_transcripts": f"""
+            SELECT constraint_id, CAST(count(*) AS BIGINT) AS n
+            FROM ({tx_v}) GROUP BY constraint_id ORDER BY constraint_id
+        """,
         "resume_validate_transcripts": tx_v,
         "salted_validate_transcripts": tx_v,
         "text_roundtrip_documents": """
