@@ -212,6 +212,35 @@ def q_transcript_verdict(sf_dir: str) -> pa.Table:
     })
 
 
+def q_check_constraint_transcripts(sf_dir: str) -> pa.Table:
+    """Cross-column table CHECK constraints (``constraints/kernels.py``
+    kind ``check`` — the SQL CHECK-constraint analog Draft4 lacks): a
+    guarded implication (user turns must not carry a tool call — fires on
+    the corpus's planted noise rows) and an unguarded comparison
+    (turn_idx below the hot-conversation cap — fires inside every hot
+    conversation), evaluated in the same fused kernel pass as every other
+    row constraint, with SQL CHECK null semantics (UNKNOWN passes).
+    Oracle replays both predicates row-for-row."""
+    from jsonschema_validator_ray.pipelines import validate
+
+    gen, _ = _ensure_current_corpus(sf_dir)
+    spec2 = {
+        "version": 1, "columns": {},
+        "keys": {"id": "conv_id", "order": "turn_idx"},
+        "table": {"checks": [
+            {"name": "user_turns_carry_no_tool",
+             "when": {"column": "role", "equals": "user"},
+             "assert": {"column": "tool", "op": "null"}},
+            {"name": "turn_idx_under_hot_cap",
+             "assert": {"column": "turn_idx", "op": "lt", "value": 8000}},
+        ]},
+    }
+    res = validate(gen.out_dir, spec=spec2, strategy="sort", sketch=False)
+    return res.violations.sort_by([
+        ("conv_id", "ascending"), ("turn_idx", "ascending"),
+        ("constraint_id", "ascending")])
+
+
 def q_violations_by_constraint_transcripts(sf_dir: str) -> pa.Table:
     """The run REPORT surface: per-constraint violation counts as emitted
     in the pipeline's own ``metrics["violations_by_constraint"]`` (the
@@ -4492,9 +4521,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     salted-groupby skew-splitting run (resume and salted reuse the flagship
     oracle — proving resume == single-shot and salted == sort bitwise), each
     constraint kind (struct/ref/enum/
-    mono/unique; mono and TPC-H Q1 are tail-listed variants), aggregation + table profiler +
-    HLL sketch (global distinct + the inclusion–exclusion corpus-overlap
-    estimate) + per-group heavy hitters + skew/kurtosis moments, text
+    mono/unique plus the cross-column table CHECK kind; mono and TPC-H Q1
+    are tail-listed variants), aggregation + table profiler +
+    HLL sketch (the inclusion–exclusion corpus-overlap estimate; global
+    distinct is a tail-listed variant) + per-group heavy hitters +
+    skew/kurtosis moments, text
     analysis (token count / lang-id / unigram-LM scoring; quality scoring
     is a tail-listed variant), BM25 ranked retrieval, a
     partitioned-sink round-trip, JSON schema inference (the discovery half
@@ -4526,12 +4557,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage_manifest_transcripts": q_lineage_manifest_transcripts,
         "salted_validate_transcripts": q_salted_validate_transcripts,
         "struct_check_events": q_struct_check_events,
+        "check_constraint_transcripts": q_check_constraint_transcripts,
         "ref_check_lineitem": q_ref_check_lineitem,
         "enum_check_events": q_enum_check_events,
         "lm_score_documents": q_lm_score_documents,
         "unique_check_events": q_unique_check_events,
         "profile_table_events": q_profile_table_events,
-        "hll_distinct_events": q_hll_distinct_events,
         "token_count_documents": q_token_count_documents,
         "langid_documents": q_langid_documents,
         "conv_dedup_transcripts": q_conv_dedup_transcripts,
@@ -4577,6 +4608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution_parts": q_entity_resolution_parts,
         "violations_by_constraint_transcripts": q_violations_by_constraint_transcripts,
         "global_sort_documents": q_global_sort_documents,
+        "hll_distinct_events": q_hll_distinct_events,
         "conv_stats": q_conv_stats,
         "profile_events": q_profile_events,
         "revenue_forecast": q_revenue_forecast,
@@ -4814,6 +4846,22 @@ def oracle_sql() -> dict[str, str]:
     tx_v = _transcript_violation_sql()
     return {
         "transcript_validate": tx_v,
+        "check_constraint_transcripts": f"""
+            WITH tx AS (SELECT * FROM read_parquet('{_TX_GLOB}')),
+            v AS (
+                SELECT conv_id, turn_idx,
+                       'check:turn_idx_under_hot_cap' AS constraint_id,
+                       'Check constraint failed' AS message
+                FROM tx WHERE NOT (turn_idx < 8000)
+                UNION ALL
+                SELECT conv_id, turn_idx,
+                       'check:user_turns_carry_no_tool',
+                       'Check constraint failed'
+                FROM tx WHERE role = 'user' AND tool IS NOT NULL
+            )
+            SELECT * FROM v
+            ORDER BY conv_id, turn_idx, constraint_id
+        """,
         "violations_by_constraint_transcripts": f"""
             SELECT constraint_id, CAST(count(*) AS BIGINT) AS n
             FROM ({tx_v}) GROUP BY constraint_id ORDER BY constraint_id

@@ -340,6 +340,39 @@ def compile_constraints(spec: dict) -> ConstraintIR:
             salt_span=int(mono.get("salt_span", 4096)),
         )
 
+    for ch in table.get("checks") or []:
+        # cross-column table CHECK (SQL CHECK-constraint analog; no
+        # reference counterpart — Draft4 has no conditionals):
+        #   {"name", "when": {"column", "equals"}?,
+        #    "assert": {"column", "op", "value"|"values"|"other_column"}}
+        if not isinstance(ch, dict) or "name" not in ch or \
+                "assert" not in ch:
+            raise SchemaError.malformed(
+                "table/checks", KeywordType.UNKNOWN,
+                wrong_value_type_detail("object", ch))
+        a = ch["assert"]
+        op = a.get("op")
+        operand_is_col = "other_column" in a
+        if op == "in":
+            if operand_is_col or not isinstance(a.get("values"), list) \
+                    or not a["values"]:
+                raise SchemaError(
+                    f"check {ch['name']!r}: op 'in' needs a non-empty "
+                    f"'values' list")
+            operand = tuple(a["values"])
+        elif op in ("null", "not_null"):
+            operand = None
+        elif op in ("eq", "ne", "lt", "le", "gt", "ge"):
+            operand = a["other_column"] if operand_is_col else a["value"]
+        else:
+            raise SchemaError(f"check {ch['name']!r}: unknown op {op!r}")
+        when = ch.get("when") or {}
+        ir.row_constraints.append(RowConstraint(
+            cid=f"check:{ch['name']}", kind="check", column=a["column"],
+            params=(when.get("column"), when.get("equals"), op,
+                    operand_is_col, operand),
+            message="Check constraint failed"))
+
     drift = table.get("drift") or {}
     if "rolefreq" in drift:
         d = drift["rolefreq"]

@@ -169,6 +169,48 @@ def _k_nested_type(c, col, is_null, batch, ir):
     return pc.and_(present, is_null)
 
 
+_CHECK_CMP = {"eq": pc.equal, "ne": pc.not_equal, "lt": pc.less,
+              "le": pc.less_equal, "gt": pc.greater, "ge": pc.greater_equal}
+
+
+@kernel("check")
+def _k_check(c, col, is_null, batch, ir):
+    """Cross-column table CHECK constraint — the row-constraint shape SQL
+    engines add beyond per-column JSON-Schema keywords: an optional WHEN
+    guard on another column plus an assertion on this one, with SQL CHECK
+    null semantics (an UNKNOWN comparison passes; only a definite FALSE
+    violates). params = (when_col, when_val, op, operand_is_col, operand);
+    op ∈ {null, not_null, eq, ne, lt, le, gt, ge, in}. A missing WHEN or
+    operand column skips the kernel (absent ⇒ skip, like every non-required
+    kernel)."""
+    when_col, when_val, op, operand_is_col, operand = c.params
+    n = batch.num_rows
+    if when_col is not None:
+        if when_col not in batch.column_names:
+            return None
+        w = pc.fill_null(pc.equal(batch[when_col], when_val), False)
+    else:
+        w = _all_true(n)
+    if op == "not_null":
+        ok = pc.invert(is_null)
+    elif op == "null":
+        ok = is_null
+    elif op == "in":
+        ok = pc.fill_null(
+            pc.is_in(col, value_set=pa.array(list(operand), type=col.type)),
+            True)                        # SQL CHECK: unknown passes
+        ok = pc.if_else(is_null, True, ok)   # NULL IN (...) is unknown
+    else:
+        if operand_is_col:
+            if operand not in batch.column_names:
+                return None
+            rhs = batch[operand]
+        else:
+            rhs = _range_scalar(operand, col.type)
+        ok = pc.fill_null(_CHECK_CMP[op](col, rhs), True)
+    return pc.and_(w, pc.invert(ok))
+
+
 @kernel("format_range")
 def _k_format_range(c, col, is_null, batch, ir):
     lo, hi = (_range_scalar(v, col.type) for v in c.params)

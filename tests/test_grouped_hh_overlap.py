@@ -265,6 +265,57 @@ def test_sequence_audit_gaps_dups_nulls(ray_session):
                    "n_missing": 2}
 
 
+def test_check_constraint_kernel_semantics():
+    # pure kernel test, no Ray: guarded implication, SQL CHECK null
+    # semantics (unknown passes), column-vs-column comparison, 'in'
+    from jsonschema_validator_ray.constraints.ir import compile_constraints
+    from jsonschema_validator_ray.constraints.kernels import evaluate_kernel
+
+    spec = {"version": 1, "columns": {}, "table": {"checks": [
+        {"name": "user_no_tool", "when": {"column": "role",
+                                          "equals": "user"},
+         "assert": {"column": "tool", "op": "null"}},
+        {"name": "a_le_b", "assert": {"column": "a", "op": "le",
+                                      "other_column": "b"}},
+        {"name": "role_known", "assert": {"column": "role", "op": "in",
+                                          "values": ["user", "tool"]}},
+    ]}}
+    ir = compile_constraints(spec)
+    batch = pa.table({
+        "role": pa.array(["user", "user", "tool", None, "x"]),
+        "tool": pa.array(["t", None, "t", "t", None]),
+        "a": pa.array([1, 5, None, 2, 3], pa.int64()),
+        "b": pa.array([2, 4, 7, None, 3], pa.int64()),
+    })
+    masks = {c.cid: evaluate_kernel(c, batch, ir).to_pylist()
+             for c in ir.row_constraints}
+    # guard: only role='user' rows can fire; null guard passes
+    assert masks["check:user_no_tool"] == [True, False, False, False,
+                                           False]
+    # a<=b: 5>4 fires; NULL comparisons (rows 3, 4) pass like SQL CHECK
+    assert masks["check:a_le_b"] == [False, True, False, False, False]
+    # in: 'x' fires, NULL role passes (is_in null -> unknown -> pass)
+    assert masks["check:role_known"] == [False, False, False, False,
+                                         True]
+
+
+def test_check_constraint_compile_errors():
+    import pytest as _pytest
+
+    from jsonschema_validator_ray.constraints.ir import compile_constraints
+    from jsonschema_validator_ray.jsonvalidate.types import SchemaError
+
+    with _pytest.raises(SchemaError):
+        compile_constraints({"version": 1, "columns": {}, "table": {
+            "checks": [{"name": "bad", "assert": {"column": "a",
+                                                  "op": "frob"}}]}})
+    with _pytest.raises(SchemaError):
+        compile_constraints({"version": 1, "columns": {}, "table": {
+            "checks": [{"name": "bad", "assert": {"column": "a",
+                                                  "op": "in",
+                                                  "values": []}}]}})
+
+
 def test_hll_inclusion_exclusion_overlap_accuracy():
     # pure-sketch check (no Ray needed): |A∩B| via est(A)+est(B)-est(A∪B)
     a_ids = [f"u{i}" for i in range(30000)]
