@@ -241,6 +241,24 @@ def q_check_constraint_transcripts(sf_dir: str) -> pa.Table:
         ("constraint_id", "ascending")])
 
 
+def q_random_projection_embeddings(sf_dir: str) -> pa.Table:
+    """Johnson–Lindenstrauss random projection
+    (``ops.embed.random_projection``): every 64-dim embedding reduced onto
+    4 deterministic sparse {-1,0,+1} directions (Achlioptas construction,
+    ``jl_matrix``) — the pre-index / LSH-input dimensionality-reduction
+    step. Engine and oracle inline the SAME matrix; float64 dot products
+    round to 6 dp on both sides (≤64-term sums, summation-order-safe)."""
+    from jsonschema_validator_ray.ops.embed import random_projection
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = _collect(random_projection(ds, "embedding", "vec_id",
+                                     in_dims=64, out_dims=4))
+    cols = {"vec_id": out["vec_id"].cast(pa.int64())}
+    for j in range(4):
+        cols[f"y{j}_r6"] = pc.round(out[f"y{j}"], 6)
+    return pa.table(cols).sort_by([("vec_id", "ascending")])
+
+
 def q_violations_by_constraint_transcripts(sf_dir: str) -> pa.Table:
     """The run REPORT surface: per-constraint violation counts as emitted
     in the pipeline's own ``metrics["violations_by_constraint"]`` (the
@@ -4607,6 +4625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_pairs_transcripts": q_turn_pairs_transcripts,
         "entity_resolution_parts": q_entity_resolution_parts,
         "violations_by_constraint_transcripts": q_violations_by_constraint_transcripts,
+        "random_projection_embeddings": q_random_projection_embeddings,
         "global_sort_documents": q_global_sort_documents,
         "hll_distinct_events": q_hll_distinct_events,
         "conv_stats": q_conv_stats,
@@ -4844,8 +4863,23 @@ def oracle_sql() -> dict[str, str]:
     except Exception:           # pragma: no cover
         pass
     tx_v = _transcript_violation_sql()
+    from jsonschema_validator_ray.ops.embed import jl_matrix
+    _jl = jl_matrix(4, 64)
+    _jl_rows = [", ".join(f"{float(v):.1f}" for v in _jl[j])
+                for j in range(4)]
+    _jl_sel = ",\n                   ".join(
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{_jl_rows[j]}]), 6) AS y{j}_r6" for j in range(4))
     return {
         "transcript_validate": tx_v,
+        "random_projection_embeddings": f"""
+            SELECT vec_id,
+                   {_jl_sel}
+            FROM embeddings
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                  AND len(embedding) = 64
+            ORDER BY vec_id
+        """,
         "check_constraint_transcripts": f"""
             WITH tx AS (SELECT * FROM read_parquet('{_TX_GLOB}')),
             v AS (

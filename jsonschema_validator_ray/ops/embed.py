@@ -82,3 +82,63 @@ def quantize_embeddings(ds, list_col: str, id_col: str):
             "codes": code_arr}))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def jl_matrix(out_dims: int, in_dims: int) -> np.ndarray:
+    """Deterministic sparse Johnson-Lindenstrauss projection matrix
+    (Achlioptas 2003, public construction): entries in {-1, 0, +1} with
+    P(+1)=P(-1)=1/6, drawn from a Knuth multiplicative hash of the cell
+    index — both the engine and the SQL oracle inline the SAME matrix, so
+    projections are bit-comparable. int8, shape (out_dims, in_dims)."""
+    idx = np.arange(out_dims * in_dims, dtype=np.uint64) + np.uint64(1)
+    h = (idx * np.uint64(2654435761)) & np.uint64(0x7FFFFFFF)
+    m = h % np.uint64(6)
+    r = np.where(m == 0, 1, np.where(m == 1, -1, 0)).astype(np.int8)
+    return r.reshape(out_dims, in_dims)
+
+
+def random_projection(ds, list_col: str, id_col: str, in_dims: int,
+                      out_dims: int = 4):
+    """Random-projection dimensionality reduction (the JL shape): project
+    each ``in_dims``-long embedding onto ``out_dims`` deterministic
+    {-1,0,+1} directions (:func:`jl_matrix`) — the cheap pre-index /
+    visualization / LSH-input reduction step. One float64 BLAS matmul per
+    batch against a closure-captured (tiny) matrix, NO shuffle, no per-row
+    Python; rows with null ids, null embeddings or the wrong length drop
+    (mirrored by the oracle's ``len(embedding) = in_dims`` filter).
+    Sums are float64 over ≤ in_dims terms so 6 dp rounding is
+    summation-order-safe vs SQL ``list_dot_product``.
+
+    Streams ``(id, y0..y{out_dims-1})`` (float64, unrounded)."""
+    r_t = jl_matrix(out_dims, in_dims).astype(np.float64).T
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sel = batch.select([id_col, list_col])
+        lists = sel[list_col].combine_chunks() \
+            if isinstance(sel[list_col], pa.ChunkedArray) else sel[list_col]
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = offs[1:] - offs[:-1]
+        keep = (lens == in_dims) \
+            & pc.is_valid(sel[id_col]).to_numpy(zero_copy_only=False) \
+            & pc.is_valid(lists).to_numpy(zero_copy_only=False)
+        kidx = pa.array(np.flatnonzero(keep), pa.int64())
+        sel = sel.take(kidx)
+        lists = sel[list_col].combine_chunks() \
+            if isinstance(sel[list_col], pa.ChunkedArray) else sel[list_col]
+        n = sel.num_rows
+        if n == 0:
+            return strip_meta(pa.table(
+                {id_col: pa.array([], batch.schema.field(id_col).type)}
+                | {f"y{j}": pa.array([], pa.float64())
+                   for j in range(out_dims)}))
+        x = lists.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(n, in_dims)
+        y = x @ r_t
+        return strip_meta(pa.table(
+            {id_col: sel[id_col]}
+            | {f"y{j}": pa.array(y[:, j], pa.float64())
+               for j in range(out_dims)}))
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)

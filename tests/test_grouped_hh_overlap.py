@@ -316,6 +316,33 @@ def test_check_constraint_compile_errors():
                                                   "values": []}}]}})
 
 
+def test_random_projection_deterministic_and_shape(ray_session):
+    import ray.data
+
+    from jsonschema_validator_ray.ops.embed import (jl_matrix,
+                                                    random_projection)
+
+    # matrix is a pure function of the cell index
+    assert np.array_equal(jl_matrix(4, 8), jl_matrix(4, 8))
+    assert set(np.unique(jl_matrix(16, 64))) <= {-1, 0, 1}
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(20, 8)).astype(np.float32)
+    t = pa.table({
+        "id": pa.array(range(22), pa.int64()),
+        "e": pa.array(list(x.tolist()) + [None, [1.0, 2.0]],  # bad rows
+                      pa.list_(pa.float32())),
+    })
+    out = random_projection(ray.data.from_arrow(t), "e", "id",
+                            in_dims=8, out_dims=3).take_all()
+    assert len(out) == 20          # null + wrong-length rows dropped
+    r = jl_matrix(3, 8).astype(np.float64)
+    want = x.astype(np.float64) @ r.T
+    got = np.array([[row[f"y{j}"] for j in range(3)] for row in
+                    sorted(out, key=lambda d: d["id"])])
+    assert np.allclose(got, want, atol=1e-12)
+
+
 def test_hll_inclusion_exclusion_overlap_accuracy():
     # pure-sketch check (no Ray needed): |A∩B| via est(A)+est(B)-est(A∪B)
     a_ids = [f"u{i}" for i in range(30000)]
