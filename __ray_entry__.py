@@ -259,6 +259,48 @@ def q_random_projection_embeddings(sf_dir: str) -> pa.Table:
     return pa.table(cols).sort_by([("vec_id", "ascending")])
 
 
+def q_weighted_avg_lineitem(sf_dir: str) -> pa.Table:
+    """Per-group WEIGHTED mean (quantity-weighted unit price per return
+    flag) with bit-exact float parity: both weight sums and
+    weight×price-cents sums fold as int64 (cents = floor(p·100 + 0.5),
+    the pricing_summary idiom — no float-sum-order hazard), and the
+    weighted average is ONE IEEE division of the exact integers, identical
+    to the SQL replay bitwise. The pattern for any token-weighted /
+    duration-weighted corpus metric."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(batch["l_returnflag"]),
+                          pc.is_valid(batch["l_quantity"])),
+            pc.is_valid(batch["l_extendedprice"])).fill_null(False)
+        sel = batch.filter(ok)
+        qty = sel["l_quantity"].cast(pa.int64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            sel["l_extendedprice"].cast(pa.float64()),
+            pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        t = pa.table({"flag": sel["l_returnflag"], "w": qty,
+                      "wx": pc.multiply(qty, cents)})
+        return pa.TableGroupBy(t, "flag").aggregate(
+            [("w", "sum"), ("wx", "sum")]) \
+            .rename_columns(["flag", "w", "wx"])
+
+    from jsonschema_validator_ray.rayutil import fold_partials
+    folded = fold_partials(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["flag"], ["w", "wx"])
+    folded = folded.sort_by([("flag", "ascending")])
+    w = folded["w"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+    wx = folded["wx"].cast(pa.float64()).to_numpy(zero_copy_only=False)
+    return pa.table({
+        "l_returnflag": folded["flag"],
+        "sum_qty": folded["w"].cast(pa.int64()),
+        "sum_qty_cents": folded["wx"].cast(pa.int64()),
+        "weighted_avg_cents": pa.array(wx / w, pa.float64()),
+    })
+
+
 def q_violations_by_constraint_transcripts(sf_dir: str) -> pa.Table:
     """The run REPORT surface: per-constraint violation counts as emitted
     in the pipeline's own ``metrics["violations_by_constraint"]`` (the
@@ -4625,6 +4667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_pairs_transcripts": q_turn_pairs_transcripts,
         "entity_resolution_parts": q_entity_resolution_parts,
         "violations_by_constraint_transcripts": q_violations_by_constraint_transcripts,
+        "weighted_avg_lineitem": q_weighted_avg_lineitem,
         "random_projection_embeddings": q_random_projection_embeddings,
         "global_sort_documents": q_global_sort_documents,
         "hll_distinct_events": q_hll_distinct_events,
@@ -4872,6 +4915,24 @@ def oracle_sql() -> dict[str, str]:
         f"[{_jl_rows[j]}]), 6) AS y{j}_r6" for j in range(4))
     return {
         "transcript_validate": tx_v,
+        "weighted_avg_lineitem": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS w,
+                       CAST(l_quantity AS BIGINT)
+                       * CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0
+                                    + 0.5) AS BIGINT) AS wx
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+            )
+            SELECT l_returnflag,
+                   CAST(sum(w) AS BIGINT) AS sum_qty,
+                   CAST(sum(wx) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(wx) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                       AS weighted_avg_cents
+            FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "random_projection_embeddings": f"""
             SELECT vec_id,
                    {_jl_sel}
